@@ -1,0 +1,100 @@
+"""Text-analysis scalar functions (training-data-pipeline extension layer).
+
+NOT from the reference (which has no string processing beyond cosmetics,
+SURVEY.md §2.8) — these are the text-quality operators a large-scale
+LLM-data pipeline needs, built as pure `F.*` expressions so they run
+JVM-side over 100 TB without a Python round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# A tiny per-language marker lexicon for the n-gram language-ID heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "is", "a", "of"],
+    "de": ["der", "und", "ist", "das", "ein"],
+    "fr": ["le", "et", "est", "la", "un"],
+    "es": ["el", "y", "es", "la", "un"],
+}
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: str | Column = "text") -> Column:
+    """Whitespace tokenization; empty strings filtered."""
+    return F.filter(F.split(_c(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: str | Column = "text") -> Column:
+    return F.size(tokens(text))
+
+
+def word_tokens(text: str | Column = "text") -> Column:
+    """BPE-ish regex tokenization: words OR single non-space symbols."""
+    t = F.regexp_replace(_c(text), r"([^\w\s])", r" $1 ")
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+
+def stopword_ratio(text: str | Column = "text") -> Column:
+    toks = tokens(F.lower(_c(text)))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.when(F.size(toks) > 0, n_stop.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: str | Column = "text") -> Column:
+    t = _c(text)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return F.when(F.length(t) > 0, n_punct.cast("double") / F.length(t)).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: str | Column = "text") -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: str | Column = "text") -> Column:
+    """Composite heuristic quality score in [0, 1]: rewards moderate
+    length, low punctuation density, and a natural stopword rate."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / 100.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - 4.0 * punct_ratio(text))
+    stop_score = F.least(F.lit(1.0), 4.0 * stopword_ratio(text))
+    return F.round((len_score + punct_pen + stop_score) / 3.0, 6)
+
+
+def lang_id(text: str | Column = "text") -> Column:
+    """Marker-word language-ID heuristic: the language with the most
+    marker-token hits wins; ties and zero hits -> 'und'."""
+    toks = tokens(F.lower(_c(text)))
+    scores = [
+        (lang, F.size(F.filter(toks, lambda t: t.isin(markers))))
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reversed so the first language in LANG_MARKERS wins ties
+    for lang, s in reversed(scores):
+        out = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text: str | Column = "text") -> Column:
+    """Document fingerprint: 64-bit hash of the normalized text
+    (lowercased, whitespace-collapsed). xxhash64 is JVM-side and stable."""
+    norm = F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+    return F.xxhash64(norm)
+
+
+def content_hash(text: str | Column = "text") -> Column:
+    """Cross-engine-stable content hash (md5 hex of normalized text) —
+    md5 is identical in Spark and DuckDB, so exact-dedup queries are
+    oracle-checkable."""
+    norm = F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+    return F.md5(norm)

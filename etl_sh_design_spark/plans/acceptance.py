@@ -1,0 +1,152 @@
+"""Flagship pipeline: Monte-Carlo geometric acceptance (SURVEY.md §3.1
+stages 8-9; reference dee_geometry.py:570-700).
+
+Logical plan (all declarative — Catalyst chooses broadcast for the
+dimension sides, the per-ray aggregation is the only real shuffle):
+
+    rays(n)  ──crossJoin──  layers(4)          # P14 projection
+        │ px = z_mm*tan(theta)*cos(phi), py = ...
+        ▼
+    inner join sensors ON layer + containment  # J1, broadcast or binned
+        ▼
+    groupBy event_id -> n = countDistinct(layer)   # J2
+        ▼
+    rays left-join hits, n -> coalesce 0
+        ▼
+    groupBy eta_bin -> count / efficiency / mean n / mean t   # A10-A12, J7, P13
+
+At 100 TB-scale ray counts the broadcast strategy keeps the big side
+shuffle-free until the final bin aggregation (partial aggs make that
+shuffle bins-sized); `strategy='binned'` swaps in the equi-key spatial
+join for rectangle tables too big to broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark import datagen
+from etl_sh_design_spark.operators.containment import (
+    binned_containment_join,
+    containment_join,
+)
+from etl_sh_design_spark.operators.histogram import BinSpec
+
+ETA_BINS = BinSpec(20, datagen.ETA_LO, datagen.ETA_HI)
+T_COEFF = 45.0  # ps; dee_geometry.py:608
+
+
+def ray_hits(spark: SparkSession, n_rays: int, strategy: str = "broadcast") -> DataFrame:
+    """Per-ray hit counts: (event_id, eta, n). n = #layers whose sensor
+    active area contains the projected ray point (0..4)."""
+    rays = datagen.rays(spark, n_rays)
+    layers = datagen.layers(spark)
+    sensors = datagen.sensors(spark)
+
+    proj = (
+        rays.crossJoin(F.broadcast(layers))
+        .withColumn("px", F.col("z_mm") * F.col("tanth") * F.col("cphi"))
+        .withColumn("py", F.col("z_mm") * F.col("tanth") * F.col("sphi"))
+        .select("event_id", "layer", "px", "py")
+    )
+    if strategy == "binned":
+        # cell >= max rect extent (42.5mm in x) so each rect spans <=2 cells/axis
+        hits = binned_containment_join(proj, sensors, cell=50.0, extra_keys=["layer"])
+    else:
+        hits = proj.join(
+            F.broadcast(sensors),
+            (proj["layer"] == sensors["layer"])
+            & (sensors["ax1"] < proj["px"])
+            & (proj["px"] < sensors["ax2"])
+            & (sensors["ay1"] < proj["py"])
+            & (proj["py"] < sensors["ay2"]),
+            "inner",
+        ).drop(sensors["layer"])
+    n_per_event = hits.groupBy("event_id").agg(F.countDistinct("layer").alias("n"))
+    return (
+        rays.select("event_id", "eta")
+        .join(n_per_event, "event_id", "left")
+        .fillna({"n": 0})
+    )
+
+
+def acceptance_profile(
+    spark: SparkSession, n_rays: int, strategy: str = "broadcast"
+) -> DataFrame:
+    """Flagship result: efficiency + mean hit count + mean time
+    resolution per eta bin. All averages are exact-integer sums /
+    counts except mean_t (rounded to absorb float-order drift)."""
+    per_ray = ray_hits(spark, n_rays, strategy)
+    return (
+        per_ray.groupBy(ETA_BINS.bin_of("eta").alias("eta_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rays"),
+            F.round(F.avg((F.col("n") > 0).cast("double")), 6).alias("eff"),
+            F.round(F.avg(F.col("n").cast("double")), 6).alias("mean_n"),
+            F.round(
+                F.avg(F.when(F.col("n") > 0, T_COEFF / F.sqrt(F.col("n")))), 6
+            ).alias("mean_t"),
+        )
+    )
+
+
+def hit_count_histogram(spark: SparkSession, n_rays: int) -> DataFrame:
+    """A10 on the MC result: histogram of n (0..4) — the reference's
+    `Hist1D(nHits, "5,-0.5,4.5")` (example.ipynb cell 19)."""
+    return (
+        ray_hits(spark, n_rays)
+        .groupBy(F.col("n").cast("bigint").alias("n"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ------------------------------------------------------------- oracle SQL
+def _hits_cte(n_rays: int) -> str:
+    return f"""
+WITH layers AS ({datagen.LAYERS_SQL}),
+sensors AS ({datagen.SENSORS_SQL}),
+rays AS ({datagen.rays_sql(n_rays)}),
+proj AS (
+  SELECT r.event_id, l.layer,
+         l.z_mm * r.tanth * r.cphi AS px,
+         l.z_mm * r.tanth * r.sphi AS py
+  FROM rays r CROSS JOIN layers l
+),
+hits AS (
+  SELECT p.event_id, count(DISTINCT p.layer) AS n
+  FROM proj p
+  JOIN sensors s
+    ON s.layer = p.layer
+   AND s.ax1 < p.px AND p.px < s.ax2
+   AND s.ay1 < p.py AND p.py < s.ay2
+  GROUP BY p.event_id
+),
+per_ray AS (
+  SELECT r.event_id, r.eta, coalesce(h.n, 0) AS n
+  FROM rays r LEFT JOIN hits h USING (event_id)
+)
+"""
+
+
+def acceptance_profile_sql(n_rays: int) -> str:
+    b = ETA_BINS
+    return (
+        _hits_cte(n_rays)
+        + f"""
+SELECT {b.bin_sql('eta')} AS eta_bin,
+       count(*) AS n_rays,
+       round(avg(CASE WHEN n > 0 THEN 1.0 ELSE 0.0 END), 6) AS eff,
+       round(avg(CAST(n AS DOUBLE)), 6) AS mean_n,
+       round(avg(CASE WHEN n > 0 THEN {T_COEFF} / sqrt(n) END), 6) AS mean_t
+FROM per_ray
+GROUP BY 1
+"""
+    )
+
+
+def hit_count_histogram_sql(n_rays: int) -> str:
+    return (
+        _hits_cte(n_rays)
+        + "SELECT CAST(n AS BIGINT) AS n, count(*) AS cnt FROM per_ray GROUP BY 1"
+    )

@@ -1,0 +1,96 @@
+"""SparkSession builder tuned for the engine.
+
+Local testing runs on ``local[N]`` (single JVM); the configuration is
+chosen so the same code scales to a multi-executor cluster: AQE for
+runtime re-planning and skew handling, Arrow for the (rare) pandas-UDF
+boundary, UTC session timezone so results compare bit-for-bit against
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl_sh_design_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    ui: bool = False,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. Shuffle
+    partitions default to the core count — on a real cluster you would
+    size this to ~2-3x total executor cores; AQE coalesces the excess
+    at runtime either way.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "true" if ui else "false")
+        # pure-inequality joins (containment join J1) fall back to
+        # broadcast-nested-loop; allow a generous broadcast threshold so
+        # the ~O(10k)-row corner tables always broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_events(spark: SparkSession, sf_dir: str):
+    """Read the events table, tolerating its TIMESTAMP(NANOS) column.
+
+    Spark has no nanosecond timestamp type; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
+    INT64 nanos, which we truncate to microseconds — exactly what
+    DuckDB's TIMESTAMP (µs) does — so oracle comparisons agree. Set at
+    runtime so it also works under the driver's own SparkSession.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load the driver's parquet tables from ``sf_dir`` and register each
+    as a temp view. Returns name -> DataFrame."""
+    names = [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = read_events(spark, sf_dir) if name == "events" else spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
