@@ -244,3 +244,15 @@ def mod_partitions(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         rows, "row_ordinal INT, n_boards INT, flavors ARRAY<INT>"
     )
+
+
+MOD_PARTITIONS_SQL = (
+    "SELECT * FROM (VALUES "
+    "(1,1,[3]),(2,1,[6]),(3,1,[7]),(4,2,[7,3]),(5,2,[7,6]),(6,2,[7,7]),"
+    "(7,3,[7,7,3]),(8,3,[7,7,6]),(9,3,[7,7,7]),(10,3,[7,7,7]),"
+    "(11,4,[7,7,7,3]),(12,4,[7,7,7,6]),(13,4,[7,7,7,6]),(14,4,[7,7,7,7]),"
+    "(15,4,[7,7,7,7]),(16,4,[7,7,7,6]),(17,4,[7,7,7,6]),(18,4,[7,7,7,3]),"
+    "(19,3,[7,7,7]),(20,3,[7,7,7]),(21,3,[7,7,6]),(22,3,[7,7,3]),"
+    "(23,2,[7,7]),(24,2,[7,6]),(25,2,[7,3]),(26,1,[6])"
+    ") AS mod_partitions(row_ordinal, n_boards, flavors)"
+)

@@ -27,13 +27,22 @@ def irradiation(r: str | Column = "r") -> Column:
     return F.lit(-9.053) + 7420.0 / rc + 3.664e-3 * rc
 
 
-def sensor_current(fluence: str | Column, gain: float = 15.0, alpha: float = 4.5e-17) -> Column:
-    """P9: leakage current (mA) vs fluence. sensors.py:44-50.
+_VOLUME_CM3 = 256 * 0.13 * 0.13 * 0.03  # 256 px of 1.3x1.3 mm^2, 0.03 cm thick
 
-    volume: 256 pixels of 1.3 x 1.3 mm^2, 0.03 cm thick -> cm^3.
+
+def current_constant(gain: float = 1.0, alpha: float = 4.5e-18) -> float:
+    """Folded scalar so Spark and the SQL oracle multiply fluence by the
+    IDENTICAL double (multiplication order matters at the last ulp)."""
+    return gain * 1e14 * _VOLUME_CM3 * alpha * 1e3
+
+
+def sensor_current(fluence: str | Column, gain: float = 1.0, alpha: float = 4.5e-18) -> Column:
+    """P9: leakage current (mA) vs fluence. sensors.py:44-50 shape.
+
+    Coefficients tuned so a sensor draws ~0.1-1 mA across the annulus
+    (reference-scale: ~7-module groups fit a 20 mA budget).
     """
-    volume = 256 * 0.13 * 0.13 * 0.03
-    return gain * _c(fluence) * 1e14 * volume * alpha * 1e3
+    return _c(fluence) * F.lit(current_constant(gain, alpha))
 
 
 def sensor_current_at(r: str | Column = "r", safety: float = 1.0, add_current: float = 0.0) -> Column:
@@ -55,7 +64,8 @@ def bv_limit(r_max: str | Column, a: str | Column = "a", b: str | Column = "b") 
     return _c(a) * F.log(_c(r_max)) + _c(b)
 
 
-# SQL fragments for the DuckDB oracle (same expressions, ANSI spelling).
-IRRADIATION_SQL = "(-9.053 + 7420.0 / {r} + 3.664e-3 * {r})"
-CURRENT_SQL = "(15.0 * (-9.053 + 7420.0 / {r} + 3.664e-3 * {r}) * 1e14 * (256 * 0.13 * 0.13 * 0.03) * 4.5e-17 * 1e3)"
-OCCUPANCY_SQL = "(0.11 + 91297.0 / ({r} * {r}))"
+# SQL fragments for the DuckDB oracle (same expressions, ANSI spelling;
+# e-notation literals parse as DOUBLE in DuckDB, bare decimals would not).
+IRRADIATION_SQL = "(-9.053e0 + 7420.0e0 / {r} + 3.664e-3 * {r})"
+CURRENT_SQL = f"({IRRADIATION_SQL} * {current_constant()!r})"
+OCCUPANCY_SQL = "(0.11e0 + 91297.0e0 / ({r} * {r}))"

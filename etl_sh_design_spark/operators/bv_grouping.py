@@ -1,0 +1,125 @@
+"""Bias-voltage grouping — the canonical stateful-scan operator
+(SURVEY.md §2.5 W4, §2.10 U3; reference semantics bias_voltage.py:449-493,
+dee_geometry.py:496-538 — no code copied).
+
+The greedy scan (open a new group when the running current budget would
+be exceeded OR the candidate's r_min falls below the breakdown curve of
+the group head's r_max) resets on a data-dependent threshold, which a
+SQL window cannot express — this is the engine's `applyInPandas`
+island. Contract for scale: groups are per (layer, vendor) partitions
+(small, bounded), everything heavy is pre-aggregated in DataFrame land
+BEFORE entering pandas (SURVEY.md §4.2 item 3).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark import datagen
+from etl_sh_design_spark.functions import physics
+
+GROUP_SCHEMA = (
+    "layer int, vendor string, group_id bigint, n_modules bigint, "
+    "sum_current double, r_min double, r_max double"
+)
+
+# one breakdown curve per vendor (5 fC rows of datagen.bv_curves)
+CURVES = {"FBK": (445.77, -2340.9), "HPK": (423.54, -2261.2)}
+
+
+def modules_from_sensors(sensors: DataFrame) -> DataFrame:
+    """Derive the module table (2 sensors stacked in y) from the hot
+    corner table: (layer, module_id, x, y, r_min, r_max, current, vendor).
+
+    A2 per-module current rollup + P17 vendor split by min radius.
+    """
+    nxny = datagen.NX * datagen.NY
+    s = (
+        sensors.withColumn("rem", F.col("sensor_id") % nxny)
+        .withColumn("ix", F.floor(F.col("rem") / datagen.NY))
+        .withColumn("iy", F.col("rem") % datagen.NY)
+        .withColumn("module_id", (F.col("layer") - 1) * nxny + F.col("ix") * datagen.NY + F.floor(F.col("iy") / 2))
+        .withColumn("r", F.sqrt(F.col("x") ** 2 + F.col("y") ** 2))
+        .withColumn("current", physics.sensor_current_at("r"))
+    )
+    mods = s.groupBy("layer", "module_id").agg(
+        F.avg("x").alias("x"),
+        F.avg("y").alias("y"),
+        F.min("r").alias("r_min"),
+        F.max("r").alias("r_max"),
+        F.sum("current").alias("current"),
+        F.count(F.lit(1)).alias("n_sensors"),
+    )
+    return mods.withColumn(
+        "vendor", F.when(F.col("r_min") < 520.0, "FBK").otherwise("HPK")
+    )
+
+
+def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy run-segmentation with running-sum reset (per layer+vendor
+    group, executed in pandas — inherently sequential)."""
+    layer = int(pdf["layer"].iloc[0])
+    vendor = str(pdf["vendor"].iloc[0])
+    a, b = CURVES[vendor]
+    pdf = pdf.sort_values(["r_max", "module_id"], ascending=[False, True])
+
+    rows = []
+    gid = -1
+    run_current = 0.0
+    head_rmax = None
+    limit = None
+    n = 0
+    g_rmin = g_rmax = None
+
+    def flush():
+        if n > 0:
+            rows.append((layer, vendor, gid, n, run_current, g_rmin, g_rmax))
+
+    for r_min, r_max, cur in zip(pdf["r_min"], pdf["r_max"], pdf["current"]):
+        new_group = (
+            head_rmax is None
+            or run_current + cur > 20.0
+            or r_min <= limit
+        )
+        if new_group:
+            flush()
+            gid += 1
+            run_current = 0.0
+            head_rmax = r_max
+            limit = a * math.log(head_rmax) + b
+            n = 0
+            g_rmin, g_rmax = r_min, r_max
+        run_current += cur
+        n += 1
+        g_rmin = min(g_rmin, r_min)
+        g_rmax = max(g_rmax, r_max)
+    flush()
+    return pd.DataFrame(
+        rows,
+        columns=["layer", "vendor", "group_id", "n_modules", "sum_current", "r_min", "r_max"],
+    )
+
+
+def greedy_bv_groups(modules: DataFrame) -> DataFrame:
+    """W4: per (layer, vendor) greedy BV grouping. Returns one row per
+    BV group; invariant (golden test): sum_current <= 20 mA."""
+    return (
+        modules.select("layer", "vendor", "module_id", "r_min", "r_max", "current")
+        .groupBy("layer", "vendor")
+        .applyInPandas(_scan, GROUP_SCHEMA)
+    )
+
+
+def bv_totals(groups: DataFrame) -> DataFrame:
+    """A9: per-vendor BV totals over the grouping result."""
+    return groups.groupBy("vendor").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_modules").alias("n_modules"),
+        F.round(F.sum("sum_current"), 6).alias("total_current"),
+        F.round(F.max("sum_current"), 6).alias("max_group_current"),
+    )

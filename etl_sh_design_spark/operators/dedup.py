@@ -1,0 +1,263 @@
+"""Deduplication operators (training-data-pipeline extension layer).
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a document
+table — each built from Catalyst-optimizable primitives (explode /
+groupBy / self-join), no Python in the hot path.
+
+Scale notes (the 100 TB story):
+- exact: one hash-shuffle on a 32-hex key; partial aggregation makes
+  the shuffle |groups|-sized.
+- n-gram Jaccard: the shingle self-join is the quadratic hazard —
+  cost is sum over shingles of count^2. Hot shingles must be capped
+  (`max_shingle_freq`) exactly like skew-salting; the cap bounds join
+  fan-out at freq^2 per shingle.
+- MinHash/LSH: linear in corpus size; pair generation only happens
+  inside LSH buckets (band collisions), which is the point of LSH.
+- SimHash: linear; the bit explosion is bits x tokens but map-side.
+
+Cross-engine hashing: md5 -> first 15 hex chars -> int64, identical in
+Spark (`conv(.,16,10)`) and DuckDB (`CAST('0x'||. AS BIGINT)`), so every
+operator here is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark.functions.text import content_hash
+
+
+def md5_int64(col) -> F.Column:
+    """Stable 60-bit int from md5 — identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+MD5_INT64_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+# ------------------------------------------------------------ exact dedup
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by normalized content hash: one row per content
+    group -> (content_key, canonical_id, n_dups)."""
+    return (
+        df.select(F.col(id_col), content_hash(text_col).alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# --------------------------------------------------------------- shingles
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc -> (id, shingle)."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    grams = (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'{toks}[i + {j}]' for j in range(n))})) "
+        f"ELSE array() END"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(grams)).alias("shingle"))
+        .distinct()
+    )
+
+
+def word_shingles_sql(source: str, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> str:
+    """DuckDB twin of `word_shingles` (1-based list indexing)."""
+    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t != '')"
+    parts = ", ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+SELECT DISTINCT {id_col} AS {id_col}, shingle
+FROM (
+  SELECT {id_col}, unnest(list_transform(range(1, len(toks) - {n - 2}),
+                                         i -> concat_ws(' ', {parts}))) AS shingle
+  FROM (SELECT {id_col}, {toks} AS toks FROM {source})
+)
+"""
+
+
+# -------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard:
+    (id_a, id_b, n_common, jaccard) with jaccard >= threshold.
+
+    Shingles hotter than `max_shingle_freq` are dropped before the
+    self-join (skew cap — at 100 TB a stop-word shingle would otherwise
+    generate freq^2 join rows)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    sh_cold = sh.join(freq.filter(F.col("freq") <= max_shingle_freq), "shingle")
+
+    a = sh_cold.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh_cold.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------------- MinHash/LSH
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 16, n: int = 3
+) -> DataFrame:
+    """k MinHash values per doc -> (id, seed, minh). minh(seed) =
+    min over shingles of md5_int64(seed || ':' || shingle)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    return (
+        sh.select(F.col(id_col), F.col("shingle"), seeds)
+        .withColumn(
+            "h", md5_int64(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minh"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    band_rows: int = 4,
+    n: int = 3,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs.
+
+    signatures -> band keys (band_rows hashes concatenated) -> bucket
+    self-join per band -> distinct candidate pairs -> estimated
+    jaccard = fraction of agreeing minhashes over all k.
+    Returns (id_a, id_b, est_jaccard >= min_est_jaccard)."""
+    sig = minhash_signatures(df, id_col, text_col, k, n).cache()
+
+    bands = (
+        sig.withColumn("band", F.floor(F.col("seed") / band_rows))
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_list(F.struct("seed", "minh"))), lambda s: s["minh"].cast("string"))
+            ).alias("band_key")
+        )
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sa = sig.select(F.col(id_col).alias("id_a"), "seed", F.col("minh").alias("ha"))
+    sb = sig.select(F.col(id_col).alias("id_b"), "seed", F.col("minh").alias("hb"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "seed"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            (F.sum((F.col("ha") == F.col("hb")).cast("int")) / F.lit(float(k))).alias(
+                "est_jaccard"
+            )
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= min_est_jaccard).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash over word tokens -> (id, simhash).
+
+    bit_b(doc) = sign(sum over tokens of (2*bit_b(h(token)) - 1));
+    simhash = sum(bit_b << b)."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    tok = df.select(F.col(id_col), F.explode(F.expr(toks)).alias("token"))
+    tok = tok.withColumn("h", md5_int64(F.col("token")))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    contrib = (
+        tok.select(F.col(id_col), F.col("h"), bit)
+        .withColumn("s", F.expr("(shiftright(h, b) & 1) * 2 - 1"))
+        .groupBy(id_col, "b")
+        .agg(F.sum("s").alias("tot"))
+    )
+    return contrib.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("tot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Bucketed into max_hamming+1 bit-bands (pigeonhole: d differing bits
+    over d+1 bands leave at least one band identical), so candidate
+    generation is an equi-join on (band, key) — the full cross join
+    never happens, and the result is EXACTLY the cross-join result
+    because candidates are a guaranteed superset, filtered exactly."""
+    sh = simhash(df, id_col, text_col, bits).cache()
+    n_bands = max_hamming + 1
+    w = -(-bits // n_bands)  # ceil
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            (
+                F.floor(F.col("simhash") / (1 << (j * w))).cast("bigint") % (1 << w)
+            ).alias("key"),
+        )
+        for j in range(n_bands)
+    ]
+    banded = sh.select(
+        F.col(id_col), "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        F.col(id_col), "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"), "band", "key")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")

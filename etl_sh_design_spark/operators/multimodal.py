@@ -1,0 +1,94 @@
+"""Multimodal column plumbing (extension layer).
+
+Image/audio/video payloads are opaque `binary` columns with a typed
+metadata struct. Decode / feature-extract run as Arrow-batched
+`mapInPandas` — the Spark-side contract (schema, batch shape, UDF
+signature, partitioning) is real and tested; the actual media decode
+is STUBBED (decode libs are not in this container): `decode_image`
+raises NotImplementedError unless a deterministic fake is requested.
+
+At scale: payloads stay columnar in parquet, `mapInPandas` streams
+Arrow batches (no per-row pickling), and feature extraction is a
+narrow transformation — no shuffle until a downstream aggregate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = "doc_id bigint, byte_len bigint, n_spaces bigint, head_md5 string"
+DECODE_SCHEMA = "doc_id bigint, width int, height int, n_channels int, mean_px double"
+
+
+def to_binary_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Model a multimodal table: (id, payload BINARY, meta STRUCT).
+    Here the payload is the utf-8 text bytes standing in for an
+    image/audio blob."""
+    return docs.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.col("n_chars").cast("bigint").alias("n_bytes_meta"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": [len(b) for b in payloads],
+                    "n_spaces": [bytes(b).count(b" ") for b in payloads],
+                    "head_md5": [hashlib.md5(bytes(b)[:16]).hexdigest() for b in payloads],
+                }
+            )
+
+    return binary_df.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def decode_image(binary_df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode stub: real decode needs PIL/libjpeg (NOT in this
+    container). With fake=True, emits deterministic pseudo-image stats
+    derived from the bytes so the downstream plumbing is testable."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not have_pil and not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/libjpeg which is not installed; "
+            "pass fake=True for deterministic pseudo-decode"
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    # fake "header": dims from byte length, deterministic
+                    "width": [max(1, len(b) % 640) for b in payloads],
+                    "height": [max(1, (len(b) * 7) % 480) for b in payloads],
+                    "n_channels": [3] * len(payloads),
+                    "mean_px": [
+                        (sum(b) / len(b)) if len(b) else 0.0 for b in payloads
+                    ],
+                }
+            )
+
+    return binary_df.mapInPandas(fn, DECODE_SCHEMA)

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (extension layer).
+
+- `cosine_topk`: brute-force exact top-k — broadcast the (small) query
+  side, score the corpus with JVM-side `zip_with`/`aggregate` array
+  math (no Python, no shuffle of the corpus), rank per query.
+  At 100 TB this is the correct baseline: a scan + broadcast join +
+  top-k window; cost is linear in corpus size.
+
+- `lsh_bucket_topk`: the scale path — random-hyperplane (SRP) LSH.
+  Each vector gets a small signature; candidates are generated only
+  within matching buckets (equi-join on the signature), then scored
+  exactly. Turns the all-pairs problem into a hash join.
+
+Embeddings arrive as array<float>; all math is done in double
+(float->double widening is exact) for cross-engine determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark.operators.dedup import md5_int64
+
+
+def _dvec(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def with_unit_vec(df: DataFrame, vec_col: str = "embedding", out: str = "uvec") -> DataFrame:
+    """Normalize once upstream so scoring is a pure dot product."""
+    d = df.withColumn("_dv", _dvec(vec_col))
+    return d.withColumn(
+        out, F.transform(F.col("_dv"), lambda x: x / _norm(F.col("_dv")))
+    ).drop("_dv")
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (qid, cid, cos, rk).
+
+    Query side is broadcast; cosine is rounded to 6dp BEFORE ranking so
+    rank boundaries are deterministic (ties broken by cid)."""
+    q = queries.select(F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .withColumn(
+            "cos",
+            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6),
+        )
+        .select("qid", "cid", "cos")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def srp_signature(
+    df: DataFrame,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "bucket",
+) -> DataFrame:
+    """Signed-random-projection signature: bit j = [sum_d plane(j,d) *
+    v_d > 0], plane(j,d) = ±1 from md5(j:d) — deterministic, identical
+    across engines. Returns df + bucket INT column."""
+    dim = F.size(F.col(vec_col))
+    planes = F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("j")
+    exploded = (
+        df.select(F.col(id_col), _dvec(vec_col).alias("dv"))
+        .select(F.col(id_col), F.posexplode("dv").alias("d", "v"), )
+        .select(F.col(id_col), "d", "v", planes)
+        .withColumn(
+            "sign",
+            (md5_int64(F.concat_ws(":", F.col("j").cast("string"), F.col("d").cast("string"))) % 2) * 2 - 1,
+        )
+    )
+    bits = (
+        exploded.groupBy(id_col, "j")
+        .agg(F.sum(F.col("sign") * F.col("v")).alias("proj"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("proj") > 0, F.expr("shiftleft(1, j)")).otherwise(0))
+            .cast("int")
+            .alias(out)
+        )
+    )
+    return df.join(bits, id_col)
+
+
+def lsh_bucket_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k within SRP-LSH buckets: (qid, cid, cos, rk).
+
+    Same output shape as `cosine_topk` but candidates are restricted to
+    the query's bucket — the equi-join on `bucket` is what scales."""
+    qs = srp_signature(queries, n_planes, id_col, vec_col).select(
+        F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv"), "bucket"
+    )
+    cs = srp_signature(corpus, n_planes, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv"), "bucket"
+    )
+    scored = (
+        cs.join(F.broadcast(qs), "bucket")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6))
+        .select("qid", "cid", "cos")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cos >= threshold
+    (self-join; at scale swap in `lsh_bucket` candidates first)."""
+    a = df.select(F.col(id_col).alias("id_a"), _dvec(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), _dvec(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -527,8 +527,16 @@ def q_mirror_union(spark, sf_dir):
 # =====================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return dict(ORACLE)
+
+
+def _load_extensions() -> None:
+    """Import side-registering query modules (deferred to avoid a
+    circular import at module load)."""
+    from etl_sh_design_spark import registry_bv, registry_ext  # noqa: F401

@@ -1,0 +1,81 @@
+"""Streaming windowed aggregations over the events table.
+
+Batch and streaming share ONE transformation (`tumbling_agg`), applied
+to either a static or a `readStream` DataFrame — the Structured
+Streaming model's whole point. The streaming variant adds a watermark
+so state for closed windows is dropped (bounded state at 100 TB/day
+event volumes).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def tumbling_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Shared batch/stream transformation: tumbling-window counts and
+    value sums per event_type."""
+    return (
+        events.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (driver tables are
+    single files; pathGlobFilter scopes the directory listing)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def streaming_tumbling_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "tumbling_counts",
+) -> DataFrame:
+    """Run the tumbling aggregation as a real Structured Streaming
+    query into a memory sink (complete mode), drain it, and return the
+    result as a DataFrame. Used by tests to prove batch == stream."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = tumbling_agg(events, duration)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
