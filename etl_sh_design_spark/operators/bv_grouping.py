@@ -115,6 +115,108 @@ def greedy_bv_groups(modules: DataFrame) -> DataFrame:
     )
 
 
+SM_CONFIG_SCHEMA = (
+    "layer int, band bigint, sm_ordinal bigint, seg_ordinal int, "
+    "n_modules int, sum_current double, r_min double, r_max double"
+)
+
+
+def sm_assignments(modules: DataFrame, sm_size: int = 7) -> DataFrame:
+    """Group modules into pseudo-supermodules: per (layer, y-band row),
+    consecutive chunks of <= sm_size along x (reference SuperModule =
+    one readout-board row, ETL.py:312-533 shape)."""
+    from pyspark.sql import Window as W
+
+    m = modules.withColumn("band", F.col("module_id") % datagen.NY)
+    w = W.partitionBy("layer", "band").orderBy("x", "module_id")
+    return m.withColumn(
+        "sm_ordinal", F.floor((F.row_number().over(w) - 1) / sm_size)
+    )
+
+
+def _config_search_factory(budget: float):
+    def _config_search(pdf: pd.DataFrame) -> pd.DataFrame:
+        """W7: exact search over consecutive-split configs of one SM
+        (<= 7 modules -> <= 64 masks; ETL.py:423-493 semantics): pick
+        the valid split with fewest segments, then the most
+        current-balanced, then the lowest mask (deterministic)."""
+        layer = int(pdf["layer"].iloc[0])
+        band = int(pdf["band"].iloc[0])
+        smo = int(pdf["sm_ordinal"].iloc[0])
+        pdf = pdf.sort_values(["r_max", "module_id"], ascending=[False, True])
+        cur = list(pdf["current"])
+        rmin = list(pdf["r_min"])
+        rmax = list(pdf["r_max"])
+        n = len(cur)
+
+        best_key, best_segs = None, None
+        for mask in range(1 << (n - 1)) if n > 1 else [0]:
+            segs, start = [], 0
+            for i in range(n - 1):
+                if mask & (1 << i):
+                    segs.append((start, i + 1))
+                    start = i + 1
+            segs.append((start, n))
+            sums = [sum(cur[a:b]) for a, b in segs]
+            ok = all(s <= budget for s in sums) and all(
+                min(rmin[a:b]) > _curve_limit(pdf["vendor"].iloc[0], max(rmax[a:b]))
+                for a, b in segs
+            )
+            if not ok:
+                continue
+            key = (len(segs), max(sums) - min(sums), mask)
+            if best_key is None or key < best_key:
+                best_key, best_segs = key, segs
+        if best_segs is None:  # no valid split: every module its own group
+            best_segs = [(i, i + 1) for i in range(n)]
+        rows = [
+            (
+                layer,
+                band,
+                smo,
+                k,
+                b - a,
+                sum(cur[a:b]),
+                min(rmin[a:b]),
+                max(rmax[a:b]),
+            )
+            for k, (a, b) in enumerate(best_segs)
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "layer",
+                "band",
+                "sm_ordinal",
+                "seg_ordinal",
+                "n_modules",
+                "sum_current",
+                "r_min",
+                "r_max",
+            ],
+        )
+
+    return _config_search
+
+
+def _curve_limit(vendor: str, r_max: float) -> float:
+    a, b = CURVES[vendor]
+    return a * math.log(r_max) + b
+
+
+def find_bv_config(modules: DataFrame, budget: float = 5.0) -> DataFrame:
+    """W7 BV config search per pseudo-supermodule (applyInPandas exact
+    search over <= 2^6 consecutive splits)."""
+    sm = sm_assignments(modules)
+    return (
+        sm.select(
+            "layer", "band", "sm_ordinal", "module_id", "vendor", "r_min", "r_max", "current"
+        )
+        .groupBy("layer", "band", "sm_ordinal")
+        .applyInPandas(_config_search_factory(budget), SM_CONFIG_SCHEMA)
+    )
+
+
 def bv_totals(groups: DataFrame) -> DataFrame:
     """A9: per-vendor BV totals over the grouping result."""
     return groups.groupBy("vendor").agg(

@@ -85,3 +85,70 @@ def q_bv_greedy(spark, sf_dir):
 def q_bv_totals(spark, sf_dir):
     """A9 per-vendor totals over the W4 grouping result."""
     return bv_totals(greedy_bv_groups(modules_from_sensors(datagen.sensors(spark))))
+
+
+# ----------------------------------------------------- occupancy study
+# (reference occupancy.py semantics: P11 occupancy curve, A3 per-module
+# means, A10 histogram, A14 weighted bandwidth reduction, P20 threshold)
+from etl_sh_design_spark.operators.histogram import BinSpec  # noqa: E402
+
+_OCC_BINS = BinSpec(24, 0.0, 1.2)
+_L1A = 750e3  # L1 accept rate, Hz (header constant, occupancy.py:254-268 shape)
+_BW_CONST = 40 * 256 / 100.0 * 16 * _L1A / 1e12  # bits/hit -> Tb/s scaling
+
+
+@query(
+    "occupancy_summary",
+    f"""
+WITH sensors AS ({datagen.SENSORS_SQL}),
+s AS (SELECT layer, sqrt(x*x + y*y) AS r FROM sensors),
+o AS (SELECT layer, {physics.OCCUPANCY_SQL.format(r='r')} AS occ FROM s)
+SELECT layer,
+       count(*) AS n_sensors,
+       round(avg(occ), 6) AS mean_occ,
+       CAST(sum(CASE WHEN occ > 0.5e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+FROM o GROUP BY 1
+""",
+)
+def q_occupancy_summary(spark, sf_dir):
+    """A3 + P20: per-layer mean sensor occupancy and hot-sensor count
+    (threshold predicate over the P11 curve)."""
+    s = datagen.sensors(spark).withColumn("r", F.sqrt(F.col("x") ** 2 + F.col("y") ** 2))
+    occ = physics.occupancy("r")
+    return s.groupBy("layer").agg(
+        F.count(F.lit(1)).alias("n_sensors"),
+        F.round(F.avg(occ), 6).alias("mean_occ"),
+        F.sum((occ > 0.5).cast("int")).cast("bigint").alias("n_hot"),
+    )
+
+
+@query(
+    "bandwidth_totals",
+    f"""
+WITH sensors AS ({datagen.SENSORS_SQL}),
+o AS (SELECT {physics.OCCUPANCY_SQL.format(r='sqrt(x*x + y*y)')} AS occ FROM sensors),
+h AS (
+  SELECT {_OCC_BINS.bin_sql('occ')} AS bin, count(*) AS cnt
+  FROM o WHERE {_OCC_BINS.range_sql('occ')}
+  GROUP BY 1
+)
+SELECT round(sum({_OCC_BINS.center_sql('bin')} * {_BW_CONST!r} * cnt), 6) AS total_bandwidth_tbs,
+       CAST(sum(cnt) AS BIGINT) AS n_sensors
+FROM h
+""",
+)
+def q_bandwidth_totals(spark, sf_dir):
+    """A14: aggregate-over-histogram — weighted bandwidth reduction of
+    the binned occupancy distribution (occupancy.py:254-268 shape)."""
+    from etl_sh_design_spark.operators.histogram import histogram1d
+
+    s = datagen.sensors(spark).withColumn(
+        "occ", physics.occupancy(F.sqrt(F.col("x") ** 2 + F.col("y") ** 2))
+    )
+    h = histogram1d(s, "occ", _OCC_BINS)
+    return h.agg(
+        F.round(F.sum(F.col("bin_center") * _BW_CONST * F.col("cnt")), 6).alias(
+            "total_bandwidth_tbs"
+        ),
+        F.sum("cnt").cast("bigint").alias("n_sensors"),
+    )

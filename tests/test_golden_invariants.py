@@ -77,6 +77,25 @@ def test_bv_budget_invariant(spark):
         prev[key] = row["r_max"]
 
 
+def test_bv_config_search_validity(spark):
+    """W7 invariants: every chosen segment respects the budget (when a
+    valid split exists), segments preserve module counts, and segment
+    ordinals are consecutive."""
+    from etl_sh_design_spark.operators.bv_grouping import (
+        find_bv_config,
+        sm_assignments,
+    )
+
+    mods = modules_from_sensors(datagen.sensors(spark).filter(F.col("layer") == 1)).cache()
+    cfg = find_bv_config(mods, budget=5.0).cache()
+    assert cfg.agg(F.sum("n_modules")).collect()[0][0] == mods.count()
+    # single-module segments may exceed budget only when unavoidable
+    over = cfg.filter((F.col("sum_current") > 5.0) & (F.col("n_modules") > 1)).count()
+    assert over == 0
+    sm = sm_assignments(mods)
+    assert sm.groupBy("layer", "band", "sm_ordinal").count().filter(F.col("count") > 7).count() == 0
+
+
 def test_simhash_banded_equals_bruteforce(spark):
     """The pigeonhole banding must return EXACTLY the cross-join result."""
     from etl_sh_design_spark.operators.dedup import simhash, simhash_pairs
