@@ -539,4 +539,9 @@ def oracle_sql() -> dict[str, str]:
 def _load_extensions() -> None:
     """Import side-registering query modules (deferred to avoid a
     circular import at module load)."""
-    from etl_sh_design_spark import registry_bv, registry_ext, registry_tiling  # noqa: F401
+    from etl_sh_design_spark import (  # noqa: F401
+        registry_bv,
+        registry_ext,
+        registry_more,
+        registry_tiling,
+    )

@@ -1,0 +1,120 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+- S1 TSV module-centers scan: explicit schema, PERMISSIVE mode with a
+  corrupt-record column (replacing the reference's per-row try/except,
+  realistic_layout_export.ipynb cell 10), trimmed column names.
+- S3 YAML layout-database scan: driver-side yaml.safe_load of the
+  nested {layout: {disk: {face: [(x, y), ...]}}} map, flattened to rows
+  (the dict is dimension-sized; at scale convert once to Parquet).
+- S4 YAML layout sink (small dimension export only).
+- S5 mirrored-centers CSV sink: (x, y) U (-x, y).
+- S6 Parquet result cache: append partitioned by run_name, re-read by
+  run (replaces the reference's pickle read-modify-write,
+  dee_geometry.py:140-149).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FACE_SCHEMA = T.StructType(
+    [
+        T.StructField("module", T.IntegerType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+
+def read_face_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """S1: tab-separated module centers (header `Module X Y Z`), bad
+    rows captured in _corrupt_record instead of thrown away silently."""
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(FACE_SCHEMA)
+        .csv(path)
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Clean rows vs quarantined rows (the skip-and-report pattern).
+
+    Spark disallows filtering on ONLY the corrupt column of a raw CSV
+    scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache the parsed result
+    first, as the error message itself prescribes."""
+    df = df.cache()
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return clean, bad
+
+
+def read_yaml_layout(spark: SparkSession, path: str) -> DataFrame:
+    """S3: nested YAML layout database -> (layout, disk, face, x, y)
+    rows. Dimension-sized; loaded driver-side then parallelized."""
+    import yaml
+
+    with open(path) as fh:
+        data = yaml.safe_load(fh)
+    rows = []
+    for layout, disks in data.items():
+        for disk, faces in disks.items():
+            for face, centers in faces.items():
+                for x, y in centers:
+                    rows.append((str(layout), str(disk), str(face), float(x), float(y)))
+    return spark.createDataFrame(
+        rows, "layout STRING, disk STRING, face STRING, x DOUBLE, y DOUBLE"
+    )
+
+
+def write_yaml_layout(df: DataFrame, path: str) -> None:
+    """S4: export a centers DataFrame back to the nested YAML shape.
+    Only valid for dimension-sized data (collects to the driver)."""
+    import yaml
+
+    nested: dict = {}
+    for row in df.select("layout", "disk", "face", "x", "y").collect():
+        nested.setdefault(row["layout"], {}).setdefault(row["disk"], {}).setdefault(
+            row["face"], []
+        ).append([row["x"], row["y"]])
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as fh:
+        yaml.safe_dump(nested, fh)
+
+
+def write_mirrored_centers_csv(df: DataFrame, path: str) -> None:
+    """S5: (x, y) U (-x, y) single-file CSV (dee_geometry.py:457-461
+    semantics). coalesce(1) is intentional: the export is tiny."""
+    mirrored = df.select("x", "y").unionByName(
+        df.select((-F.col("x")).alias("x"), "y")
+    )
+    mirrored.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def cache_result(df: DataFrame, cache_dir: str, run_name: str) -> None:
+    """S6: append a run's result partitioned by run_name — replaces the
+    reference's pickle read-modify-write with an idempotent partition
+    overwrite (safe to re-run the same run_name)."""
+    (
+        df.withColumn("run_name", F.lit(run_name))
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("run_name")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(cache_dir)
+    )
+
+
+def read_cached_runs(spark: SparkSession, cache_dir: str, runs: list[str]) -> DataFrame:
+    """S6/J9: load selected cached runs; partition pruning keeps the
+    scan to exactly the requested run_name directories."""
+    df = spark.read.parquet(cache_dir)
+    return df.filter(F.col("run_name").isin(runs))

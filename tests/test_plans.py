@@ -1,0 +1,81 @@
+"""Physical-plan assertions — the scale contract (SURVEY.md §4):
+filters and projections must reach the parquet scan, dimension joins
+must broadcast, containment joins must not degrade to a pure nested
+loop when an equi-key exists, and partial aggregation must precede the
+shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark):
+    """S2/§4.2: predicate + column pruning reach the parquet scan."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in plan
+    # ReadSchema must be pruned to the two referenced columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_q5_join_broadcasts_dims(spark):
+    """Q5-shaped join: every dimension side is a BroadcastHashJoin —
+    the fact table never shuffles before the final aggregate."""
+    from etl_sh_design_spark.registry import QUERIES
+
+    df = QUERIES["q5_region_revenue"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_containment_join_uses_layer_hash_key(spark):
+    """J1: the layer equi-conjunct must make the containment join a
+    BroadcastHashJoin (range predicate as post-condition), NOT a
+    BroadcastNestedLoopJoin over everything."""
+    from etl_sh_design_spark.plans.acceptance import ray_hits
+
+    plan = _plan(ray_hits(spark, 1000))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_binned_containment_is_pure_hash_join(spark):
+    """The scale-out strategy: spatial binning leaves NO nested-loop
+    join anywhere in the plan."""
+    from etl_sh_design_spark.plans.acceptance import ray_hits
+
+    plan = _plan(ray_hits(spark, 1000, strategy="binned"))
+    # at most the one 4-row layers cross join; the sensors join must be
+    # a hash join on (layer, cell_x, cell_y)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert any(
+        k in plan for k in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin")
+    )
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """A-series: groupBy compiles to partial HashAggregate -> Exchange
+    -> final HashAggregate (map-side combine, bins-sized shuffle)."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = _plan(df)
+    first_agg = plan.index("HashAggregate")
+    exchange = plan.index("Exchange")
+    assert plan.count("HashAggregate") >= 2
+    assert first_agg < exchange
+
+
+def test_binned_equals_broadcast_strategy(spark):
+    """Both J1 physical strategies produce identical results."""
+    from etl_sh_design_spark.plans.acceptance import ray_hits
+
+    a = sorted(tuple(r) for r in ray_hits(spark, 3000).collect())
+    b = sorted(tuple(r) for r in ray_hits(spark, 3000, strategy="binned").collect())
+    assert a == b

@@ -1,0 +1,89 @@
+"""Sources/sinks layer tests (SURVEY.md §2.1): S1 TSV scan with
+corrupt-record quarantine, S3/S4 YAML roundtrip, S5 mirrored CSV sink,
+S6 Parquet run cache with partition pruning, U1 polygon UDF."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark.sources import io as src
+
+
+def test_tsv_scan_permissive(spark, tmp_path):
+    p = tmp_path / "face1.txt"
+    p.write_text(
+        "Module\tX\tY\tZ\n"
+        "1\t100.5\t200.5\t2998.25\n"
+        "2\tnot_a_number\t1\t2\n"  # malformed -> quarantined, not dropped
+        "3\t-55.0\t40.0\t2998.25\n"
+    )
+    df = src.read_face_tsv(spark, str(p))
+    clean, bad = src.split_corrupt(df)
+    assert clean.count() == 2
+    assert bad.count() == 1
+    assert dict(clean.dtypes)["x"] == "double"
+
+
+def test_yaml_roundtrip(spark, tmp_path):
+    out = tmp_path / "layout.yaml"
+    df = spark.createDataFrame(
+        [("new", "disk1", "front", 10.0, 20.0), ("new", "disk1", "back", -10.0, 20.0)],
+        "layout STRING, disk STRING, face STRING, x DOUBLE, y DOUBLE",
+    )
+    src.write_yaml_layout(df, str(out))
+    back = src.read_yaml_layout(spark, str(out))
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_mirrored_csv_sink(spark, tmp_path):
+    out = str(tmp_path / "centers")
+    df = spark.createDataFrame([(1.0, 2.0), (3.0, 4.0)], "x DOUBLE, y DOUBLE")
+    src.write_mirrored_centers_csv(df, out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 4
+    xs = sorted(float(r["x"]) for r in back.collect())
+    assert xs == [-3.0, -1.0, 1.0, 3.0]
+
+
+def test_parquet_run_cache(spark, tmp_path):
+    cache = str(tmp_path / "cache")
+    a = spark.createDataFrame([(0, 0.5)], "bin INT, eff DOUBLE")
+    b = spark.createDataFrame([(0, 0.7)], "bin INT, eff DOUBLE")
+    src.cache_result(a, cache, "run_a")
+    src.cache_result(b, cache, "run_b")
+    src.cache_result(b, cache, "run_b")  # idempotent re-write of one run
+    both = src.read_cached_runs(spark, cache, ["run_a", "run_b"])
+    assert both.count() == 2
+    only_a = src.read_cached_runs(spark, cache, ["run_a"])
+    assert only_a.collect()[0]["eff"] == 0.5
+    # partition pruning: the filter must reach the scan as a partition filter
+    plan = only_a._jdf.queryExecution().executedPlan().toString()
+    assert "run_a" in plan
+
+
+def test_polygon_point_in_polygon(spark):
+    from etl_sh_design_spark.operators.polygon import points_in_polygon
+
+    pts = spark.createDataFrame(
+        [(0.5, 0.5), (2.0, 2.0), (0.99, 0.01)], "px DOUBLE, py DOUBLE"
+    )
+    unit_square = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    out = {(r["px"], r["py"]): r["inside"] for r in points_in_polygon(pts, unit_square).collect()}
+    assert out[(0.5, 0.5)] is True
+    assert out[(2.0, 2.0)] is False
+    assert out[(0.99, 0.01)] is True
+
+
+def test_filter_blocked_polygons(spark):
+    from etl_sh_design_spark.operators.polygon import filter_blocked_polygons
+
+    slots = spark.createDataFrame(
+        [(0, 50.0, 0.0), (1, 500.0, 500.0)], "slot_id INT, cx DOUBLE, cy DOUBLE"
+    )
+    nose = {"nose": [(-130.0, -70.0), (130.0, -70.0), (130.0, 70.0), (-130.0, 70.0)]}
+    kept = filter_blocked_polygons(slots, nose).collect()
+    assert [r["slot_id"] for r in kept] == [1]
