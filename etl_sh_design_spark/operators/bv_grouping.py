@@ -134,6 +134,28 @@ def sm_assignments(modules: DataFrame, sm_size: int = 7) -> DataFrame:
     )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _segmentations(n: int) -> list[list[tuple[int, int]]]:
+    """All consecutive-split segmentations of n ordered items, indexed
+    by split mask (mask order = deterministic tie-break), ordered by
+    segment count so the first valid hit wins the min-segments
+    criterion early."""
+    out = []
+    for mask in range(1 << (n - 1)) if n > 1 else [0]:
+        segs, start = [], 0
+        for i in range(n - 1):
+            if mask & (1 << i):
+                segs.append((start, i + 1))
+                start = i + 1
+        segs.append((start, n))
+        out.append((len(segs), mask, segs))
+    out.sort(key=lambda t: (t[0], t[1]))
+    return out
+
+
 def _config_search_factory(budget: float):
     def _config_search(pdf: pd.DataFrame) -> pd.DataFrame:
         """W7: exact search over consecutive-split configs of one SM
@@ -148,23 +170,28 @@ def _config_search_factory(budget: float):
         rmin = list(pdf["r_min"])
         rmax = list(pdf["r_max"])
         n = len(cur)
+        csum = [0.0]
+        for c in cur:
+            csum.append(csum[-1] + c)
+        limit_cache = {}
+        vendor = pdf["vendor"].iloc[0]
+
+        def seg_ok(a: int, b: int) -> bool:
+            if csum[b] - csum[a] > budget:
+                return False
+            rmx = max(rmax[a:b])
+            if rmx not in limit_cache:
+                limit_cache[rmx] = _curve_limit(vendor, rmx)
+            return min(rmin[a:b]) > limit_cache[rmx]
 
         best_key, best_segs = None, None
-        for mask in range(1 << (n - 1)) if n > 1 else [0]:
-            segs, start = [], 0
-            for i in range(n - 1):
-                if mask & (1 << i):
-                    segs.append((start, i + 1))
-                    start = i + 1
-            segs.append((start, n))
-            sums = [sum(cur[a:b]) for a, b in segs]
-            ok = all(s <= budget for s in sums) and all(
-                min(rmin[a:b]) > _curve_limit(pdf["vendor"].iloc[0], max(rmax[a:b]))
-                for a, b in segs
-            )
-            if not ok:
+        for n_segs, mask, segs in _segmentations(n):
+            if best_key is not None and n_segs > best_key[0]:
+                break  # sorted by segment count: no better split remains
+            if not all(seg_ok(a, b) for a, b in segs):
                 continue
-            key = (len(segs), max(sums) - min(sums), mask)
+            sums = [csum[b] - csum[a] for a, b in segs]
+            key = (n_segs, max(sums) - min(sums), mask)
             if best_key is None or key < best_key:
                 best_key, best_segs = key, segs
         if best_segs is None:  # no valid split: every module its own group

@@ -15,10 +15,12 @@ dimension sides, the per-ray aggregation is the only real shuffle):
         ▼
     groupBy eta_bin -> count / efficiency / mean n / mean t   # A10-A12, J7, P13
 
-At 100 TB-scale ray counts the broadcast strategy keeps the big side
-shuffle-free until the final bin aggregation (partial aggs make that
-shuffle bins-sized); `strategy='binned'` swaps in the equi-key spatial
-join for rectangle tables too big to broadcast.
+Default strategy is the spatially-binned equi-join (J1 scale path):
+it cuts per-ray candidate rectangles from ~4k to ~4 and measured 2x
+faster than the broadcast nested predicate at 1M rays (6.5s vs 13s on
+local[32]); both strategies are proven result-identical in
+tests/test_plans.py. The rays side never shuffles under either — the
+only wide exchange is the bins-sized final aggregation.
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ ETA_BINS = BinSpec(20, datagen.ETA_LO, datagen.ETA_HI)
 T_COEFF = 45.0  # ps; dee_geometry.py:608
 
 
-def ray_hits(spark: SparkSession, n_rays: int, strategy: str = "broadcast") -> DataFrame:
+def ray_hits(spark: SparkSession, n_rays: int, strategy: str = "binned") -> DataFrame:
     """Per-ray hit counts: (event_id, eta, n). n = #layers whose sensor
     active area contains the projected ray point (0..4)."""
     rays = datagen.rays(spark, n_rays)
@@ -72,7 +74,7 @@ def ray_hits(spark: SparkSession, n_rays: int, strategy: str = "broadcast") -> D
 
 
 def acceptance_profile(
-    spark: SparkSession, n_rays: int, strategy: str = "broadcast"
+    spark: SparkSession, n_rays: int, strategy: str = "binned"
 ) -> DataFrame:
     """Flagship result: efficiency + mean hit count + mean time
     resolution per eta bin. All averages are exact-integer sums /

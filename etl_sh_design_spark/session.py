@@ -40,7 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # NOTE: local-mode heap sized deliberately small-ish: a 48g heap
+        # measurably degraded identical queries 4-10x via GC churn on
+        # dimension-sized data; 16g is ample for every broadcast this
+        # engine does (largest: ~256MB GEMM matrix).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "true" if ui else "false")
         # pure-inequality joins (containment join J1) fall back to
         # broadcast-nested-loop; allow a generous broadcast threshold so

@@ -1,0 +1,75 @@
+"""Prove the stateful operator accumulates across micro-batches: feed
+the events table as TWO files with maxFilesPerTrigger=1, then the final
+per-user totals must equal the batch groupBy result."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark.session import read_events
+from etl_sh_design_spark.streaming.stateful import running_user_totals
+from etl_sh_design_spark.streaming.windows import EVENTS_SCHEMA
+from tests.conftest import SF_SMOKE
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    ev = read_events(spark, SF_SMOKE)
+    # split into two parquet files -> two micro-batches
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    other = ev.filter(F.col("event_id") % 2 == 1)
+    src_dir = str(tmp_path / "stream_src")
+    half.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    other.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 2, "expected at least two micro-batches"
+
+    # last update per user == batch totals (state accumulated correctly)
+    updates = spark.sql("SELECT * FROM stateful_totals")
+    final = (
+        updates.groupBy("user_id")
+        .agg(F.max("n").alias("n"), F.max("sum_value").alias("sum_value"))
+    )
+    expected = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    got = {r["user_id"]: (r["n"], r["sum_value"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n"], r["sum_value"]) for r in expected.collect()}
+    assert got == want
+
+
+def test_layout_export_pipeline(spark, tmp_path):
+    """§3.3 end-to-end: TSV faces -> sensor centers -> YAML -> re-read."""
+    from etl_sh_design_spark.plans.layout_export import export_layout
+    from etl_sh_design_spark.sources.io import read_yaml_layout
+
+    tsv = tmp_path / "face1.txt"
+    tsv.write_text(
+        "Module\tX\tY\tZ\n1\t100.0\t200.0\t2998.25\n2\tbad\trow\there\n3\t-50.0\t40.0\t2998.25\n"
+    )
+    out = tmp_path / "db.yaml"
+    centers = export_layout(
+        spark, {("disk1", "front"): str(tsv)}, str(out), layout="new"
+    )
+    assert centers.count() == 4  # 2 clean modules x 2 sensors
+    back = read_yaml_layout(spark, str(out))
+    assert back.count() == 4
+    ys = sorted(r["y"] for r in back.filter(F.col("x") == 100.0).collect())
+    assert abs(ys[0] - (200.0 - 10.95)) < 1e-9 and abs(ys[1] - (200.0 + 10.95)) < 1e-9
