@@ -542,6 +542,7 @@ def _load_extensions() -> None:
     from etl_sh_design_spark import (  # noqa: F401
         registry_bv,
         registry_ext,
+        registry_extra,
         registry_more,
         registry_tiling,
     )
