@@ -144,6 +144,19 @@ def test_streaming_equals_batch(spark):
     assert stream_rows == batch_rows
 
 
+def test_study_entry_points(spark):
+    """§3.2 wrappers return the full result-table families."""
+    from etl_sh_design_spark.plans.studies import bias_voltage_study, occupancy_study
+
+    bv = bias_voltage_study(spark)
+    assert set(bv) == {"modules", "bv_groups", "bv_configs", "bv_totals", "current_histogram"}
+    assert bv["bv_totals"].count() == 2  # FBK + HPK
+    occ = occupancy_study(spark)
+    assert occ["per_layer_means"].count() == 4
+    bw = occ["bandwidth_totals"].collect()[0]["total_bandwidth_tbs"]
+    assert bw > 0
+
+
 def test_multimodal_decode_stub(spark):
     from etl_sh_design_spark.operators import multimodal
     from etl_sh_design_spark.registry import _t
