@@ -27,8 +27,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else -1.0
 
-    # warm the JVM + parquet footers with a trivial action
+    # warm the JVM (codegen, arrow, python workers) + parquet footers so
+    # the first timed query doesn't absorb one-time startup costs
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    from etl_sh_design_spark.plans.acceptance import acceptance_profile
+
+    acceptance_profile(spark, 1000).collect()
+    spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
 
     queries = registry.queries()
     timings: dict[str, float] = {}
