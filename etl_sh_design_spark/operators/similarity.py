@@ -133,6 +133,60 @@ def lsh_bucket_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "cell",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its
+    nearest-centroid cell (argmax cosine, rounded 6dp before the argmax
+    so the assignment is deterministic cross-engine; ties -> lowest
+    centroid id). Centroid count is small, so the assignment is a
+    broadcast join + per-vector top-1 window."""
+    c = centroids.select(F.col(id_col).alias("_cent_id"), _dvec(vec_col).alias("_cv"))
+    v = df.select(F.col(id_col), _dvec(vec_col).alias("_vv"))
+    scored = v.join(F.broadcast(c)).withColumn(
+        "_sim", F.round(_dot("_vv", "_cv") / (_norm("_vv") * _norm("_cv")), 6)
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("_cent_id").asc())
+    best = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(F.col(id_col), F.col("_cent_id").alias(out))
+    )
+    return df.join(best, id_col)
+
+
+def ivf_bucket_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k (nprobe=1): score only candidates in the query's
+    centroid cell. Same output shape as `cosine_topk`. At scale the
+    cell equi-join replaces the all-pairs scan; recall/cost trades on
+    centroid count and nprobe."""
+    qs = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv"), "cell"
+    )
+    cs = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv"), "cell"
+    )
+    scored = (
+        cs.join(F.broadcast(qs), "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6))
+        .select("qid", "cid", "cos")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

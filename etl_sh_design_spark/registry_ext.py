@@ -300,6 +300,66 @@ def q_similarity_ann(spark, sf_dir):
     return lsh_bucket_topk(e.filter(F.col("vec_id") < 10), e, k=3, n_planes=4)
 
 
+_N_CENTROIDS = 16
+
+
+@query(
+    "similarity_ann_ivf",
+    f"""
+WITH ve AS ({_VE}),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ve GROUP BY 1),
+cents AS (SELECT vec_id AS cent_id, d, v FROM ve WHERE vec_id < {_N_CENTROIDS}),
+cnorms AS (SELECT cent_id, sqrt(sum(v * v)) AS cnrm FROM cents GROUP BY 1),
+assign_scored AS (
+  SELECT a.vec_id, c.cent_id,
+         round(sum(a.v * c.v) / (any_value(n.nrm) * any_value(cn.cnrm)), 6) AS sim
+  FROM ve a
+  JOIN cents c ON a.d = c.d
+  JOIN norms n ON n.vec_id = a.vec_id
+  JOIN cnorms cn ON cn.cent_id = c.cent_id
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, cent_id AS cell
+  FROM (SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) AS rk
+        FROM assign_scored)
+  WHERE rk = 1
+),
+cand AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid
+  FROM assigned q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+dots AS (
+  SELECT cand.qid, cand.cid, sum(q.v * c.v) AS dot
+  FROM cand JOIN ve q ON q.vec_id = cand.qid
+            JOIN ve c ON c.vec_id = cand.cid AND c.d = q.d
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rk
+  FROM scored
+)
+SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 3
+""",
+)
+def q_similarity_ivf(spark, sf_dir):
+    """IVF ANN top-3 (nprobe=1, 16 deterministic centroids): the
+    inverted-file scale path — candidates restricted to the query's
+    nearest-centroid cell."""
+    from etl_sh_design_spark.operators.similarity import ivf_bucket_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _N_CENTROIDS)
+    return ivf_bucket_topk(e.filter(F.col("vec_id") < 10), e, cents, k=3)
+
+
 @query(
     "embedding_neardup",
     f"""

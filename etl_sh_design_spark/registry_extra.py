@@ -146,6 +146,44 @@ def q_stats(spark, sf_dir):
 
 
 @query(
+    "salted_agg_events",
+    """
+SELECT event_type, round(sum(value), 4) AS sum_value, count(*) AS cnt
+FROM events
+GROUP BY 1
+""",
+)
+def q_salted_agg(spark, sf_dir):
+    """Skew-salted two-phase aggregation — the oracle is the plain
+    groupBy (the salting must be semantics-preserving). event_type has
+    ~5 values over all rows: exactly the hot-key shape salting exists
+    for."""
+    from etl_sh_design_spark.operators.skew import salted_sum_count
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_sum_count(e, ["event_type"], "value", n_salts=16)
+    return out.select(
+        "event_type",
+        F.round("sum_value", 4).alias("sum_value"),
+        "cnt",
+    )
+
+
+@query("approx_stats", None)  # sketches are engine-specific: rows-only check
+def q_approx_stats(spark, sf_dir):
+    """Approximate-aggregate surface (HLL++ count-distinct, GK
+    quantile sketch) — exposed per SURVEY §2.4 note; sketch outputs
+    are engine-specific so this is a rows-only contract, with the
+    sanity bounds asserted in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "q6_revenue_change",
     """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,

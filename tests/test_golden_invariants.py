@@ -144,6 +144,30 @@ def test_streaming_equals_batch(spark):
     assert stream_rows == batch_rows
 
 
+def test_approx_aggregates_sane(spark):
+    """Sketch outputs must bracket the exact answers (rows-only query,
+    so the sanity bound lives here)."""
+    from etl_sh_design_spark.registry import QUERIES, _t
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["approx_stats"](spark, SF_SMOKE).collect()
+    }
+    li = _t(spark, SF_SMOKE, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    for k, row in approx.items():
+        assert abs(row["approx_parts"] - exact[k]["nd"]) / exact[k]["nd"] < 0.1
+        assert abs(row["approx_median"] - exact[k]["med"]) / exact[k]["med"] < 0.1
+
+
 def test_study_entry_points(spark):
     """§3.2 wrappers return the full result-table families."""
     from etl_sh_design_spark.plans.studies import bias_voltage_study, occupancy_study
