@@ -58,6 +58,54 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, mean_px double"
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes bigint, frame_md5 string"
+
+
+def resize_stub(decoded_df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize stage stub: consumes the decode-stub output schema and
+    emits fixed-dimension pseudo-images (real impl would wrap
+    PIL.Image.resize in the same mapInPandas shape). Keeps mean_px —
+    resizing preserves the mean under area averaging."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "mean_px": pdf["mean_px"],
+                }
+            )
+
+    return decoded_df.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def frame_sample(binary_df: DataFrame, frame_size: int = 64, every_k: int = 4) -> DataFrame:
+    """Frame-sampling stub for video-shaped payloads: treat the payload
+    as consecutive `frame_size`-byte frames, keep every k-th, emit one
+    row per sampled frame (UDTF-shaped: rows out > rows in). The
+    Spark-side contract (explode inside mapInPandas, per-frame hashes)
+    is the real thing; only the codec is fake."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = max(1, (len(b) + frame_size - 1) // frame_size)
+                for i in range(0, n_frames, every_k):
+                    chunk = b[i * frame_size : (i + 1) * frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(fn, FRAME_SCHEMA)
+
+
 def decode_image(binary_df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode stub: real decode needs PIL/libjpeg (NOT in this
     container). With fake=True, emits deterministic pseudo-image stats

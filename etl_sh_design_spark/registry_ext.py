@@ -542,6 +542,56 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(multimodal.to_binary_table(d))
 
 
+@query(
+    "multimodal_frame_sample",
+    """
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       CAST(length(substr(text, i * 64 + 1, 64)) AS BIGINT) AS frame_bytes,
+       md5(substr(text, i * 64 + 1, 64)) AS frame_md5
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(1, CAST(ceil(length(text) / 64.0) AS INT)), 4)) AS i
+  FROM documents
+)
+""",
+)
+def q_frame_sample(spark, sf_dir):
+    """Video-shaped frame sampling: payload split into 64-byte frames,
+    every 4th kept, one output row per frame (UDTF-shaped mapInPandas).
+    Oracle recomputes the frames with substr on the ASCII source."""
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.frame_sample(multimodal.to_binary_table(d))
+
+
+_BPE_TOKS = (
+    r"list_filter(string_split_regex(regexp_replace(text || ' a.b!', "
+    r"'([^\w\s])', ' \1 ', 'g'), '\s+'), t -> t != '')"
+)
+
+
+@query(
+    "bpe_token_counts",
+    f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text || ' a.b!', '\\s+'), t -> t != '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len({_BPE_TOKS}) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def q_bpe_tokens(spark, sf_dir):
+    """Token counting two ways: whitespace vs BPE-ish regex (symbols
+    split into their own tokens); a punctuation suffix is appended so
+    the paths measurably differ on this clean corpus."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" a.b!"))
+    )
+    return d.select(
+        "doc_id",
+        text.token_count("text").cast("bigint").alias("n_ws_tokens"),
+        F.size(text.word_tokens("text")).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
 @query("multimodal_decode_stub", None)  # rows-only: fake decode, no SQL twin
 def q_multimodal_decode(spark, sf_dir):
     """Stubbed media decode (deterministic fake) — exercises the

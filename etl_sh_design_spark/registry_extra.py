@@ -184,6 +184,46 @@ def q_approx_stats(spark, sf_dir):
 
 
 @query(
+    "merge_upsert_customers",
+    """
+WITH updates AS (
+  SELECT c_custkey, c_name, c_nationkey, round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, 'NEWSEG'
+  FROM customer WHERE c_custkey % 97 = 0
+),
+kept AS (
+  SELECT c.* FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+),
+merged AS (SELECT * FROM kept UNION ALL SELECT * FROM updates)
+SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+FROM merged GROUP BY 1
+""",
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE-INTO emulation (CDC upsert): anti-join + union, verified
+    by post-merge per-segment aggregates."""
+    from etl_sh_design_spark.operators.merge import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    updated = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2)
+    )
+    new_rows = (
+        c.filter(F.col("c_custkey") % 97 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("c_mktsegment", F.lit("NEWSEG"))
+    )
+    merged = merge_upsert(c, updated.unionByName(new_rows), "c_custkey")
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@query(
     "q6_revenue_change",
     """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
