@@ -97,8 +97,8 @@ def q_sm_pairs(spark, sf_dir):
     f"""
 WITH sensors AS ({datagen.SENSORS_SQL}),
 rows_y AS (SELECT DISTINCT round(y, 1) AS y_key FROM sensors WHERE layer = 1),
-s2 AS (SELECT round(y, 1) AS y_key, x FROM sensors WHERE layer = 2)
-SELECT y_key, count(*) AS n_sensors, round(avg(x), 6) AS mean_x
+s2 AS (SELECT round(y, 1) AS y_key, abs(x) AS ax FROM sensors WHERE layer = 2)
+SELECT y_key, count(*) AS n_sensors, round(avg(ax), 6) AS mean_abs_x
 FROM s2 JOIN rows_y USING (y_key)
 GROUP BY 1
 """,
@@ -106,16 +106,24 @@ GROUP BY 1
 def q_rounded_join(spark, sf_dir):
     """J5 float-equality join hazard, solved by rounding to a fixed
     precision key (occupancy.py:85-92 dict-keyed-by-float semantics;
-    SURVEY §7.4 hard part)."""
+    SURVEY §7.4 hard part). The per-row statistic is avg(|x|), NOT
+    avg(x): x is symmetric about 0, so avg(x) cancels to ±0.0 with a
+    summation-ORDER-dependent sign — Spark could emit -0.0 where the
+    oracle emits +0.0 (a real hash-mismatch class, not a rounding one)."""
     s = datagen.sensors(spark)
     rows_y = (
         s.filter(F.col("layer") == 1).select(F.round("y", 1).alias("y_key")).distinct()
     )
-    s2 = s.filter(F.col("layer") == 2).select(F.round("y", 1).alias("y_key"), "x")
+    s2 = s.filter(F.col("layer") == 2).select(
+        F.round("y", 1).alias("y_key"), F.abs("x").alias("ax")
+    )
     return (
         s2.join(F.broadcast(rows_y), "y_key")
         .groupBy("y_key")
-        .agg(F.count(F.lit(1)).alias("n_sensors"), F.round(F.avg("x"), 6).alias("mean_x"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sensors"),
+            F.round(F.avg("ax"), 6).alias("mean_abs_x"),
+        )
     )
 
 

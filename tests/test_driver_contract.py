@@ -24,8 +24,9 @@ def _normalize(rows, colnames):
         for i in order:
             v = row[i]
             if isinstance(v, float):
-                # driver-style: canonical repr; pre-rounded upstream
-                v = 0.0 if v == 0 else v
+                # deliberately NOT normalizing -0.0: a sign-of-zero
+                # difference between engines is a real hash hazard
+                # (order-dependent cancellation) and must fail here
                 vals.append(f"{v:.10g}")
             else:
                 vals.append(str(v))
