@@ -545,4 +545,5 @@ def _load_extensions() -> None:
         registry_extra,
         registry_more,
         registry_tiling,
+        registry_wide,
     )
