@@ -54,16 +54,22 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 def word_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc -> (id, shingle)."""
+    """Distinct word n-gram shingles per doc -> (id, shingle).
+
+    The token array is projected ONCE before the gram transform:
+    inlining the split expression into the lambda makes Catalyst
+    re-evaluate the regex split per gram element (~3x tokens per row
+    — measured 6-8x slower at sf0.1)."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
     grams = (
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"transform(sequence(0, size({toks}) - {n}), "
-        f"i -> concat_ws(' ', {', '.join(f'{toks}[i + {j}]' for j in range(n))})) "
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'toks[i + {j}]' for j in range(n))})) "
         f"ELSE array() END"
     )
     return (
-        df.select(F.col(id_col), F.explode(F.expr(grams)).alias("shingle"))
+        df.select(F.col(id_col), F.expr(toks).alias("toks"))
+        .select(F.col(id_col), F.explode(F.expr(grams)).alias("shingle"))
         .distinct()
     )
 
@@ -97,7 +103,7 @@ def ngram_jaccard_pairs(
     Shingles hotter than `max_shingle_freq` are dropped before the
     self-join (skew cap — at 100 TB a stop-word shingle would otherwise
     generate freq^2 join rows)."""
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = word_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     sh_cold = sh.join(freq.filter(F.col("freq") <= max_shingle_freq), "shingle")
@@ -134,20 +140,40 @@ def minhash_signatures(
     orders of magnitude smaller than the doc-shingle incidence, so this
     cuts the (relatively expensive) md5 calls by that factor with
     bit-identical results."""
+    wide = minhash_signatures_wide(df, id_col, text_col, k, n)
+    return wide.select(
+        F.col(id_col),
+        F.posexplode("sig").alias("seed", "minh"),
+    )
+
+
+def minhash_signatures_wide(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 16, n: int = 3
+) -> DataFrame:
+    """Array-form signatures: (id, sig array<bigint> of length k).
+
+    One row per doc instead of k: the per-seed mins are computed as k
+    parallel min-aggregates over the doc-shingle incidence (single
+    shuffle keyed by doc), not a (doc, seed)-keyed long table — at
+    scale this divides shuffle rows AND groupBy groups by k."""
     sh = word_shingles(df, id_col, text_col, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
     shingle_hashes = (
         sh.select("shingle")
         .distinct()
-        .select(F.col("shingle"), seeds)
-        .withColumn(
-            "h", md5_int64(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))
+        .select(
+            "shingle",
+            F.array(
+                *[
+                    md5_int64(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))
+                    for s in range(k)
+                ]
+            ).alias("hs"),
         )
     )
     return (
         sh.join(shingle_hashes, "shingle")
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minh"))
+        .groupBy(id_col)
+        .agg(F.array(*[F.min(F.col("hs")[i]) for i in range(k)]).alias("sig"))
     )
 
 
@@ -165,38 +191,47 @@ def minhash_lsh_pairs(
     signatures -> band keys (band_rows hashes concatenated) -> bucket
     self-join per band -> distinct candidate pairs -> estimated
     jaccard = fraction of agreeing minhashes over all k.
-    Returns (id_a, id_b, est_jaccard >= min_est_jaccard)."""
-    sig = minhash_signatures(df, id_col, text_col, k, n).cache()
+    Returns (id_a, id_b, est_jaccard >= min_est_jaccard).
 
-    bands = (
-        sig.withColumn("band", F.floor(F.col("seed") / band_rows))
-        .groupBy(id_col, "band")
-        .agg(
+    Runs entirely on array-form signatures: band keys are slices of
+    the signature array (no per-band shuffle) and the jaccard estimate
+    is a zip_with over the two arrays carried through the bucket join
+    (no k-way explode + re-aggregate). Shuffle count: 2 (signature
+    groupBy, bucket self-join) vs 5 in the long-format plan."""
+    sig = minhash_signatures_wide(df, id_col, text_col, k, n).cache()
+
+    n_bands = -(-k // band_rows)  # ceil
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
             F.concat_ws(
-                ",", F.transform(F.array_sort(F.collect_list(F.struct("seed", "minh"))), lambda s: s["minh"].cast("string"))
-            ).alias("band_key")
+                ",",
+                *[
+                    F.col("sig")[i].cast("string")
+                    for i in range(j * band_rows, min((j + 1) * band_rows, k))
+                ],
+            ).alias("band_key"),
         )
+        for j in range(n_bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), "sig", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        F.col(id_col), "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
-    cand = (
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_key")
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = (
         a.join(b, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
-    )
-
-    sa = sig.select(F.col(id_col).alias("id_a"), "seed", F.col("minh").alias("ha"))
-    sb = sig.select(F.col(id_col).alias("id_b"), "seed", F.col("minh").alias("hb"))
-    est = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "seed"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            (F.sum((F.col("ha") == F.col("hb")).cast("int")) / F.lit(float(k))).alias(
-                "est_jaccard"
-            )
-        )
+        .withColumn("est_jaccard", agree / F.lit(float(k)))
     )
     return est.filter(F.col("est_jaccard") >= min_est_jaccard).select(
         "id_a", "id_b", "est_jaccard"

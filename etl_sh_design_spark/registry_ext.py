@@ -57,10 +57,19 @@ FROM (SELECT doc_id,
 """
 
 
+def _repartitioned(spark, df):
+    """Spread a small-file scan across all cores. The test corpus is a
+    single parquet file (2 input splits); the tokenize/shingle maps
+    downstream are CPU-bound, so without this 30 of 32 cores idle. At
+    real scale the scan has thousands of splits and this is a no-op
+    cost-wise (one extra round-robin shuffle of the raw text)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _corpus_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return d.unionByName(
-        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return _repartitioned(
+        spark, d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
     )
 
 
@@ -72,7 +81,7 @@ def _corpus_mutated(spark, sf_dir):
             f"array_join(slice({_TOKS}, 1, greatest(size({_TOKS}) - 1, 0)), ' ')"
         ).alias("text"),
     )
-    return d.unionByName(mut)
+    return _repartitioned(spark, d.unionByName(mut))
 
 
 # ------------------------------------------------------------ exact dedup
