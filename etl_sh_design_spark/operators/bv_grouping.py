@@ -157,14 +157,11 @@ def _segmentations(n: int) -> list[list[tuple[int, int]]]:
 
 
 def _config_search_factory(budget: float):
-    def _config_search(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _one_sm(layer: int, band: int, smo: int, pdf: pd.DataFrame, rows: list) -> None:
         """W7: exact search over consecutive-split configs of one SM
         (<= 7 modules -> <= 64 masks; ETL.py:423-493 semantics): pick
         the valid split with fewest segments, then the most
         current-balanced, then the lowest mask (deterministic)."""
-        layer = int(pdf["layer"].iloc[0])
-        band = int(pdf["band"].iloc[0])
-        smo = int(pdf["sm_ordinal"].iloc[0])
         pdf = pdf.sort_values(["r_max", "module_id"], ascending=[False, True])
         cur = list(pdf["current"])
         rmin = list(pdf["r_min"])
@@ -196,7 +193,7 @@ def _config_search_factory(budget: float):
                 best_key, best_segs = key, segs
         if best_segs is None:  # no valid split: every module its own group
             best_segs = [(i, i + 1) for i in range(n)]
-        rows = [
+        rows.extend(
             (
                 layer,
                 band,
@@ -208,7 +205,18 @@ def _config_search_factory(budget: float):
                 max(rmax[a:b]),
             )
             for k, (a, b) in enumerate(best_segs)
-        ]
+        )
+
+    def _config_search(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One (layer, band) row-batch: loop the per-SM exact search
+        over the band's SM chunks. Batching ~6 SMs per pandas call
+        (instead of one group per SM) cuts the Arrow/Python per-group
+        overhead ~6x — the search itself is unchanged."""
+        layer = int(pdf["layer"].iloc[0])
+        band = int(pdf["band"].iloc[0])
+        rows: list = []
+        for smo, sub in pdf.groupby("sm_ordinal", sort=True):
+            _one_sm(layer, band, int(smo), sub, rows)
         return pd.DataFrame(
             rows,
             columns=[
@@ -235,12 +243,32 @@ def find_bv_config(modules: DataFrame, budget: float = 5.0) -> DataFrame:
     """W7 BV config search per pseudo-supermodule (applyInPandas exact
     search over <= 2^6 consecutive splits)."""
     sm = sm_assignments(modules)
+    # mapInPandas over an explicit hash-repartition instead of
+    # groupBy().applyInPandas: the grouped-map's own exchange is
+    # byte-tiny here, so AQE coalesces it to ONE partition and the
+    # per-group Python search runs serially. The CPU cost is in the
+    # pandas groups, not the bytes — pinning the partition count keeps
+    # all cores busy; repartition(cols) guarantees each (layer, band)
+    # lands whole in one partition, so grouping semantics are identical.
+    n_part = sm.sparkSession.sparkContext.defaultParallelism
+    search = _config_search_factory(budget)
+
+    def run(batches):
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if pdf.empty:
+            return
+        for _, sub in pdf.groupby(["layer", "band"], sort=True):
+            yield search(sub)
+
     return (
         sm.select(
             "layer", "band", "sm_ordinal", "module_id", "vendor", "r_min", "r_max", "current"
         )
-        .groupBy("layer", "band", "sm_ordinal")
-        .applyInPandas(_config_search_factory(budget), SM_CONFIG_SCHEMA)
+        .repartition(n_part, "layer", "band")
+        .mapInPandas(run, SM_CONFIG_SCHEMA)
     )
 
 
