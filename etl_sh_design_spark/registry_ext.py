@@ -720,3 +720,71 @@ def q_mod_partition_totals(spark, sf_dir):
             F.countDistinct("row_ordinal").alias("n_rows"),
         )
     )
+
+
+# ------------------------------------------------- duplicate clusters
+@query(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE corpus AS ({CORPUS_MUTATED_SQL}),
+sh AS ({_SH}),
+sig AS (
+  SELECT doc_id, seed, min({_H_SEED_SHINGLE}) AS minh
+  FROM sh CROSS JOIN (SELECT CAST(range AS INT) AS seed FROM range(0, 16))
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b AND sb.seed = sa.seed
+  GROUP BY 1, 2
+  HAVING CAST(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT c.doc_id,
+         least(c.doc_id, coalesce(min(r.dst), c.doc_id)) AS component
+  FROM corpus c LEFT JOIN reach r ON r.src = c.doc_id
+  GROUP BY c.doc_id
+)
+SELECT component AS canonical_id, count(*) AS n_docs
+FROM comp GROUP BY 1
+""",
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-CLUSTER resolution: MinHash-LSH near-dup pairs closed
+    into connected components (iterative min-label propagation,
+    operators/graph.py), one row per cluster with its canonical
+    (min) doc_id — the step that turns pairwise near-dup output into
+    a keep/drop decision. Oracle: recursive-CTE transitive closure."""
+    from etl_sh_design_spark.operators.graph import connected_components
+
+    corpus = _corpus_mutated(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus)
+    comp = connected_components(
+        corpus.select(F.col("doc_id").alias("node")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    return comp.groupBy(F.col("component").alias("canonical_id")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
