@@ -5,6 +5,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
+
+The driver only retains a bounded tail of stdout, so the JSON line must
+stay compact: `queries` carries the HEADLINE subset (one per operator
+family); the full per-query timing map for all registry queries is
+written to BENCH_FULL.json in the repo root (and a summary line goes to
+stderr). `value` remains the wall-clock total across ALL queries.
 """
 
 from __future__ import annotations
@@ -16,6 +22,42 @@ import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# One representative per operator family (SURVEY.md §2 + extensions).
+# Keep this list ~25 entries so the emitted JSON line stays < ~1.5 KB.
+HEADLINE = [
+    "acceptance_profile",  # flagship MC containment-join pipeline
+    "hit_count_histogram",
+    "sensor_physics",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "histogram2d_qty_disc",
+    "profile_disc_by_qty",
+    "efficiency_returns",
+    "window_top3_orders",
+    "gaps_islands_events",
+    "bv_greedy_groups",
+    "bv_config_search",
+    "occupancy_summary",
+    "module_rollup",
+    "tile_slots",
+    "partition_flavors",
+    "dedup_exact",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "ngram_jaccard_neardup",
+    "embedding_neardup",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "dedup_clusters",
+    "text_quality",
+    "token_stats_by_source",
+    "sessionization_events",
+    "asof_events",
+    "merge_upsert_customers",
+]
 
 
 def main() -> None:
@@ -42,22 +84,40 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = fn(spark, SF_DIR)
-            n = df.count()
+            df.count()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # keep the bench alive; flag the query
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    headline = {k: timings[k] for k in HEADLINE if k in timings}
+
+    full = {
+        "metric": "engine_all_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": sf,
+    }
+    try:
+        with open(os.path.join(HERE, "BENCH_FULL.json"), "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench: could not write BENCH_FULL.json: {exc}", file=sys.stderr)
+    print(f"bench: {len(timings)} queries, total {total}s at sf={sf}", file=sys.stderr)
+
     print(
         json.dumps(
             {
-                "metric": "engine_headline_queries_wall_clock",
+                "metric": "engine_all_queries_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": headline,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -43,6 +43,11 @@ def asof_join(
     payload = F.struct(
         F.col(right_ts).alias(right_ts), *[F.col(c).alias(c) for c in payload_cols]
     )
+    # A NULL right timestamp can never satisfy right_ts <= left_ts;
+    # keeping such rows would let them sort first and spuriously match
+    # NULL-ts left rows. Left rows with a NULL timestamp survive with a
+    # NULL match (they precede every right row in the asc sort).
+    right = right.filter(F.col(right_ts).isNotNull())
     r2 = right.select(
         F.col(on).alias(on),
         F.col(right_ts).alias("_asof_ts"),
@@ -58,10 +63,17 @@ def asof_join(
         *[F.col(c) for c in left.columns if c != on],
     )
     # Right rows sort BEFORE left rows at an equal timestamp so that a
-    # left row sees a same-instant right row (<= semantics).
+    # left row sees a same-instant right row (<= semantics). The payload
+    # struct is the final tie-breaker: when several right rows share
+    # (key, ts), ``last`` deterministically picks the struct-max one
+    # instead of whichever the shuffle happened to order last.
     w = (
         W.partitionBy(on)
-        .orderBy(F.col("_asof_ts").asc(), F.col("_asof_is_right").desc())
+        .orderBy(
+            F.col("_asof_ts").asc(),
+            F.col("_asof_is_right").desc(),
+            F.col("_asof_payload").asc_nulls_first(),
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     merged = r2.unionByName(l2).withColumn(

@@ -48,16 +48,27 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(F.col(node_col).alias("node")).withColumn(
-        "component", F.col("node")
-    ).localCheckpoint(eager=True)
+    # Only edge endpoints can ever change label; isolated nodes (the
+    # overwhelming majority in a dedup graph — most documents have no
+    # near-dup) are reattached after the fixpoint with component=node,
+    # so the iteration's joins run on |V(edges)|, not |nodes|.
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             labels.join(sym, labels["node"] == sym["src"])
             .groupBy(sym["dst"].alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # Carry a per-row changed flag through the checkpoint so the
+        # convergence test is a scan of already-materialized partitions,
+        # not a second join job against the previous labels.
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -65,17 +76,28 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
+                (F.coalesce("nbr_component", F.col("component")) < F.col("component")).alias(
+                    "_changed"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
+            converged = True
             break
-    return labels
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint within max_iter={max_iter} rounds; "
+            "component labels may be unconverged (long-chain graph?). "
+            "Raise max_iter or switch to a large-star/small-star variant.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    all_nodes = nodes.select(F.col(node_col).alias("node"))
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )

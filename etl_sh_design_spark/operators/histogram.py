@@ -18,9 +18,10 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class BinSpec:
-    """Regular binning: nbins in [lo, hi); out-of-range rows are clipped
-    into the edge bins (matching yahist overflow-into-edge semantics is
-    NOT default there — we drop out-of-range by default instead)."""
+    """Regular binning: nbins in [lo, hi); out-of-range rows are
+    DROPPED by histogram1d/2d/profile (via ``in_range``), not clipped.
+    ``bin_of`` alone yields out-of-range bin indices (<0 or >=nbins)
+    for such rows — always pair it with ``in_range``."""
 
     nbins: int
     lo: float

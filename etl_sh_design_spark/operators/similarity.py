@@ -94,7 +94,10 @@ def srp_signature(
     )
     bits = (
         exploded.groupBy(id_col, "j")
-        .agg(F.sum(F.col("sign") * F.col("v")).alias("proj"))
+        # Round before the sign test: a projection numerically near zero
+        # could otherwise flip a bucket bit depending on partial-agg
+        # order (Spark vs DuckDB sum different float orders).
+        .agg(F.round(F.sum(F.col("sign") * F.col("v")), 6).alias("proj"))
         .groupBy(id_col)
         .agg(
             F.sum(F.when(F.col("proj") > 0, F.expr("shiftleft(1, j)")).otherwise(0))

@@ -271,7 +271,7 @@ planes AS (
        (SELECT CAST(range AS INT) AS d FROM range(0, 64))
 ),
 proj AS (
-  SELECT vec_id, j, sum(sign * v) AS proj
+  SELECT vec_id, j, round(sum(sign * v), 6) AS proj
   FROM ve JOIN planes USING (d) GROUP BY 1, 2
 ),
 sig AS (
