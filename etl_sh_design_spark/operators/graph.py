@@ -5,27 +5,77 @@ pipeline needs CLUSTERS (every doc labeled with a canonical id) so one
 representative per cluster survives. That closure step is a
 connected-components problem.
 
-Algorithm: iterative min-label propagation — every node starts as its
-own component, each round every node takes the min label among itself
-and its neighbors, until a fixpoint. Converges in O(graph diameter)
-rounds; near-dup graphs are overwhelmingly tiny cliques (diameter
-1-2), so 3-5 rounds in practice.
+Two execution strategies behind one API:
 
-Scale notes: each round is one join (labels x edges) + one min-agg —
-two hash shuffles on node id, no collect, state is one row per node.
-Lineage is cut with localCheckpoint each round (iterative plans
-otherwise stack exponentially in the optimizer). For adversarial
-long-chain graphs at 100 TB, switch to the large-star/small-star
-variant (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14) which converges in O(log^2 n) — same join/agg
-building blocks, different edge rewrite per round. Not needed for
-dedup-shaped graphs.
+1. **Driver union-find** (edge count <= `collect_threshold`): after
+   near-dup filtering the edge list is a tiny fraction of the corpus
+   (~0.1% of docs have a near-dup partner); collecting a few million
+   edges to the driver is the SAME memory contract as the collected
+   side of a broadcast join, and path-compressed union-find closes the
+   components in milliseconds with zero Spark rounds. The edge count
+   is known for free — the symmetrized edge list is materialized
+   (localCheckpoint) for the iterative path anyway.
+
+2. **Iterative min-label propagation** (bigger graphs): every node
+   starts as its own component, each round every node takes the min
+   label among itself and its neighbors, until a fixpoint. Converges
+   in O(graph diameter) rounds; near-dup graphs are overwhelmingly
+   tiny cliques (diameter 1-2), so 3-5 rounds in practice. Each round
+   is one join (labels x edges) + one min-agg — two hash shuffles on
+   node id, no collect, state is one row per node. Lineage is cut with
+   localCheckpoint each round (iterative plans otherwise stack
+   exponentially in the optimizer). Only edge endpoints participate in
+   the iteration; isolated nodes are reattached at the end.
+
+For adversarial long-chain graphs at 100 TB, the known upgrade is the
+large-star/small-star variant (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14), O(log^2 n) rounds from the same
+join/agg building blocks. Not needed for dedup-shaped graphs.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _union_find_components(edge_rows, nodes: DataFrame, node_col: str) -> DataFrame:
+    """Driver-side path-compressed union-find over a collected edge
+    list; results are identical to the distributed fixpoint (component
+    id = min reachable node id)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edge_rows:
+        if src not in parent:
+            parent[src] = src
+        if dst not in parent:
+            parent[dst] = dst
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # union by min so the root IS the min id of the component
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    labels = [(x, find(x)) for x in parent]
+    spark = nodes.sparkSession
+    all_nodes = nodes.select(F.col(node_col).alias("node"))
+    if not labels:
+        return all_nodes.withColumn("component", F.col("node"))
+    lab_df = spark.createDataFrame(
+        labels, schema=nodes.select(F.col(node_col).alias("node")).schema.add("component", nodes.schema[node_col].dataType)
+    )
+    return all_nodes.join(F.broadcast(lab_df), "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
 
 
 def connected_components(
@@ -35,12 +85,17 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    collect_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Label every node with its component id = min node id reachable.
 
     `nodes`: one column `node_col` (include isolated nodes).
     `edges`: `src_col`, `dst_col` (undirected; any orientation).
     Returns (node, component).
+
+    Edge lists up to `collect_threshold` (symmetrized rows) are solved
+    with driver union-find (see module docstring); pass 0 to force the
+    distributed iterative path.
     """
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -48,6 +103,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = sym.count()  # free: sym is materialized
+    if n_edges <= collect_threshold:
+        return _union_find_components(
+            ((r["src"], r["dst"]) for r in sym.toLocalIterator()), nodes, node_col
+        )
+
     # Only edge endpoints can ever change label; isolated nodes (the
     # overwhelming majority in a dedup graph — most documents have no
     # near-dup) are reattached after the fixpoint with component=node,
