@@ -57,6 +57,10 @@ HEADLINE = [
     "sessionization_events",
     "asof_events",
     "merge_upsert_customers",
+    "passage_dedup",
+    "tfidf_cosine_topk",
+    "range_frame_events",
+    "sliding_window_events",
 ]
 
 

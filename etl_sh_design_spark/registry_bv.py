@@ -65,10 +65,78 @@ GROUP BY 1, 2
 """
 
 
-@query("bv_greedy_groups", None)
+# The W4 greedy scan IS oracle-expressible after all: the sequential
+# state (running current + group-head breakdown limit) advances one
+# ordinal at a time, which a recursive CTE walks exactly — each
+# iteration joins the frontier row of every (layer, vendor) partition
+# to its rn+1 successor. `m AS MATERIALIZED` is load-bearing: without
+# it DuckDB re-evaluates the whole sensor-fixture CTE once per
+# recursion step (~1100 steps, 43 s -> 1.9 s).
+_MODULES_SQL = f"""
+SELECT layer, module_id, min(r) AS r_min, max(r) AS r_max,
+       sum({physics.CURRENT_SQL.format(r='r')}) AS current,
+       CASE WHEN min(r) < 520.0e0 THEN 'FBK' ELSE 'HPK' END AS vendor
+FROM (
+  SELECT layer, sensor_id,
+         CAST(layer - 1 AS BIGINT) * {_NXNY}
+           + CAST(floor((sensor_id % {_NXNY}) / {datagen.NY}) AS BIGINT) * {datagen.NY}
+           + CAST(floor(((sensor_id % {_NXNY}) % {datagen.NY}) / 2) AS BIGINT) AS module_id,
+         sqrt(x*x + y*y) AS r
+  FROM ({datagen.SENSORS_SQL})
+)
+GROUP BY 1, 2
+"""
+
+# CURVES constants from operators/bv_grouping.py (5 fC rows of
+# datagen.bv_curves): FBK (445.77, -2340.9), HPK (423.54, -2261.2).
+_GREEDY_SCAN_SQL = f"""
+WITH RECURSIVE mods AS ({_MODULES_SQL}),
+m AS MATERIALIZED (
+  SELECT layer, vendor, module_id, r_min, r_max, current,
+         row_number() OVER (PARTITION BY layer, vendor
+                            ORDER BY r_max DESC, module_id ASC) AS rn,
+         CASE WHEN vendor = 'FBK' THEN 445.77e0 ELSE 423.54e0 END AS ca,
+         CASE WHEN vendor = 'FBK' THEN -2340.9e0 ELSE -2261.2e0 END AS cb
+  FROM mods
+),
+scan AS (
+  SELECT layer, vendor, rn, r_min, r_max, current,
+         CAST(0 AS BIGINT) AS gid, current AS run_current,
+         ca * ln(r_max) + cb AS lim
+  FROM m WHERE rn = 1
+  UNION ALL
+  SELECT n.layer, n.vendor, n.rn, n.r_min, n.r_max, n.current,
+         CASE WHEN s.run_current + n.current > 20.0e0 OR n.r_min <= s.lim
+              THEN s.gid + 1 ELSE s.gid END,
+         CASE WHEN s.run_current + n.current > 20.0e0 OR n.r_min <= s.lim
+              THEN n.current ELSE s.run_current + n.current END,
+         CASE WHEN s.run_current + n.current > 20.0e0 OR n.r_min <= s.lim
+              THEN n.ca * ln(n.r_max) + n.cb ELSE s.lim END
+  FROM scan s JOIN m n
+    ON n.layer = s.layer AND n.vendor = s.vendor AND n.rn = s.rn + 1
+),
+bv_groups AS (
+  SELECT layer, vendor, gid AS group_id, count(*) AS n_modules,
+         sum(current) AS sum_current, min(r_min) AS r_min, max(r_max) AS r_max
+  FROM scan GROUP BY 1, 2, 3
+)
+"""
+
+
+@query(
+    "bv_greedy_groups",
+    _GREEDY_SCAN_SQL
+    + """
+SELECT layer, vendor, group_id, n_modules,
+       round(sum_current, 6) AS sum_current,
+       round(r_min, 6) AS r_min, round(r_max, 6) AS r_max
+FROM bv_groups
+""",
+)
 def q_bv_greedy(spark, sf_dir):
     """W4 greedy BV grouping (applyInPandas stateful scan) — one row
-    per BV group per (layer, vendor)."""
+    per BV group per (layer, vendor). Oracle: recursive-CTE walk of
+    the same ordered scan (bias_voltage.py:449-493 semantics)."""
     groups = greedy_bv_groups(modules_from_sensors(datagen.sensors(spark)))
     return groups.select(
         "layer",
@@ -81,7 +149,16 @@ def q_bv_greedy(spark, sf_dir):
     )
 
 
-@query("bv_totals", None)
+@query(
+    "bv_totals",
+    _GREEDY_SCAN_SQL
+    + """
+SELECT vendor, count(*) AS n_groups, sum(n_modules) AS n_modules,
+       round(sum(sum_current), 6) AS total_current,
+       round(max(sum_current), 6) AS max_group_current
+FROM bv_groups GROUP BY 1
+""",
+)
 def q_bv_totals(spark, sf_dir):
     """A9 per-vendor totals over the W4 grouping result."""
     return bv_totals(greedy_bv_groups(modules_from_sensors(datagen.sensors(spark))))

@@ -1,0 +1,280 @@
+"""Round-2 registry additions: time-range window frames, sliding
+windows, sub-document (passage) dedup, TF-IDF similarity, and JSON
+extraction — extension-layer queries (not reference operators) that a
+large-scale training-data / event pipeline needs, registered under the
+same Spark-vs-DuckDB oracle contract as everything else.
+
+Scale notes per query live on the docstrings; the common theme: every
+query here is a scan -> narrow transform -> one keyed shuffle, no
+collect, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark.registry import _t, query
+from etl_sh_design_spark.registry_ext import CORPUS_MUTATED_SQL, _corpus_mutated, _repartitioned
+
+# ------------------------------------------------- time-range frames
+_TEN_MIN_US = 600_000_000
+
+
+@query(
+    "range_frame_events",
+    f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_10m,
+       round(sum(value) OVER w, 6) AS sum_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_TEN_MIN_US} PRECEDING AND CURRENT ROW)
+""",
+)
+def q_range_frame_events(spark, sf_dir):
+    """Per-event trailing 10-minute window (RANGE frame over event
+    time, microsecond precision): count + sum of `value` per user.
+    The frame is expressed on unix_micros so both engines bound it
+    with exact integer arithmetic. One shuffle on user_id; state per
+    task is the in-frame buffer (bounded by events/user/10min)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_TEN_MIN_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+        F.round(F.sum("value").over(w), 6).alias("sum_10m"),
+    )
+
+
+# --------------------------------------------------- sliding windows
+_SLIDE_US = 300_000_000  # 5 min
+_WIN_US = 600_000_000  # 10 min
+
+
+@query(
+    "sliding_window_events",
+    f"""
+WITH x AS (
+  SELECT (epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US} AS w1, value, user_id
+  FROM events
+),
+u AS (
+  SELECT unnest([w1, w1 - {_SLIDE_US}]) AS win_start_us, value, user_id FROM x
+)
+SELECT win_start_us, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM u GROUP BY 1
+""",
+)
+def q_sliding_window_events(spark, sf_dir):
+    """Sliding event-time windows (10 min window, 5 min slide): each
+    event lands in exactly window/slide = 2 windows. Spark's F.window
+    generates the per-event window replicas map-side; the oracle
+    unnests the two slide-aligned starts explicitly. This is the batch
+    twin of the streaming sliding-window aggregation
+    (streaming/windows.py); shuffle is |windows|-sized."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_micros("win.start").alias("win_start_us"),
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+# ------------------------------------------------------ passage dedup
+_PASS_N = 8  # tokens per passage (non-overlapping stride)
+
+_TOKS = "filter(split(lower(text), '\\\\s+'), t -> t != '')"
+_PASSAGES = (
+    f"CASE WHEN size(toks) >= {_PASS_N} THEN "
+    f"transform(sequence(0, cast(floor(size(toks) / {_PASS_N}) as int) - 1), "
+    f"i -> concat_ws(' ', slice(toks, i * {_PASS_N} + 1, {_PASS_N}))) "
+    f"ELSE array() END"
+)
+
+
+@query(
+    "passage_dedup",
+    f"""
+WITH corpus AS ({CORPUS_MUTATED_SQL}),
+t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+  FROM corpus
+),
+p AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= {_PASS_N}
+                THEN list_transform(range(0, CAST(floor(len(toks) / {_PASS_N}) AS INT)),
+                       i -> array_to_string(toks[i * {_PASS_N} + 1 : i * {_PASS_N} + {_PASS_N}], ' '))
+                ELSE [] END) AS passage
+  FROM t
+)
+SELECT md5(passage) AS passage_key,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occ,
+       min(doc_id) AS canonical_id
+FROM p GROUP BY 1
+HAVING count(DISTINCT doc_id) > 1
+""",
+)
+def q_passage_dedup(spark, sf_dir):
+    """Sub-document dedup: split each doc into consecutive 8-token
+    passages and report passages shared across documents (boilerplate /
+    quotation detection — finer-grained than whole-doc dedup). Hash
+    groupBy on the passage key: |passages| map-side rows, |groups|
+    shuffle rows, same plan shape as exact dedup at any scale."""
+    corpus = _corpus_mutated(spark, sf_dir)
+    p = corpus.select("doc_id", F.expr(_TOKS).alias("toks")).select(
+        "doc_id", F.explode(F.expr(_PASSAGES)).alias("passage")
+    )
+    return (
+        p.groupBy(F.md5("passage").alias("passage_key"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------- TF-IDF similarity
+@query(
+    "tfidf_cosine_topk",
+    r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ln((n.n_docs + 1.0e0) / (df.df + 1.0e0)) AS wgt
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+nrm AS (SELECT doc_id, sqrt(sum(wgt * wgt)) AS nrm FROM w GROUP BY 1),
+dots AS (
+  SELECT q.doc_id AS qid, c.doc_id AS cid, sum(q.wgt * c.wgt) AS dot
+  FROM w q JOIN w c ON q.token = c.token AND q.doc_id <> c.doc_id
+  WHERE q.doc_id < 10
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+  FROM dots JOIN nrm nq ON nq.doc_id = qid JOIN nrm nc ON nc.doc_id = cid
+)
+SELECT qid, cid, cos,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+  FROM scored
+)
+WHERE rk <= 3
+""",
+)
+def q_tfidf_cosine_topk(spark, sf_dir):
+    """TF-IDF cosine top-3 similar documents for the first 10 docs:
+    sparse-vector similarity via an inverted-index join on token —
+    the classic scale path for text similarity (cost is sum over
+    tokens of q_freq x c_freq, never |docs|^2). Cosine is rounded 6dp
+    BEFORE ranking, ties broken by cid, as everywhere else."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _repartitioned(spark, d)
+    tok = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            ).alias("wgt"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nrm"))
+    q = w.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("qid"), "token", F.col("wgt").alias("qw")
+    )
+    dots = (
+        w.select(F.col("doc_id").alias("cid"), "token", F.col("wgt").alias("cw"))
+        .join(F.broadcast(q), "token")
+        .filter(F.col("qid") != F.col("cid"))
+        .groupBy("qid", "cid")
+        .agg(F.sum(F.col("qw") * F.col("cw")).alias("dot"))
+    )
+    nq = nrm.select(F.col("doc_id").alias("qid"), F.col("nrm").alias("nq"))
+    nc = nrm.select(F.col("doc_id").alias("cid"), F.col("nrm").alias("nc"))
+    scored = (
+        dots.join(F.broadcast(nq), "qid")
+        .join(F.broadcast(nc), "cid")
+        .select("qid", "cid", F.round(F.col("dot") / (F.col("nq") * F.col("nc")), 6).alias("cos"))
+    )
+    rk = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(rk).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "cid", "cos", "rk")
+    )
+
+
+# ---------------------------------------------------- JSON extraction
+@query(
+    "json_props_rollup",
+    """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 6) AS avg_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY 1
+""",
+)
+def q_json_props_rollup(spark, sf_dir):
+    """Semi-structured extraction: pull `$.k` out of the JSON `props`
+    column and aggregate per event type. get_json_object evaluates
+    JVM-side inside codegen — schema-on-read without a UDF; at scale
+    prefer from_json with an explicit schema (single parse, typed
+    struct) — both stay in the scan->agg pipeline."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )

@@ -42,6 +42,47 @@ def tumbling_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_agg(events: DataFrame, window: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    """Shared batch/stream transformation: sliding-window counts and
+    value sums (each event replicated into window/slide windows
+    map-side; shuffle is |windows|-sized). Batch twin with a DuckDB
+    oracle: registry_r2.sliding_window_events."""
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_sliding_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+    query_name: str = "sliding_counts",
+) -> DataFrame:
+    """Sliding-window aggregation as a real Structured Streaming query
+    into a memory sink (complete mode); returns the drained result."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = sliding_agg(events, window, slide)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (driver tables are
     single files; pathGlobFilter scopes the directory listing)."""
@@ -51,9 +92,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    # integer division — same precision fix as session.read_events
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def streaming_tumbling_counts(
