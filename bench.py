@@ -61,6 +61,11 @@ HEADLINE = [
     "tfidf_cosine_topk",
     "range_frame_events",
     "sliding_window_events",
+    "sequence_packing",
+    "pii_redaction",
+    "incremental_dedup",
+    "top_bigrams",
+    "funnel_interval_join",
 ]
 
 

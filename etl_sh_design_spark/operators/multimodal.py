@@ -129,12 +129,17 @@ def decode_image(binary_df: DataFrame, fake: bool = False) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    # fake "header": dims from byte length, deterministic
+                    # fake "header": dims from byte length, pseudo mean
+                    # from the payload md5 — every stat is a pure
+                    # function of the bytes, so the pipeline is
+                    # cross-engine checkable (DuckDB md5(VARCHAR)
+                    # hashes the same UTF-8 bytes)
                     "width": [max(1, len(b) % 640) for b in payloads],
                     "height": [max(1, (len(b) * 7) % 480) for b in payloads],
                     "n_channels": [3] * len(payloads),
                     "mean_px": [
-                        (sum(b) / len(b)) if len(b) else 0.0 for b in payloads
+                        (int(hashlib.md5(b).hexdigest()[:12], 16) % 25600) / 100.0
+                        for b in payloads
                     ],
                 }
             )

@@ -544,6 +544,7 @@ def _load_extensions() -> None:
         registry_ext,
         registry_extra,
         registry_more,
+        registry_pipeline,
         registry_r2,
         registry_tiling,
         registry_wide,

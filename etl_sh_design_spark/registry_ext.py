@@ -601,13 +601,34 @@ def q_bpe_tokens(spark, sf_dir):
     )
 
 
-@query("multimodal_decode_stub", None)  # rows-only: fake decode, no SQL twin
+@query(
+    "multimodal_decode_stub",
+    """
+SELECT doc_id,
+       greatest(1, octet_length(encode(text)) % 640) AS width,
+       greatest(1, (octet_length(encode(text)) * 7) % 480) AS height,
+       3 AS n_channels,
+       CAST(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) % 25600 AS DOUBLE)
+         / 100.0e0 AS mean_px
+FROM documents
+""",
+)
 def q_multimodal_decode(spark, sf_dir):
     """Stubbed media decode (deterministic fake) — exercises the
-    decode-pipeline schema/batching; real decode raises
-    NotImplementedError without PIL."""
+    decode-pipeline schema/batching via mapInPandas; real decode raises
+    NotImplementedError without PIL. Every fake stat is a pure function
+    of the payload bytes, so the DuckDB oracle reproduces it exactly
+    (DuckDB md5(VARCHAR) hashes the same UTF-8 bytes Spark's
+    md5(BINARY) sees)."""
     d = _t(spark, sf_dir, "documents")
-    return multimodal.decode_image(multimodal.to_binary_table(d), fake=True)
+    out = multimodal.decode_image(multimodal.to_binary_table(d), fake=True)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_channels").cast("int").alias("n_channels"),
+        "mean_px",
+    )
 
 
 # ----------------------------------------------- streaming-equivalent agg

@@ -1,0 +1,466 @@
+"""Training-data-pipeline registry, round 2: sequence packing, data
+layout (Z-order), PII redaction, within-document repetition, corpus
+n-gram statistics, incremental (snapshot) dedup, quality filter chain,
+and the event-funnel interval join.
+
+These are extension-layer operators (not in the reference — SURVEY.md
+§2.8 note): the ops a 100 TB pretraining-data pipeline runs between
+raw crawl and tokenized shards. Every query pairs a Spark pipeline
+with a DuckDB oracle; injected fixtures (PII strings, repetition,
+snapshot overlap) are expressed identically on both sides because the
+driver's synthetic corpus is clean.
+
+Scale notes live on each docstring; common shape: scan -> codegen
+transform -> ONE keyed shuffle. The only pandas island is the greedy
+packer (`operators/packing.py`), whose per-task state is one counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark.functions import text
+from etl_sh_design_spark.operators.dedup import MD5_INT64_SQL, md5_int64
+from etl_sh_design_spark.operators.packing import greedy_pack, pack_oracle_sql
+from etl_sh_design_spark.registry import _t, query
+from etl_sh_design_spark.registry_ext import _repartitioned
+
+_TOKS = "filter(split(text, '\\\\s+'), t -> t != '')"
+_TOKS_DUCK = r"list_filter(string_split_regex(text, '\s+'), t -> t != '')"
+
+
+# ---------------------------------------------------- sequence packing
+_PACK_BUDGET = 512
+_PACK_SHARDS = 32
+
+_TOKENS_CTE = f"SELECT doc_id, len({_TOKS_DUCK}) AS n_tokens FROM documents"
+
+
+@query(
+    "sequence_packing",
+    pack_oracle_sql(_TOKENS_CTE, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+    + """
+SELECT shard, chunk_id, n_docs, sum_tokens
+FROM chunks
+""",
+)
+def q_sequence_packing(spark, sf_dir):
+    """LLM sequence packing: greedy-fill documents into 512-token
+    chunks within 32 hash shards (stateful scan, applyInPandas; see
+    operators/packing.py for the 100 TB contract — shards are the
+    parallelism unit, tokenization stays JVM-side)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(F.expr(_TOKS)).cast("bigint").alias("n_tokens"))
+    return greedy_pack(toks, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+
+
+# ------------------------------------------------------ Z-order layout
+_Z_SPARK = (
+    "aggregate(sequence(0, 7), 0L, (acc, i) -> acc"
+    " + shiftleft(shiftright(ix, i) & 1L, 2 * i)"
+    " + shiftleft(shiftright(iy, i) & 1L, 2 * i + 1))"
+)
+_Z_DUCK = (
+    "CAST(list_sum(list_transform(range(0, 8), i ->"
+    " ((ix >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))"
+    " + ((iy >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1)))) AS BIGINT)"
+)
+
+
+@query(
+    "zorder_layout",
+    f"""
+WITH k AS (
+  SELECT user_id AS ix, event_id % 256 AS iy, value FROM events
+),
+z AS (SELECT {_Z_DUCK} AS zval, value FROM k)
+SELECT zval // 64 AS z_tile, count(*) AS n,
+       CAST(min(zval) AS BIGINT) AS z_min, CAST(max(zval) AS BIGINT) AS z_max,
+       round(sum(value), 6) AS sum_value
+FROM z GROUP BY 1
+""",
+)
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key over two dimensions, the
+    multi-dimensional data-layout primitive: interleaving 8 bits of
+    each key gives a 1-D sort order under which a range predicate on
+    EITHER dimension touches O(sqrt) of the tiles — at 100 TB you
+    `repartitionByRange(zval)` + sortWithinPartitions before the
+    parquet write so min/max footer stats prune on both columns. The
+    bit-interleave runs entirely in codegen (aggregate over
+    sequence(0,7), shift/mask — no UDF). Emits per-64-key-tile
+    occupancy as the checkable surface."""
+    e = _t(spark, sf_dir, "events")
+    k = e.select(
+        F.col("user_id").alias("ix"),
+        (F.col("event_id") % 256).alias("iy"),
+        "value",
+    )
+    z = k.select(F.expr(_Z_SPARK).alias("zval"), "value")
+    return (
+        z.groupBy((F.col("zval") / 64).cast("bigint").alias("z_tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+# ------------------------------------------------------- PII redaction
+_EMAIL_RE = "[a-z0-9_]+@[a-z]+\\.com"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+_PII_TEXT_DUCK = """
+SELECT doc_id, source,
+       text
+       || CASE WHEN doc_id % 3 = 0
+               THEN ' contact user_' || CAST(doc_id AS VARCHAR) || '@example.com now'
+               ELSE '' END
+       || CASE WHEN doc_id % 5 = 0
+               THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END AS text
+FROM documents
+"""
+
+
+@query(
+    "pii_redaction",
+    f"""
+WITH pii AS ({_PII_TEXT_DUCK}),
+red AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM pii
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_emails) AS BIGINT) AS n_emails,
+       CAST(sum(n_phones) AS BIGINT) AS n_phones,
+       CAST(sum({MD5_INT64_SQL.format(x='redacted')} % 1000000007) AS BIGINT)
+         AS redacted_checksum
+FROM red GROUP BY 1
+""",
+)
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing: detect + redact email/phone patterns, report
+    per-source counts and an exact checksum of the redacted text (sum
+    of 60-bit md5 ints — proves the rewrite is byte-identical across
+    engines, not just counted). PII strings are injected
+    deterministically because the synthetic corpus is clean. Pure
+    regexp codegen — narrow map + one groupBy; at 100 TB this runs at
+    scan speed, the usual bottleneck is regex complexity per MB, so
+    patterns stay RE2-simple (no backtracking blowups)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pii = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user_"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ),
+    )
+    red = pii.select(
+        "source",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").cast("bigint").alias("n_emails"),
+        F.sum("n_phones").cast("bigint").alias("n_phones"),
+        # per-term mod keeps the running sum far from int64 overflow
+        # (each term < 1e9; ~9e9 docs before the sum could wrap)
+        F.sum(md5_int64(F.col("redacted")) % 1000000007)
+        .cast("bigint")
+        .alias("redacted_checksum"),
+    )
+
+
+# ----------------------------------------------- within-doc repetition
+_REP_N = 8  # tokens per non-overlapping passage
+
+_REP_TEXT_DUCK = f"""
+SELECT doc_id, source,
+       CASE WHEN doc_id % 4 = 0
+            THEN text || ' ' || array_to_string({_TOKS_DUCK}[1:16], ' ')
+            ELSE text END AS text
+FROM documents
+"""
+
+
+@query(
+    "doc_repetition",
+    f"""
+WITH rep AS ({_REP_TEXT_DUCK}),
+t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM rep),
+p AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(floor(len(toks) / {_REP_N}) AS INT)),
+                i -> array_to_string(toks[i * {_REP_N} + 1 : i * {_REP_N} + {_REP_N}], ' '))) AS passage
+  FROM t WHERE len(toks) >= {_REP_N}
+),
+ratio AS (
+  SELECT doc_id,
+         1.0e0 - CAST(count(DISTINCT passage) AS DOUBLE) / count(*) AS rep_ratio
+  FROM p GROUP BY 1
+)
+SELECT CAST(least(9, floor(rep_ratio * 10)) AS INT) AS rep_bucket,
+       count(*) AS n_docs,
+       round(avg(rep_ratio), 6) AS avg_rep_ratio
+FROM ratio GROUP BY 1
+""",
+)
+def q_doc_repetition(spark, sf_dir):
+    """Within-document repetition score (Gopher/Dolma-style quality
+    rule): fraction of duplicated 8-token passages inside each doc,
+    bucketed into a decile histogram. Repetition is injected for
+    doc_id % 4 == 0 (append the doc's own first 16 tokens). All
+    map-side until the per-doc distinct count — the groupBy key is
+    doc_id, so the shuffle is |docs|-sized regardless of text bytes;
+    at 100 TB the passage explode never leaves the map task."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    rep = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"), F.lit(" "), F.array_join(F.slice(F.expr(_TOKS), 1, 16), " ")
+            ),
+        ).otherwise(F.col("text")),
+    )
+    toks = rep.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
+        F.size("toks") >= _REP_N
+    )
+    passages = (
+        f"transform(sequence(0, cast(floor(size(toks) / {_REP_N}) as int) - 1), "
+        f"i -> concat_ws(' ', slice(toks, i * {_REP_N} + 1, {_REP_N})))"
+    )
+    p = toks.select("doc_id", F.explode(F.expr(passages)).alias("passage"))
+    ratio = p.groupBy("doc_id").agg(
+        (
+            F.lit(1.0)
+            - F.countDistinct("passage").cast("double") / F.count(F.lit(1))
+        ).alias("rep_ratio")
+    )
+    return (
+        ratio.groupBy(
+            F.least(F.lit(9), F.floor(F.col("rep_ratio") * 10)).cast("int").alias("rep_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("rep_ratio"), 6).alias("avg_rep_ratio"),
+        )
+    )
+
+
+# ------------------------------------------------- corpus n-gram stats
+@query(
+    "top_bigrams",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+b AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+c AS (SELECT bigram, count(*) AS n FROM b GROUP BY 1)
+SELECT bigram, n, CAST(rk AS INT) AS rk
+FROM (SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram ASC) AS rk FROM c)
+WHERE rk <= 50
+""",
+)
+def q_top_bigrams(spark, sf_dir):
+    """Corpus bigram statistics, top-50 (the n-gram LM / contamination
+    -check primitive). Explode stays map-side; the groupBy shuffle
+    carries one row per DISTINCT bigram (partial aggregation), and the
+    global top-k is a tiny second stage (TakeOrdered). The known 100 TB
+    hazard is hot-key skew on stop-bigrams — partial agg absorbs it
+    (map-side combine bounds any single key's shuffle rows by
+    #map-tasks, not #occurrences)."""
+    d = _t(spark, sf_dir, "documents")
+    d = _repartitioned(spark, d.select("doc_id", "text"))
+    toks = d.select(F.expr(_TOKS).alias("toks")).filter(F.size("toks") >= 2)
+    bigrams = "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"
+    b = toks.select(F.explode(F.expr(bigrams)).alias("bigram"))
+    c = b.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    rk = W.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        c.withColumn("rk", F.row_number().over(rk).cast("int"))
+        .filter(F.col("rk") <= 50)
+        .select("bigram", "n", "rk")
+    )
+
+
+# ------------------------------------------- incremental snapshot dedup
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_INCOMING_DUCK = f"""
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id,
+       array_to_string(({_TOKS_DUCK})[1 : len({_TOKS_DUCK}) - 1], ' ') AS text
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+@query(
+    "incremental_dedup",
+    f"""
+WITH existing AS (SELECT DISTINCT md5({_NORM}) AS content_key FROM documents),
+incoming AS ({_INCOMING_DUCK}),
+keyed AS (
+  SELECT doc_id, md5({_NORM}) AS content_key FROM incoming
+),
+labeled AS (
+  SELECT k.doc_id,
+         CASE WHEN e.content_key IS NOT NULL THEN 'dup_of_existing'
+              WHEN k.doc_id > min(k.doc_id) OVER (PARTITION BY k.content_key)
+                   THEN 'dup_within_batch'
+              ELSE 'new' END AS status
+  FROM keyed k LEFT JOIN existing e USING (content_key)
+)
+SELECT status, count(*) AS n_docs FROM labeled GROUP BY 1
+""",
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental (snapshot) dedup — the production shape: a new
+    crawl batch is deduped against the EXISTING corpus (anti-join on
+    content hash) and within itself (min-id per key), without ever
+    re-scanning existing text: only the key column of the existing
+    side is read (column pruning) and at 100 TB that side lives as a
+    bucketed key table so the join is shuffle-free on re-runs. Batch
+    fixture: even doc_ids re-arrive verbatim (dup_of_existing), every
+    third doc arrives with its last token dropped (genuinely new)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = d.select(text.content_hash("text").alias("content_key")).distinct()
+    incoming = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.expr(
+                    f"array_join(slice({_TOKS}, 1, greatest(size({_TOKS}) - 1, 0)), ' ')"
+                ).alias("text"),
+            )
+        )
+    )
+    keyed = incoming.select("doc_id", text.content_hash("text").alias("content_key"))
+    first_id = F.min("doc_id").over(W.partitionBy("content_key"))
+    labeled = (
+        keyed.join(
+            F.broadcast(existing.withColumn("_hit", F.lit(1))), "content_key", "left"
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("_hit").isNotNull(), "dup_of_existing")
+            .when(F.col("doc_id") > first_id, "dup_within_batch")
+            .otherwise("new"),
+        )
+    )
+    return labeled.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --------------------------------------------------- quality filter chain
+@query(
+    "quality_filter_chain",
+    """
+WITH r AS (
+  SELECT CASE WHEN concat_ws(',',
+              CASE WHEN n_chars < 150 THEN 'too_short' END,
+              CASE WHEN n_chars > 450 THEN 'too_long' END,
+              CASE WHEN lang <> 'en' THEN 'non_english' END) = ''
+         THEN 'kept'
+         ELSE concat_ws(',',
+              CASE WHEN n_chars < 150 THEN 'too_short' END,
+              CASE WHEN n_chars > 450 THEN 'too_long' END,
+              CASE WHEN lang <> 'en' THEN 'non_english' END) END AS verdict
+  FROM documents
+)
+SELECT verdict, count(*) AS n_docs FROM r GROUP BY 1
+""",
+)
+def q_quality_filter_chain(spark, sf_dir):
+    """Quality filter chain with per-rule attribution: every document
+    gets the comma-joined list of rules it fails ('kept' if none) —
+    the audit trail a curation pipeline needs to tune thresholds.
+    Rules evaluate independently in one codegen projection (no
+    cascading passes over the text); the aggregate key space is the
+    powerset of rules (tiny), so the shuffle is constant-sized at any
+    corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_chars") < 150, "too_short"),
+        F.when(F.col("n_chars") > 450, "too_long"),
+        F.when(F.col("lang") != "en", "non_english"),
+    )
+    verdict = F.when(reasons == "", "kept").otherwise(reasons).alias("verdict")
+    return d.select(verdict).groupBy("verdict").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# -------------------------------------------- event-funnel interval join
+_FUNNEL_US = 600_000_000  # 10 minutes
+
+
+@query(
+    "funnel_interval_join",
+    f"""
+WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')
+SELECT c.user_id,
+       count(*) AS n_pairs,
+       CAST(min(p.p_us - c.c_us) AS BIGINT) AS min_delay_us,
+       CAST(max(p.p_us - c.c_us) AS BIGINT) AS max_delay_us
+FROM c JOIN p ON p.user_id = c.user_id
+             AND p.p_us > c.c_us AND p.p_us <= c.c_us + {_FUNNEL_US}
+GROUP BY 1
+""",
+)
+def q_funnel_interval_join(spark, sf_dir):
+    """Event-funnel interval join: click -> purchase by the same user
+    within 10 minutes (the batch twin of the stream-stream interval
+    join in tests/test_streaming_join.py). Equi-key on user_id with a
+    time-range residual: Spark executes it as a hash/sort-merge join
+    on user_id with the range as a post-filter — at 100 TB both sides
+    are bucketed by user_id so the join is co-located, and the range
+    bound keeps streaming state finite in the streaming twin."""
+    e = _t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("c_us")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("p_us")
+    )
+    joined = c.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_us") > F.col("c_us"))
+        & (F.col("p_us") <= F.col("c_us") + _FUNNEL_US),
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.col("p_us") - F.col("c_us")).alias("min_delay_us"),
+        F.max(F.col("p_us") - F.col("c_us")).alias("max_delay_us"),
+    )
