@@ -66,6 +66,7 @@ HEADLINE = [
     "incremental_dedup",
     "top_bigrams",
     "funnel_interval_join",
+    "kmeans_profile",
 ]
 
 

@@ -420,6 +420,51 @@ def q_quality_filter_chain(spark, sf_dir):
     return d.select(verdict).groupBy("verdict").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+# ------------------------------------------------- k-means (iterative)
+_KM_DIST = "round(list_sum(list_transform(range(1, len(v) + 1), i -> (v[i] - c[i]) * (v[i] - c[i]))), 6)"
+_KM_EXPL = "unnest(list_transform(range(1, len(v) + 1), i -> {'idx': i, 'x': v[i]}))"
+
+
+@query(
+    "kmeans_profile",
+    f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS c FROM v WHERE vec_id < 8),
+d1 AS (SELECT vec_id, v, cluster, {_KM_DIST} AS dist FROM v CROSS JOIN c0),
+a1 AS (SELECT vec_id, v, cluster, dist FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d1)
+       WHERE rn = 1),
+e1 AS (SELECT cluster, {_KM_EXPL} AS u FROM a1),
+m1 AS (SELECT cluster, u.idx AS idx, round(avg(u.x), 6) AS x FROM e1 GROUP BY 1, 2),
+c1 AS (SELECT cluster, list(x ORDER BY idx) AS c FROM m1 GROUP BY 1),
+d2 AS (SELECT vec_id, v, cluster, {_KM_DIST} AS dist FROM v CROSS JOIN c1),
+a2 AS (SELECT vec_id, v, cluster, dist FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d2)
+       WHERE rn = 1),
+e2 AS (SELECT cluster, {_KM_EXPL} AS u FROM a2),
+m2 AS (SELECT cluster, u.idx AS idx, round(avg(u.x), 6) AS x FROM e2 GROUP BY 1, 2),
+c2 AS (SELECT cluster, list(x ORDER BY idx) AS c FROM m2 GROUP BY 1),
+stats AS (SELECT cluster, count(*) AS n_vecs, round(sum(dist), 4) AS inertia FROM a2 GROUP BY 1)
+SELECT s.cluster, s.n_vecs, s.inertia,
+       round(list_sum(c2.c), 4) AS centroid_checksum
+FROM stats s JOIN c2 USING (cluster)
+""",
+)
+def q_kmeans_profile(spark, sf_dir):
+    """K-means (Lloyd, k=8, 2 rounds) over the embeddings table as
+    declarative iterative dataflow — broadcast centroid join + argmin
+    + per-dimension mean per round, localCheckpoint between rounds
+    (operators/kmeans.py). Inertia is measured against the final
+    round's INPUT centroids; the checksum covers the final update.
+    Oracle: the same two rounds unrolled as CTEs. Determinism: double
+    arithmetic, 6dp rounding before every argmin, ties -> lowest
+    cluster id on both engines."""
+    from etl_sh_design_spark.operators.kmeans import kmeans_cluster_profile
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_cluster_profile(e, k=8, iterations=2)
+
+
 # -------------------------------------------- event-funnel interval join
 _FUNNEL_US = 600_000_000  # 10 minutes
 
