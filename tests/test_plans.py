@@ -79,3 +79,46 @@ def test_binned_equals_broadcast_strategy(spark):
     a = sorted(tuple(r) for r in ray_hits(spark, 3000).collect())
     b = sorted(tuple(r) for r in ray_hits(spark, 3000, strategy="binned").collect())
     assert a == b
+
+
+def test_incremental_dedup_broadcasts_key_side(spark):
+    """The existing-corpus side must broadcast (key column only) —
+    the incoming batch never shuffles for the anti-join."""
+    from etl_sh_design_spark.registry import queries
+
+    df = queries()["incremental_dedup"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_bigrams_partial_agg(spark):
+    """Hot-key (stop-bigram) skew is absorbed map-side: partial
+    HashAggregate must precede the exchange."""
+    from etl_sh_design_spark.registry import queries
+
+    plan = _plan(queries()["top_bigrams"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_funnel_filter_pushdown(spark):
+    """The event_type filters must reach the parquet scan on both join
+    sides."""
+    from etl_sh_design_spark.registry import queries
+
+    plan = _plan(queries()["funnel_interval_join"](spark, SF_SMOKE))
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_zorder_key_stays_in_codegen(spark):
+    """The Morton bit-interleave must compile into whole-stage codegen
+    (no python workers, no BatchEvalPython in the plan)."""
+    from etl_sh_design_spark.registry import queries
+
+    plan = _plan(queries()["zorder_layout"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the interleave is a JVM catalyst expression over the scan output
+    assert "shiftleft" in plan
+    assert plan.count("HashAggregate") >= 2  # partial agg before shuffle
