@@ -278,3 +278,79 @@ def q_json_props_rollup(spark, sf_dir):
             F.max("k").cast("bigint").alias("max_k"),
         )
     )
+
+
+# ----------------------------------------------------- grouping sets
+@query(
+    "grouping_sets_revenue",
+    """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (finer than rollup/cube: an arbitrary
+    lattice subset) with GROUPING() flags to disambiguate NULL-as-total
+    from NULL-as-value. Executes as a single Expand + one aggregate —
+    the multi-set expansion is map-side, so the shuffle carries
+    |sets| x |groups| rows, not |sets| x |input|."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# ------------------------------------------- rank-distribution windows
+@query(
+    "rank_distribution_orders",
+    """
+SELECT o_orderpriority,
+       CAST(least(9, floor(pr * 10)) AS INT) AS pr_decile,
+       count(*) AS n,
+       round(max(cd), 6) AS max_cume_dist
+FROM (
+  SELECT o_orderpriority,
+         round(percent_rank() OVER w, 6) AS pr,
+         round(cume_dist() OVER w, 6) AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+)
+GROUP BY 1, 2
+""",
+)
+def q_rank_distribution(spark, sf_dir):
+    """percent_rank / cume_dist rank distributions per order priority,
+    folded into deciles. The window sorts within each priority
+    partition (one shuffle); the decile fold keeps the checkable
+    surface |priorities| x 10 regardless of scale. Ties broken by
+    o_orderkey so both engines rank identically."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    r = o.select(
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+    return (
+        r.groupBy(
+            "o_orderpriority",
+            F.least(F.lit(9), F.floor(F.col("pr") * 10)).cast("int").alias("pr_decile"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("cd"), 6).alias("max_cume_dist"),
+        )
+    )
