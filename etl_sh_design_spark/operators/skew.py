@@ -38,3 +38,30 @@ def salted_sum_count(
         F.sum("_psum").alias(f"sum_{value_col}"),
         F.sum("_pcnt").alias("cnt"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    row_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-proof equi-join: replicate the small side n_salts times and
+    spread the big side's rows of ANY single key across n_salts
+    reducers (salt = hash of a row-unique column, so it is
+    deterministic and needs no random source).
+
+    Semantically identical to `big.join(small, key)` — the salt is a
+    partitioning trick, not a filter — which is exactly what the
+    oracle query checks. Use when one key holds a disproportionate
+    share of the big side and the small side is too large to broadcast
+    (otherwise broadcast wins and salting is pointless); AQE's skew
+    handling covers sort-merge joins, but salting also fixes skewed
+    SHUFFLED HASH joins and pre-AQE engines, and bounds the worst
+    reducer at |hot key| / n_salts rows."""
+    salted_big = big.withColumn("_salt", F.pmod(F.xxhash64(F.col(row_col)), F.lit(n_salts)))
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
+    )
+    return salted_big.join(salted_small, [key, "_salt"]).drop("_salt")

@@ -509,3 +509,78 @@ def q_funnel_interval_join(spark, sf_dir):
         F.min(F.col("p_us") - F.col("c_us")).alias("min_delay_us"),
         F.max(F.col("p_us") - F.col("c_us")).alias("max_delay_us"),
     )
+
+
+# ------------------------------------------------------- UDTF surface
+_CHUNK_N = 32
+
+
+@query(
+    "udtf_chunk_stats",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(ceil(len(toks) / {_CHUNK_N}.0) AS INT)),
+                i -> {{'chunk_pos': i,
+                       'n_tokens': len(toks[i * {_CHUNK_N} + 1 : i * {_CHUNK_N} + {_CHUNK_N}])}})) AS u
+  FROM t WHERE len(toks) > 0
+)
+SELECT u.chunk_pos AS chunk_pos,
+       count(*) AS n_chunks,
+       CAST(sum(u.n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(min(u.n_tokens) AS INT) AS min_tokens
+FROM c GROUP BY 1
+""",
+)
+def q_udtf_chunk_stats(spark, sf_dir):
+    """Python UDTF (U5, operators/udtf_ops.py) driven through SQL
+    LATERAL: chunk every document into 32-token pieces, aggregate per
+    chunk ordinal. Row-at-a-time Python — deliberately the slow-path
+    twin of the codegen passage splitter; see the module docstring for
+    when each is right. Oracle reproduces the chunking with list
+    slicing."""
+    from etl_sh_design_spark.operators.udtf_ops import register
+
+    register(spark)
+    d = _t(spark, sf_dir, "documents")
+    _repartitioned(spark, d.select("doc_id", "text")).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        f"""
+        SELECT chunk_pos, count(*) AS n_chunks,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(min(n_tokens) AS INT) AS min_tokens
+        FROM docs_udtf, LATERAL chunk_tokens(text, {_CHUNK_N})
+        GROUP BY 1
+        """
+    )
+
+
+# ------------------------------------------------------- salted join
+@query(
+    "salted_join_events",
+    """
+WITH dim AS (
+  SELECT DISTINCT user_id, user_id % 10 AS category FROM events
+)
+SELECT category, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events e JOIN dim USING (user_id)
+GROUP BY 1
+""",
+)
+def q_salted_join_events(spark, sf_dir):
+    """Skew-proof salted equi-join (operators/skew.py:salted_join):
+    the user dimension is replicated n_salts times and each event's
+    salt comes from hashing its row id, so a hot user's rows spread
+    over n_salts reducers. The oracle is the PLAIN join — salting must
+    not change semantics, only the shuffle layout. Pick this over AQE
+    skew-join when the dim is too big to broadcast and a single key
+    dominates a shuffled-hash join."""
+    from etl_sh_design_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    dim = e.select("user_id").distinct().withColumn("category", F.col("user_id") % 10)
+    joined = salted_join(e.select("event_id", "user_id", "value"), dim, "user_id", "event_id")
+    return joined.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
