@@ -584,3 +584,60 @@ def q_salted_join_events(spark, sf_dir):
     return joined.groupBy("category").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
     )
+
+
+# --------------------------------------------- resample + LOCF gap fill
+_STEP_US = 21_600_000_000  # 6 hours
+
+
+@query(
+    "resample_locf_events",
+    f"""
+WITH s AS (
+  SELECT user_id, epoch_us(ts) // {_STEP_US} AS step,
+         round(avg(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT user_id, min(step) AS s0, max(step) AS s1 FROM s GROUP BY 1),
+g AS (SELECT user_id, unnest(range(s0, s1 + 1)) AS step FROM b),
+j AS (
+  SELECT g.user_id, g.step, s.v
+  FROM g LEFT JOIN s ON s.user_id = g.user_id AND s.step = g.step
+)
+SELECT user_id, CAST(step * {_STEP_US} AS BIGINT) AS step_us,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY step
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       v IS NOT NULL AS is_observed
+FROM j
+""",
+)
+def q_resample_locf(spark, sf_dir):
+    """Time-series resampling to a regular 6-hour grid with
+    last-observation-carried-forward gap fill (the feature-pipeline
+    staple for joining irregular events onto a training grid). The
+    per-user grid comes from `sequence()` + explode (map-side, no
+    driver loop); LOCF is one `last(ignorenulls)` running window — a
+    single shuffle on user_id covers bucketing, grid join, and fill.
+    At 100 TB the grid is |users| x |steps| rows, generated ON the
+    user's partition, never materialized centrally."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.select("user_id", (F.unix_micros("ts") / _STEP_US).cast("bigint").alias("step"), "value")
+        .groupBy("user_id", "step")
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    b = s.groupBy("user_id").agg(F.min("step").alias("s0"), F.max("step").alias("s1"))
+    g = b.select("user_id", F.explode(F.sequence("s0", "s1")).alias("step"))
+    j = g.join(s, ["user_id", "step"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("step")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        (F.col("step") * _STEP_US).cast("bigint").alias("step_us"),
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("v").isNotNull().alias("is_observed"),
+    )
