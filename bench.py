@@ -67,6 +67,8 @@ HEADLINE = [
     "top_bigrams",
     "funnel_interval_join",
     "kmeans_profile",
+    "decontamination",
+    "resample_locf_events",
 ]
 
 

@@ -641,3 +641,143 @@ def q_resample_locf(spark, sf_dir):
         F.last("v", ignorenulls=True).over(w).alias("value_filled"),
         F.col("v").isNotNull().alias("is_observed"),
     )
+
+
+# --------------------------------------------------- dataset splitting
+@query(
+    "dataset_split",
+    f"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN {MD5_INT64_SQL.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+              THEN 'train'
+              WHEN {MD5_INT64_SQL.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 95
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, count(*) AS n_docs
+FROM s GROUP BY 1, 2
+""",
+)
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) by hashing a
+    salted doc id — stable across runs and engines, no random source,
+    no shuffle beyond the count (the assignment itself is a map). The
+    property that matters at 100 TB: membership is a pure function of
+    the id, so splits stay consistent when the corpus is re-processed
+    incrementally."""
+    d = _t(spark, sf_dir, "documents")
+    h = md5_int64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test").alias("split")
+    )
+    return d.select("source", split).groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ----------------------------------------------- benchmark decontamination
+_DECON_N = 8
+
+_BENCH_TOKS = f"SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents"
+
+
+@query(
+    "decontamination",
+    f"""
+WITH t AS ({_BENCH_TOKS}),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {_DECON_N - 2}),
+                i -> array_to_string(toks[i : i + {_DECON_N - 1}], ' '))) AS gram
+  FROM t WHERE len(toks) >= {_DECON_N}
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+hits AS (
+  SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
+  FROM g JOIN bench USING (gram)
+  WHERE g.doc_id >= 10
+  GROUP BY 1
+)
+SELECT count(*) AS n_contaminated,
+       CAST(sum(n_shared) AS BIGINT) AS total_shared_grams,
+       CAST(max(n_shared) AS BIGINT) AS max_shared_grams
+FROM hits
+""",
+)
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing any
+    8-gram with a held-out benchmark set (here: doc_id < 10 stands in
+    for the eval set). The benchmark gram set is tiny -> broadcast
+    semi-join against the corpus gram stream; at 100 TB this runs as a
+    map-side hash probe per gram, no corpus shuffle at all (the only
+    aggregation is per contaminated doc). Same skew discipline as all
+    shingle pipelines."""
+    d = _t(spark, sf_dir, "documents")
+    d = _repartitioned(spark, d.select("doc_id", "text"))
+    toks = d.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
+        F.size("toks") >= _DECON_N
+    )
+    grams_expr = (
+        f"transform(sequence(0, size(toks) - {_DECON_N}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {_DECON_N})))"
+    )
+    g = toks.select("doc_id", F.explode(F.expr(grams_expr)).alias("gram"))
+    bench = g.filter(F.col("doc_id") < 10).select("gram").distinct()
+    hits = (
+        g.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.sum("n_shared").cast("bigint").alias("total_shared_grams"),
+        F.max("n_shared").cast("bigint").alias("max_shared_grams"),
+    )
+
+
+# ------------------------------------------------- domain mixture sampling
+_MIX_WEIGHTS = {"src0": 100, "src1": 50, "src2": 25}  # percent x 100 basis: out of 10000
+_MIX_DEFAULT = 10  # 0.1% for every other source
+
+
+@query(
+    "domain_mixture_sample",
+    f"""
+WITH w AS (
+  SELECT source,
+         CASE source
+           WHEN 'src0' THEN 100 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25
+           ELSE {_MIX_DEFAULT} END AS w_bp,
+         {MD5_INT64_SQL.format(x="'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 AS h
+  FROM documents
+)
+SELECT source, count(*) AS n_total,
+       CAST(sum(CASE WHEN h < w_bp * 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM w GROUP BY 1
+""",
+)
+def q_domain_mixture_sample(spark, sf_dir):
+    """Domain-mixture downsampling: per-source keep rates (a literal
+    weight table) applied via deterministic hash thresholding — the
+    mixing step that turns raw source proportions into a training
+    distribution. Pure map + one aggregate; because membership is
+    hash-of-id, re-sampling with a different weight table keeps
+    maximal overlap between samples (nested samples, useful for
+    scaling-law runs)."""
+    d = _t(spark, sf_dir, "documents")
+    expr = F.lit(_MIX_DEFAULT)
+    for src, w in reversed(_MIX_WEIGHTS.items()):
+        expr = F.when(F.col("source") == src, w).otherwise(expr)
+    h = md5_int64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 10000
+    return (
+        d.select("source", expr.alias("w_bp"), h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("h") < F.col("w_bp") * 100).cast("int"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
