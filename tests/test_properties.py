@@ -66,3 +66,34 @@ def test_md5_int64_range(texts):
     for t in texts:
         h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
         assert 0 <= h < (1 << 60)
+
+
+def _greedy_pack_ref(tokens, budget):
+    """Pure-Python reference for greedy_pack within one shard."""
+    chunks = []
+    run, n = 0, 0
+    for tok in tokens:
+        if n == 0 or run + tok > budget:
+            if n > 0:
+                chunks.append((n, run))
+            run, n = 0, 0
+        run += tok
+        n += 1
+    if n > 0:
+        chunks.append((n, run))
+    return chunks
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=900), min_size=0, max_size=60),
+    st.integers(min_value=1, max_value=512),
+)
+def test_greedy_pack_reference_properties(tokens, budget):
+    chunks = _greedy_pack_ref(tokens, budget)
+    assert sum(n for n, _ in chunks) == len(tokens)
+    assert sum(t for _, t in chunks) == sum(tokens)
+    for n, t in chunks:
+        assert t <= budget or n == 1
+    # greediness: merging any adjacent pair would overflow the budget
+    for (_, t1), (_, t2) in zip(chunks, chunks[1:]):
+        assert t1 + t2 > budget
