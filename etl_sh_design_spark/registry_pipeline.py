@@ -781,3 +781,134 @@ def q_domain_mixture_sample(spark, sf_dir):
             .alias("n_kept"),
         )
     )
+
+
+# ------------------------------------------- deterministic shard manifest
+@query(
+    "training_shard_manifest",
+    f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         {MD5_INT64_SQL.format(x="'shard:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+SELECT h % 16 AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(h) AS min_h,
+       max(h) AS max_h,
+       arg_min(doc_id, h) AS first_doc
+FROM h GROUP BY 1
+""",
+)
+def q_training_shard_manifest(spark, sf_dir):
+    """Deterministic global reshuffle for training: every doc gets a
+    stable 60-bit md5 position, shard = h % 16, and the manifest
+    reports per-shard counts/bytes plus the first doc in hash order
+    (min_by). This is the reproducible alternative to
+    `ORDER BY rand()`: re-running on a grown corpus moves no existing
+    doc to a new position, and writers can stream each shard sorted by
+    h without a global sort — one shuffle on the shard key, each task
+    sorting only its own shard (cf. repartitionByRange at real scale).
+    """
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "n_chars",
+        md5_int64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    return h.groupBy((F.col("h") % 16).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("h").alias("min_h"),
+        F.max("h").alias("max_h"),
+        F.min_by("doc_id", "h").alias("first_doc"),
+    )
+
+
+# ----------------------------------------------- vocabulary coverage
+@query(
+    "vocab_coverage",
+    r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')) AS token
+  FROM documents
+),
+freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS tot FROM freq),
+top AS (SELECT token, freq FROM freq ORDER BY freq DESC, token LIMIT 20)
+SELECT token, freq,
+       round(CAST(sum(freq) OVER (ORDER BY freq DESC, token
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / (SELECT tot FROM tot), 6) AS cum_coverage
+FROM top
+""",
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary-coverage curve: top-20 corpus tokens by frequency
+    with the cumulative fraction of all token occurrences they cover —
+    the query behind 'how big must the vocab be to cover 95%'.
+    Token counting is one map-side explode + hash agg; the cumulative
+    window runs on 20 rows AFTER the limit, so the unpartitioned
+    ordered window (normally a red flag) touches only the survivors.
+    (freq DESC, token) is a total order, so top-20 is deterministic
+    across engines."""
+    d = _repartitioned(spark, _t(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        ).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    tot = freq.agg(F.sum("freq").cast("double").alias("tot"))
+    top = freq.orderBy(F.desc("freq"), F.asc("token")).limit(20)
+    w = (
+        W.orderBy(F.desc("freq"), F.asc("token"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return top.join(F.broadcast(tot)).select(
+        "token",
+        "freq",
+        F.round(F.sum("freq").over(w).cast("double") / F.col("tot"), 6).alias(
+            "cum_coverage"
+        ),
+    )
+
+
+# ------------------------------------------------- padding-waste audit
+@query(
+    "padding_waste",
+    f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKS_DUCK}) AS n_tokens FROM documents
+)
+SELECT CAST(ceil(n_tokens / 32.0) * 32 AS BIGINT) AS padded_len,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+       CAST(sum(CAST(ceil(n_tokens / 32.0) * 32 AS BIGINT) - n_tokens) AS BIGINT)
+         AS pad_waste
+FROM t GROUP BY 1
+""",
+)
+def q_padding_waste(spark, sf_dir):
+    """Length-bucketed padding audit: docs padded up to the next
+    multiple of 32 tokens (the fixed-length training-batch layout;
+    32 rather than 128 because the synthetic docs run 10-99 tokens —
+    128 would collapse every doc into one bucket), per-bucket real
+    vs pad-token totals. The complement of sequence_packing:
+    quantifies what naive padding wastes so the packer's win is
+    measurable. Pure map + one hash agg — no Python, no window,
+    scales linearly."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")).alias(
+            "n_tokens"
+        ),
+    )
+    padded = (F.ceil(F.col("n_tokens") / 32.0) * 32).cast("bigint")
+    return t.groupBy(padded.alias("padded_len")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("real_tokens"),
+        F.sum(padded - F.col("n_tokens")).cast("bigint").alias("pad_waste"),
+    )

@@ -354,3 +354,121 @@ def q_rank_distribution(spark, sf_dir):
             F.round(F.max("cd"), 6).alias("max_cume_dist"),
         )
     )
+
+
+# --------------------------------------------------- null-safe equality
+@query(
+    "nullsafe_join_customers",
+    """
+WITH a AS (
+  SELECT c_custkey, nullif(c_nationkey % 7, 3) AS k FROM customer
+),
+b AS (
+  SELECT nullif(n_nationkey % 7, 3) AS k, count(*) AS n_nations
+  FROM nation GROUP BY 1
+)
+SELECT coalesce(CAST(a.k AS VARCHAR), 'NULL') AS k_str,
+       count(*) AS n_customers,
+       CAST(min(b.n_nations) AS BIGINT) AS n_nations
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY 1
+""",
+)
+def q_nullsafe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of dropping — the semantics CDC and
+    late-dimension pipelines need when NULL is a real key value. NULLs
+    are injected via nullif since the driver tables are null-free.
+    Spark executes <=> as a hash join (null-safe keys hash like any
+    value), so the plan is the ordinary broadcast/SMJ shape — no
+    nested-loop penalty."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 7, F.lit(3)).alias("k")
+    )
+    n = (
+        _t(spark, sf_dir, "nation")
+        .select(F.nullif(F.col("n_nationkey") % 7, F.lit(3)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+    j = c.join(n, c["k"].eqNullSafe(n["k"])).select(
+        F.coalesce(c["k"].cast("string"), F.lit("NULL")).alias("k_str"),
+        "n_nations",
+    )
+    return j.groupBy("k_str").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("n_nations").cast("bigint").alias("n_nations"),
+    )
+
+
+# ------------------------------------------- outer-join distribution
+@query(
+    "q13_custdist",
+    """
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY 1
+""",
+)
+def q_q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join with a right-side predicate in
+    the ON clause (push it to WHERE and the semantics silently change:
+    customers whose only orders are urgent must still appear with
+    c_count=0), then a two-level aggregate. At scale: the outer join
+    shuffles on custkey; the second agg is tiny (distinct counts).
+    count(o_orderkey) over the null-extended rows is the non-null
+    count, matching SQL semantics in both engines."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------- scalar subquery + anti join
+@query(
+    "q22_idle_customers",
+    """
+WITH avg_bal AS (
+  SELECT round(avg(c_acctbal), 2) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey % 10 AS code,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+""",
+)
+def q_q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: global-average scalar subquery (broadcast as a
+    1-row cross join), NOT EXISTS anti join (against the customer's
+    urgent orders — the synthetic data gives every customer at least
+    one order, so the anti-join side is the urgent subset to keep the
+    result non-degenerate), then a grouped rollup. The average is
+    rounded to 2dp on both sides before the comparison so the
+    threshold cannot flip on last-bit summation-order differences.
+    At scale the anti join shuffles on custkey (or broadcasts the
+    distinct custkeys of the smaller side); the scalar is one row."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    a = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("a")
+    )
+    rich = c.join(F.broadcast(a)).filter(F.col("c_acctbal") > F.col("a"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy((F.col("c_nationkey") % 10).alias("code")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
