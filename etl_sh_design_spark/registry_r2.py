@@ -472,3 +472,87 @@ def q_q22_idle_customers(spark, sf_dir):
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+# ---------------------------------------------- SCD Type-2 dimension
+@query(
+    "scd2_user_history",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts_us FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type,
+       ts_us AS valid_from_us,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to_us,
+       CAST(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+            AS BOOLEAN) AS is_current
+FROM changes
+""",
+)
+def q_scd2_user_history(spark, sf_dir):
+    """SCD Type-2 dimension build from a change stream: consecutive
+    duplicate states are compacted (only rows where event_type differs
+    from the previous row open a new version), each version carries
+    [valid_from, valid_to) microsecond bounds, and the open version is
+    flagged is_current. The standard CDC -> warehouse-dimension
+    pattern. Two windows over the SAME (user_id, ts) partitioning —
+    Spark reuses one shuffle/sort for both (and for the downstream
+    lead), so the whole build is a single exchange. Ties broken by
+    event_id so both engines pick identical predecessors."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", "ts_us")
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts_us")
+    nxt = F.lead("ts_us").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ------------------------------------------- statistical aggregates
+@query(
+    "regression_stats",
+    """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+       round(stddev_samp(l_extendedprice), 6) AS std_price,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem
+GROUP BY 1
+""",
+)
+def q_regression_stats(spark, sf_dir):
+    """Bivariate statistical aggregates per group: Pearson correlation,
+    sample covariance, stddev, and OLS slope/intercept (price ~ qty).
+    All are single-pass partial-aggregable moments — Catalyst computes
+    them map-side and merges, no second scan, no window. Rounded to
+    6dp: the moment accumulation order differs between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("std_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias("intercept"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+    )

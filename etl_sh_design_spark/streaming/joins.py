@@ -64,3 +64,45 @@ def streaming_funnel_pairs(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_enriched_segment_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "enriched_counts",
+) -> DataFrame:
+    """Stream-static enrichment: the events stream joined to the static
+    customer dimension (user_id = c_custkey) to attach the market
+    segment, then a streaming aggregation of event counts + value sum
+    per segment (complete mode into a memory sink).
+
+    The static side is read fresh per micro-batch and broadcast (it
+    sits under the autoBroadcastJoinThreshold), so the stream is never
+    shuffled for the join — the canonical dimension-enrichment shape.
+    At scale the dimension re-read per batch is the mechanism that
+    picks up slowly-changing dims without restarting the query."""
+    import os
+
+    customers = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        read_events_stream(spark, sf_dir)
+        .join(F.broadcast(customers), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -32,3 +32,28 @@ def test_streaming_funnel_equals_batch(spark):
     w = sorted(tuple(r) for r in want.collect())
     assert g == w
     assert len(g) > 0
+
+
+def test_streaming_enrichment_equals_batch(spark):
+    from etl_sh_design_spark.streaming.joins import streaming_enriched_segment_counts
+
+    got = streaming_enriched_segment_counts(spark, SF_SMOKE, query_name="enrich_t1")
+
+    import os
+
+    customers = spark.read.parquet(os.path.join(SF_SMOKE, "customer.parquet")).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    want = (
+        read_events(spark, SF_SMOKE)
+        .join(customers, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
+    assert len(g) > 0
