@@ -96,11 +96,19 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = fn(spark, SF_DIR)
-            df.count()
+            # noop sink: forces every output column to be computed
+            # (df.count() would let Catalyst prune unused projections
+            # and under-measure map-only queries)
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # keep the bench alive; flag the query
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        # cache hygiene: some operators cache intermediates (minhash /
+        # simhash signatures); dropping them between queries keeps the
+        # 100+-query session from accumulating executor-memory pressure
+        # that degrades later queries by 5-20x.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     headline = {k: timings[k] for k in HEADLINE if k in timings}

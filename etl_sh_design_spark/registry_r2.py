@@ -556,3 +556,112 @@ def q_regression_stats(spark, sf_dir):
         F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias("intercept"),
         F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
     )
+
+
+# ------------------------------------- dedup: representative selection
+@query(
+    "dedup_keep_best",
+    None,  # SQL built below (reuses the dedup_clusters recursion)
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """The decision step after near-dup clustering: per duplicate
+    cluster, KEEP the longest member (ties -> min doc_id) and report
+    what was dropped — the rule production dedup uses so truncated /
+    mutated variants lose to their fuller original. Pipeline:
+    MinHash-LSH pairs -> connected components -> join text lengths ->
+    per-cluster row_number pick. The extra work over dedup_clusters is
+    one broadcast-sized join and a window over clusters (cluster size
+    is bounded, so the window partition never skews). Oracle: the same
+    recursive-CTE closure extended with a ranked representative."""
+    from etl_sh_design_spark.operators.graph import connected_components
+    from etl_sh_design_spark.operators.dedup import minhash_lsh_pairs
+    from etl_sh_design_spark.registry_ext import _corpus_mutated
+
+    corpus = _corpus_mutated(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus)
+    comp = connected_components(
+        corpus.select(F.col("doc_id").alias("node")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    lengths = corpus.select("doc_id", F.length("text").alias("n_chars"))
+    sized = comp.join(lengths, comp["node"] == lengths["doc_id"]).select(
+        "component", "doc_id", "n_chars"
+    )
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = sized.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias("keep_chars"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+    )
+
+
+def _dedup_keep_best_sql() -> str:
+    from etl_sh_design_spark.registry_ext import (
+        CORPUS_MUTATED_SQL,
+        _H_SEED_SHINGLE,
+        _SH,
+    )
+
+    return f"""
+WITH RECURSIVE corpus AS ({CORPUS_MUTATED_SQL}),
+sh AS ({_SH}),
+sig AS (
+  SELECT doc_id, seed, min({_H_SEED_SHINGLE}) AS minh
+  FROM sh CROSS JOIN (SELECT CAST(range AS INT) AS seed FROM range(0, 16))
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b AND sb.seed = sa.seed
+  GROUP BY 1, 2
+  HAVING CAST(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT c.doc_id,
+         least(c.doc_id, coalesce(min(r.dst), c.doc_id)) AS component
+  FROM corpus c LEFT JOIN reach r ON r.src = c.doc_id
+  GROUP BY c.doc_id
+),
+ranked AS (
+  SELECT comp.component, comp.doc_id, length(c2.text) AS n_chars,
+         row_number() OVER (PARTITION BY comp.component
+                            ORDER BY length(c2.text) DESC, comp.doc_id ASC) AS rk
+  FROM comp JOIN corpus c2 ON c2.doc_id = comp.doc_id
+)
+SELECT component AS cluster_id,
+       max(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+       max(CASE WHEN rk = 1 THEN n_chars END) AS keep_chars,
+       count(*) - 1 AS n_dropped
+FROM ranked GROUP BY 1
+"""
+
+
+from etl_sh_design_spark.registry import ORACLE as _ORACLE  # noqa: E402
+
+_ORACLE["dedup_keep_best"] = _dedup_keep_best_sql()
