@@ -665,3 +665,109 @@ FROM ranked GROUP BY 1
 from etl_sh_design_spark.registry import ORACLE as _ORACLE  # noqa: E402
 
 _ORACLE["dedup_keep_best"] = _dedup_keep_best_sql()
+
+
+# --------------------------------------------- time-series features
+_EWMA_ALPHA = 0.5
+_EWMA_DEPTH = 8
+
+
+def _ewma_sql() -> str:
+    a = _EWMA_ALPHA
+    num = " + ".join(
+        f"coalesce({a} * power({1 - a}, {j}) * lag(value, {j}) OVER w, 0.0e0)"
+        for j in range(_EWMA_DEPTH)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL"
+        f" THEN {a} * power({1 - a}, {j}) ELSE 0.0e0 END"
+        for j in range(_EWMA_DEPTH)
+    )
+    return f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       round(({num}) / ({den}), 6) AS ewma8
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+@query("ewma_events", _ewma_sql())
+def q_ewma_events(spark, sf_dir):
+    """Windowed exponential smoothing (depth-8 truncated EWMA) of the
+    event value per user: sum_j a(1-a)^j * lag(value, j), renormalized
+    over the terms that exist near the partition head. The truncation
+    is what keeps the op declarative — a closed-form weighted sum of 8
+    lags instead of the recursive full-history EWMA, which needs a
+    per-key sequential scan (and whose tail weights are < 0.4% here).
+    All 8 lags share one (user_id, ts) sort, so the cost is one
+    exchange regardless of depth."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    a = _EWMA_ALPHA
+    num = sum(
+        (
+            F.coalesce(
+                F.lit(a) * F.lit((1 - a) ** j) * F.lag("value", j).over(w),
+                F.lit(0.0),
+            )
+            for j in range(_EWMA_DEPTH)
+        ),
+        F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(F.lag("value", j).over(w).isNotNull(), F.lit(a * (1 - a) ** j)).otherwise(
+                F.lit(0.0)
+            )
+            for j in range(_EWMA_DEPTH)
+        ),
+        F.lit(0.0),
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round(num / den, 6).alias("ewma8"),
+    )
+
+
+@query(
+    "rolling_median_events",
+    """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       round(median(value) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+         AS med5
+FROM events
+""",
+)
+def q_rolling_median_events(spark, sf_dir):
+    """Rolling exact median (last 5 events per user) — the robust
+    denoiser for sensor/value streams where the mean is outlier-
+    sensitive. Spark rejects median() with a window frame, so the
+    frame's values are gathered with collect_list (bounded at 5) and
+    the median read off the sorted array — same single (user_id, ts)
+    exchange as every other per-user window op, O(frame log frame)
+    per row."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    med = F.when(n % 2 == 1, mid_odd).otherwise(
+        (F.element_at(arr, (n / 2).cast("int")) + mid_hi) / 2.0
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(med, 6).alias("med5"),
+    )

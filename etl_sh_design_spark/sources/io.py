@@ -136,3 +136,24 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON-lines scan with an explicit schema (never inferSchema — a
+    schema-inference pass is a second full read of the data at scale)
+    and PERMISSIVE corrupt-record capture, mirroring the TSV scan's
+    skip-and-report contract (`split_corrupt` works on the result).
+
+    The schema the caller passes must NOT include _corrupt_record;
+    it is appended here."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(full)
+        .json(path)
+    )

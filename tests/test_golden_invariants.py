@@ -195,3 +195,53 @@ def test_multimodal_decode_stub(spark):
     except ImportError:
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(multimodal.to_binary_table(d), fake=False)
+
+
+def test_scd2_interval_invariants(spark):
+    """SCD2 build: per user the version intervals must (a) never
+    overlap, (b) chain exactly (valid_to == next valid_from), (c) have
+    exactly one open (is_current) version, and (d) never repeat the
+    same state consecutively (the compaction contract)."""
+    from etl_sh_design_spark import registry
+
+    df = registry.queries()["scd2_user_history"](spark, SF_SMOKE).cache()
+    try:
+        # one open version per user
+        open_counts = (
+            df.filter(F.col("is_current"))
+            .groupBy("user_id")
+            .count()
+            .filter(F.col("count") != 1)
+        )
+        assert open_counts.count() == 0
+
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("valid_from_us")
+        chained = df.select(
+            "user_id",
+            "event_type",
+            "valid_from_us",
+            "valid_to_us",
+            F.lead("valid_from_us").over(w).alias("next_from"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        # closed intervals chain exactly to the next version
+        bad_chain = chained.filter(
+            F.col("valid_to_us").isNotNull()
+            & (F.col("valid_to_us") != F.col("next_from"))
+        )
+        assert bad_chain.count() == 0
+        # compaction: consecutive versions always differ in state
+        bad_compact = chained.filter(
+            F.col("next_type").isNotNull() & (F.col("event_type") == F.col("next_type"))
+        )
+        assert bad_compact.count() == 0
+        # no zero/negative-length closed intervals
+        bad_len = df.filter(
+            F.col("valid_to_us").isNotNull()
+            & (F.col("valid_to_us") <= F.col("valid_from_us"))
+        )
+        assert bad_len.count() == 0
+    finally:
+        df.unpersist()

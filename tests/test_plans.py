@@ -128,9 +128,9 @@ def test_scd2_single_exchange(spark):
     """SCD2 build: the lag-compaction and lead-expiry windows share the
     (user_id) partitioning, so the whole dimension build needs exactly
     one shuffle exchange."""
-    from etl_sh_design_spark.registry import QUERIES
+    from etl_sh_design_spark import registry
 
-    plan = _plan(QUERIES["scd2_user_history"](spark, SF_SMOKE))
+    plan = _plan(registry.queries()["scd2_user_history"](spark, SF_SMOKE))
     assert plan.count("Exchange") == 1, plan
 
 
@@ -138,9 +138,9 @@ def test_q13_outer_join_keeps_on_clause_filter(spark):
     """Q13: the o_orderpriority predicate must appear as a pushed scan
     filter on the orders side (it is an ON-clause filter of a left
     join, still pushable to the non-preserved side's scan)."""
-    from etl_sh_design_spark.registry import QUERIES
+    from etl_sh_design_spark import registry
 
-    plan = _plan(QUERIES["q13_custdist"](spark, SF_SMOKE))
+    plan = _plan(registry.queries()["q13_custdist"](spark, SF_SMOKE))
     assert "1-URGENT" in plan
     assert "PushedFilters" in plan
 
@@ -149,18 +149,18 @@ def test_q22_anti_join_and_broadcast_scalar(spark):
     """Q22: the NOT EXISTS compiles to a broadcast anti join (the
     urgent-orders side is small) and the scalar average arrives via a
     broadcast, never a shuffle of the customer table for the scalar."""
-    from etl_sh_design_spark.registry import QUERIES
+    from etl_sh_design_spark import registry
 
-    plan = _plan(QUERIES["q22_idle_customers"](spark, SF_SMOKE))
+    plan = _plan(registry.queries()["q22_idle_customers"](spark, SF_SMOKE))
     assert "LeftAnti" in plan, plan
 
 
 def test_regression_stats_partial_agg(spark):
     """Moment aggregates must partial-aggregate before the exchange
     (map-side combine), so the shuffle carries |groups| rows."""
-    from etl_sh_design_spark.registry import QUERIES
+    from etl_sh_design_spark import registry
 
-    plan = _plan(QUERIES["regression_stats"](spark, SF_SMOKE))
+    plan = _plan(registry.queries()["regression_stats"](spark, SF_SMOKE))
     first_agg = plan.index("HashAggregate")
     first_exchange = plan.index("Exchange")
     assert first_agg > first_exchange or "partial" in plan.lower()
@@ -169,7 +169,7 @@ def test_regression_stats_partial_agg(spark):
 def test_vocab_coverage_window_after_limit(spark):
     """The unpartitioned cumulative window must sit ABOVE the top-k
     limit in the plan (it may only ever see k rows)."""
-    from etl_sh_design_spark.registry import QUERIES
+    from etl_sh_design_spark import registry
 
-    plan = _plan(QUERIES["vocab_coverage"](spark, SF_SMOKE))
+    plan = _plan(registry.queries()["vocab_coverage"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan

@@ -53,3 +53,82 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     out = spark.sql("SELECT event_id FROM dedup_t2")
     assert out.count() == ev.count()
     assert out.distinct().count() == ev.count()
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 10-minute watermark: an event
+    arriving in a later micro-batch with event time far below the
+    watermark must be DISCARDED (numRowsDroppedByWatermark counts it)
+    and its already-finalized window keeps the on-time count. This is
+    the late-data contract that makes streaming state finite. Note the
+    late row must arrive in a batch AFTER the one that finalizes its
+    window: within a batch, input is applied to state before eviction,
+    using the watermark computed at batch start."""
+    import datetime as dt
+    import glob
+    import os
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def rows(*specs):
+        return [(i, t0 + dt.timedelta(minutes=m), 1.0) for i, m in specs]
+
+    src = str(tmp_path / "late_src")
+    # batch 1: window [10:00,10:10) gets 3 events; max ts 11:00 puts
+    # the watermark at 10:50 for batch 2
+    spark.createDataFrame(
+        rows((1, 0), (2, 3), (3, 7), (4, 60)), schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    # batch 2: 11:30 advances the watermark to 11:20 and finalizes
+    # (emits) the 10:00 window with n=3
+    spark.createDataFrame(rows((6, 90)), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # batch 3: event_id=5 at 10:05 is 75 min below the watermark -> dropped
+    spark.createDataFrame(rows((5, 5)), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    # force file order = batch order via mtimes (tie -> path order,
+    # which is random uuids)
+    parts = sorted(glob.glob(os.path.join(src, "part-*")), key=os.path.getmtime)
+    for i, p in enumerate(parts):
+        os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_t1")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            p["stateOperators"][0]["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    assert dropped == 1
+    out = [r["n"] for r in spark.sql("SELECT * FROM late_t1").collect() if r["win_start"] == t0]
+    # exactly one emission of the 10:00 window, with only on-time events
+    assert out == [3]
