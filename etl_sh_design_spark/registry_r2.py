@@ -771,3 +771,245 @@ def q_rolling_median_events(spark, sf_dir):
         F.unix_micros("ts").alias("ts_us"),
         F.round(med, 6).alias("med5"),
     )
+
+
+# ------------------------------------------ TPC-H shape batch (round 2b)
+@query(
+    "q7_nation_volume",
+    """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000.0e0) AS BIGINT)) / 10000.0e0, 2) AS volume
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+""",
+)
+def q_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: a 6-relation join chain (fact -> two independent
+    dimension arms) with a cross-arm inequality predicate, grouped by
+    the pair + year. All four dims broadcast; the fact table is
+    touched once and never reshuffled until the final |pairs x years|
+    aggregate. The nation filter prunes both arms at the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nations = ["NATION_1", "NATION_2"]
+    sn = n.filter(F.col("n_name").isin(nations)).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.filter(F.col("n_name").isin(nations)).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+                ).cast("bigint")
+            )
+            / 10000.0,
+            2,
+        ).alias("volume")
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(c.c_acctbal, 2) AS c_acctbal,
+       round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000.0e0) AS BIGINT)) / 10000.0e0, 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND year(o.o_orderdate) = 1996 AND month(o.o_orderdate) <= 3
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def q_q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer in a
+    quarter — selective date + flag predicates pushed to both fact
+    scans, dims broadcast, then a top-20 by revenue (TakeOrdered, no
+    global sort materialization). Ties broken by c_custkey so the
+    LIMIT cut is deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") <= 3)
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+    )
+    return (
+        j.groupBy(
+            "c_custkey", "c_name", "n_name", F.round("c_acctbal", 2).alias("c_acctbal")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+                    ).cast("bigint")
+                )
+                / 10000.0,
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_ratio",
+    """
+SELECT CAST(year(l_shipdate) AS INT) AS l_year,
+       round(100.0e0
+             * sum(CAST(round(CASE WHEN p.p_type = 'PROMO'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0.0e0 END * 10000.0e0) AS BIGINT))
+             / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000.0e0) AS BIGINT)), 6)
+         AS promo_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1
+""",
+)
+def q_q14_promo_ratio(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue
+    share per ship year). The part dim broadcasts; numerator and
+    denominator come out of ONE pass (two conditional sums in the same
+    aggregate), each rounded 2dp before the division so the ratio is
+    engine-deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    cents = lambda c: F.sum(F.round(c * 10000).cast("bigint"))
+    return j.groupBy(F.year("l_shipdate").cast("int").alias("l_year")).agg(
+        F.round(
+            100.0
+            * cents(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / cents(rev),
+            6,
+        ).alias("promo_pct")
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+       round(sum(CAST(round(l.l_quantity * 100.0e0) AS BIGINT)) / 100.0e0, 2) AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+)
+GROUP BY 1, 2
+""",
+)
+def q_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery (large-volume
+    orders) -> semi join against the same fact table, then re-aggregate
+    the survivors. Catalyst plans the IN as a left-semi hash join on
+    orderkey; the HAVING side partial-aggregates map-side so the semi
+    join's build input is |orders|-sized, not |lineitem|-sized."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select("l_orderkey")
+    )
+    j = o.join(big, o.o_orderkey == big.l_orderkey, "left_semi").join(
+        li, li.l_orderkey == o.o_orderkey
+    )
+    return j.groupBy(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")) / 100.0, 2
+        ).alias("total_qty")
+    )
+
+
+@query(
+    "q19_disjunctive_parts",
+    """
+SELECT round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000.0e0) AS BIGINT)) / 10000.0e0, 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 5 AND 20
+       AND l.l_quantity BETWEEN 5 AND 30)
+   OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 20 AND 35
+       AND l.l_quantity BETWEEN 10 AND 40)
+""",
+)
+def q_q19_disjunctive_parts(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst extracts the common join key (equi hash join on partkey)
+    and pushes the part-only disjuncts below the join
+    (p_size/p_brand/p_type union bound) — the predicate-normalization
+    pattern that turns a would-be nested loop into hash join + residual
+    filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(5, 20)
+            & F.col("l_quantity").between(5, 30)
+        )
+        | (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(20, 35)
+            & F.col("l_quantity").between(10, 40)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+                ).cast("bigint")
+            )
+            / 10000.0,
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
