@@ -273,10 +273,19 @@ def find_bv_config(modules: DataFrame, budget: float = 5.0) -> DataFrame:
 
 
 def bv_totals(groups: DataFrame) -> DataFrame:
-    """A9: per-vendor BV totals over the grouping result."""
+    """A9: per-vendor BV totals over the grouping result
+    (bias_voltage.py:142-159 semantics).
+
+    The total is summed as integer micro-amps (group currents rounded
+    to 6dp then scaled) so the reduction is exact and order-independent
+    regardless of partial-aggregation order; a raw double sum rounded
+    to 6dp sits on a rounding knife edge under Spark's nondeterministic
+    accumulation order.
+    """
+    micro = F.round(F.col("sum_current") * 1e6).cast("bigint")
     return groups.groupBy("vendor").agg(
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("n_modules").alias("n_modules"),
-        F.round(F.sum("sum_current"), 6).alias("total_current"),
+        F.round(F.sum(micro) / 1e6, 6).alias("total_current"),
         F.round(F.max("sum_current"), 6).alias("max_group_current"),
     )
