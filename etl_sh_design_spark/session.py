@@ -57,13 +57,21 @@ def get_spark(
 
 
 def read_events(spark: SparkSession, sf_dir: str):
-    """Read the events table, tolerating its TIMESTAMP(NANOS) column.
+    """Read the events table, normalizing ``ts`` to a plain TIMESTAMP.
 
-    Spark has no nanosecond timestamp type; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
-    INT64 nanos, which we truncate to microseconds — exactly what
-    DuckDB's TIMESTAMP (µs) does — so oracle comparisons agree. Set at
-    runtime so it also works under the driver's own SparkSession.
+    The generator has shipped two physical encodings of ``ts``:
+
+    * TIMESTAMP(NANOS) — Spark has no nanos type; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
+      INT64 nanos, which we truncate to microseconds — exactly what
+      DuckDB's TIMESTAMP (µs) does.
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark 4 infers
+      TIMESTAMP_NTZ, on which ``unix_micros`` / ``withWatermark``
+      throw. The session timezone is pinned to UTC (above), so casting
+      NTZ→TIMESTAMP is a bit-exact re-tag matching DuckDB's naive µs
+      timestamps.
+
+    Set at runtime so it also works under the driver's own SparkSession.
     """
     from pyspark.sql import functions as F
 
@@ -75,6 +83,8 @@ def read_events(spark: SparkSession, sf_dir: str):
         # int64 nanos (~1.7e18 > double's 53-bit mantissa) and lands ~2%
         # of rows on the wrong microsecond vs DuckDB's exact truncation.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong); legacy only
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -85,15 +85,27 @@ def streaming_sliding_counts(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (driver tables are
-    single files; pathGlobFilter scopes the directory listing)."""
+    single files; pathGlobFilter scopes the directory listing).
+
+    The stream schema is taken from a batch footer read (cheap — one
+    file footer, no data scan) so both physical ``ts`` encodings the
+    generator has shipped (INT64 nanos, TIMESTAMP(MICROS) NTZ) are
+    normalized to a plain TIMESTAMP exactly like ``session.read_events``.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    physical = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(physical)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # integer division — same precision fix as session.read_events
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
+        # integer division — same precision fix as session.read_events
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def streaming_tumbling_counts(
