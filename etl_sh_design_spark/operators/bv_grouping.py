@@ -276,16 +276,26 @@ def bv_totals(groups: DataFrame) -> DataFrame:
     """A9: per-vendor BV totals over the grouping result
     (bias_voltage.py:142-159 semantics).
 
-    The total is summed as integer micro-amps (group currents rounded
-    to 6dp then scaled) so the reduction is exact and order-independent
-    regardless of partial-aggregation order; a raw double sum rounded
-    to 6dp sits on a rounding knife edge under Spark's nondeterministic
-    accumulation order.
+    Cross-engine determinism: the RAW per-group double sums differ in
+    last ULPs between engines (pandas sequential add vs the oracle's
+    recursive-CTE add), so any quantization of the raw value can land
+    on either side of a .5 boundary. The 6dp-rounded group currents,
+    however, are proven bit-equal across engines (``bv_greedy_groups``
+    hash-matches). So every output here is a function of that rounded
+    value only: scale it to integer micro-amps (exact — a 6dp value
+    times 1e6 is within ~1e-4 of an integer, nowhere near a tie) and
+    sum bigints, which is also order-independent under Spark's
+    nondeterministic partial-aggregation order.
+
+    Semantics note: total_current is the sum of 6dp-quantized group
+    currents, not round(sum(raw), 6) as the reference reports — a
+    deliberate, documented deviation (<= 0.5 micro-amp per group)
+    applied identically on both engines.
     """
-    micro = F.round(F.col("sum_current") * 1e6).cast("bigint")
+    micro = F.round(F.round(F.col("sum_current"), 6) * 1e6).cast("bigint")
     return groups.groupBy("vendor").agg(
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("n_modules").alias("n_modules"),
         F.round(F.sum(micro) / 1e6, 6).alias("total_current"),
-        F.round(F.max("sum_current"), 6).alias("max_group_current"),
+        F.round(F.max(F.round("sum_current", 6)), 6).alias("max_group_current"),
     )
