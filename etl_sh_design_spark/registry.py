@@ -526,14 +526,89 @@ def q_mirror_union(spark, sf_dir):
 # public API consumed by __spark_entry__.py
 # =====================================================================
 
+# The external driver verifies a 50-query prefix of queries() per round.
+# Rounds 1-3 verified the same first-registered 50, leaving the tiling
+# family, config search, packing, SCD2, TPC-H shapes, and the event-
+# window family with only the local sf0.001 oracle gate. This explicit
+# front-of-window list rotates those into the driver's window (plus
+# bv_totals, whose cross-engine fix lands this round); everything else
+# follows in registration order and stays covered by the local gate
+# (tests/test_driver_contract.py replays ALL queries vs DuckDB).
+_DRIVER_WINDOW_PRIORITY = [
+    # tiling pipeline (U4 — the ETL.py:555-715 re-expression)
+    "tile_slots",
+    "tile_runs",
+    "tile_supermodules",
+    "tile_flavor_counts",
+    # W7 config search, packing, SCD2
+    "bv_config_search",
+    "sequence_packing",
+    "scd2_user_history",
+    # TPC-H shapes
+    "q4_priority_exists",
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "q13_custdist",
+    "q14_promo_ratio",
+    "q17_below_avg_qty",
+    "q18_large_orders",
+    "q19_disjunctive_parts",
+    "q22_idle_customers",
+    # A9 fix proof
+    "bv_totals",
+    # event-window family (un-broken by the TIMESTAMP_NTZ fix)
+    "range_frame_events",
+    "sliding_window_events",
+    "ewma_events",
+    "rolling_median_events",
+    "resample_locf_events",
+    "funnel_interval_join",
+    "asof_events",
+    # dedup/pipeline extensions
+    "dedup_keep_best",
+    "passage_dedup",
+    "tfidf_cosine_topk",
+    "incremental_dedup",
+    "decontamination",
+    "top_bigrams",
+    "pii_redaction",
+    "merge_upsert_customers",
+    # remaining never-driver-checked operators
+    "p21_flavor_surgery",
+    "j4_sm_module_pairs",
+    "j5_rounded_equijoin",
+    "j6_ordinal_join",
+    "j9_run_comparison",
+    "a5_slot_state_counts",
+    "a16_histogram_mean",
+    "so3_set_equality",
+    "p6_translate_probe",
+    "string_date_revenue",
+    "zorder_layout",
+    "doc_repetition",
+    "quality_filter_chain",
+    "kmeans_profile",
+    "udtf_chunk_stats",
+    "salted_join_events",
+    "dataset_split",
+]
+
+
+def _windowed(d: dict) -> dict:
+    front = {n: d[n] for n in _DRIVER_WINDOW_PRIORITY if n in d}
+    front.update({n: v for n, v in d.items() if n not in front})
+    return front
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
-    return dict(QUERIES)
+    return _windowed(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     _load_extensions()
-    return dict(ORACLE)
+    return _windowed(dict(ORACLE))
 
 
 def _load_extensions() -> None:

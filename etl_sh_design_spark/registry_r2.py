@@ -838,7 +838,7 @@ def q_q7_nation_volume(spark, sf_dir):
     """
 SELECT c.c_custkey, c.c_name, n.n_name,
        round(c.c_acctbal, 2) AS c_acctbal,
-       round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000.0e0) AS BIGINT)) / 10000.0e0, 2) AS revenue
+       ((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000.0e0) AS BIGINT)) + 50) // 100) / 100.0e0 AS revenue
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -855,7 +855,10 @@ def q_q10_returned_revenue(spark, sf_dir):
     quarter — selective date + flag predicates pushed to both fact
     scans, dims broadcast, then a top-20 by revenue (TakeOrdered, no
     global sort materialization). Ties broken by c_custkey so the
-    LIMIT cut is deterministic."""
+    LIMIT cut is deterministic. Revenue is rounded to cents entirely in
+    bigint ten-thousandths ((micro + 50) div 100) — a double round(x, 2)
+    sits on a half-up knife edge between Spark's decimal-string rounding
+    and DuckDB's binary-double rounding."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") <= 3)
@@ -872,16 +875,14 @@ def q_q10_returned_revenue(spark, sf_dir):
             "c_custkey", "c_name", "n_name", F.round("c_acctbal", 2).alias("c_acctbal")
         )
         .agg(
-            F.round(
-                F.sum(
-                    F.round(
-                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
-                    ).cast("bigint")
-                )
-                / 10000.0,
-                2,
-            ).alias("revenue")
+            F.sum(
+                F.round(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+                ).cast("bigint")
+            ).alias("_micro")
         )
+        .withColumn("revenue", F.expr("((_micro + 50) div 100) / cast(100 as double)"))
+        .drop("_micro")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
