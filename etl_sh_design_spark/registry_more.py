@@ -146,9 +146,19 @@ def q_ordinal_join(spark, sf_dir):
     """J6: match the i-th pinned partition spec to the i-th layout row
     by ordinal (bias_voltage.py:105-114 semantics) — row_number on one
     side, equi-join on the ordinal."""
-    runs = tiling.runs(spark)
-    w = W.orderBy("iy", "start_ix")
-    ranked = runs.withColumn("rn", F.row_number().over(w).cast("int"))
+    # ordinal WITHOUT WindowExec: `runs` is the O(100)-row derived
+    # layout table; rn = |rows sorting at-or-before me| via a broadcast
+    # theta-join (bounded by construction) — no single-partition window.
+    runs = tiling.runs(spark).localCheckpoint(eager=False)
+    r2 = runs.select(F.col("iy").alias("iy2"), F.col("start_ix").alias("sx2"))
+    at_or_before = (F.col("iy2") < F.col("iy")) | (
+        (F.col("iy2") == F.col("iy")) & (F.col("sx2") <= F.col("start_ix"))
+    )
+    ranked = (
+        runs.join(F.broadcast(r2), at_or_before)
+        .groupBy("iy", "start_ix", "n_slots")
+        .agg(F.count(F.lit(1)).cast("int").alias("rn"))
+    )
     mp = datagen.mod_partitions(spark)
     return (
         ranked.join(F.broadcast(mp), ranked.rn == mp.row_ordinal)

@@ -294,20 +294,31 @@ def q_top_bigrams(spark, sf_dir):
     """Corpus bigram statistics, top-50 (the n-gram LM / contamination
     -check primitive). Explode stays map-side; the groupBy shuffle
     carries one row per DISTINCT bigram (partial aggregation), and the
-    global top-k is a tiny second stage (TakeOrdered). The known 100 TB
-    hazard is hot-key skew on stop-bigrams — partial agg absorbs it
-    (map-side combine bounds any single key's shuffle rows by
-    #map-tasks, not #occurrences)."""
+    global top-k is sort().limit(50) — Catalyst's TakeOrderedAndProject,
+    a per-partition heap top-k merged on the driver, NOT a global sort.
+    The rank window then runs over the 50 surviving rows only (a
+    row_number over every distinct bigram would be a single-partition
+    sort of the whole vocabulary — the 100 TB killer). Hot-key skew on
+    stop-bigrams is absorbed by partial agg (map-side combine bounds
+    any single key's shuffle rows by #map-tasks, not #occurrences)."""
     d = _t(spark, sf_dir, "documents")
     d = _repartitioned(spark, d.select("doc_id", "text"))
     toks = d.select(F.expr(_TOKS).alias("toks")).filter(F.size("toks") >= 2)
     bigrams = "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"
     b = toks.select(F.explode(F.expr(bigrams)).alias("bigram"))
     c = b.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
-    rk = W.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    # rank WITHOUT WindowExec: on the 50-row top-k, rk = |rows sorting
+    # at-or-before me| via a broadcast theta-join (O(50^2), bounded by
+    # construction) — no single-partition window anywhere in the plan.
+    top = c.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(50).localCheckpoint(eager=False)
+    t2 = top.select(F.col("n").alias("n2"), F.col("bigram").alias("bigram2"))
+    at_or_before = (F.col("n2") > F.col("n")) | (
+        (F.col("n2") == F.col("n")) & (F.col("bigram2") <= F.col("bigram"))
+    )
     return (
-        c.withColumn("rk", F.row_number().over(rk).cast("int"))
-        .filter(F.col("rk") <= 50)
+        top.join(F.broadcast(t2), at_or_before)
+        .groupBy("bigram", "n")
+        .agg(F.count(F.lit(1)).cast("int").alias("rk"))
         .select("bigram", "n", "rk")
     )
 
@@ -861,15 +872,24 @@ def q_vocab_coverage(spark, sf_dir):
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     tot = freq.agg(F.sum("freq").cast("double").alias("tot"))
-    top = freq.orderBy(F.desc("freq"), F.asc("token")).limit(20)
-    w = (
-        W.orderBy(F.desc("freq"), F.asc("token"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    # cumulative sum WITHOUT WindowExec: over the 20-row top-k,
+    # cum_freq = sum of freq over rows sorting at-or-before me via a
+    # broadcast theta-join (O(20^2), bounded by construction) — no
+    # single-partition window in the plan.
+    top = freq.orderBy(F.desc("freq"), F.asc("token")).limit(20).localCheckpoint(eager=False)
+    t2 = top.select(F.col("freq").alias("freq2"), F.col("token").alias("token2"))
+    at_or_before = (F.col("freq2") > F.col("freq")) | (
+        (F.col("freq2") == F.col("freq")) & (F.col("token2") <= F.col("token"))
     )
-    return top.join(F.broadcast(tot)).select(
+    cum = (
+        top.join(F.broadcast(t2), at_or_before)
+        .groupBy("token", "freq")
+        .agg(F.sum("freq2").alias("cum_freq"))
+    )
+    return cum.join(F.broadcast(tot)).select(
         "token",
         "freq",
-        F.round(F.sum("freq").over(w).cast("double") / F.col("tot"), 6).alias(
+        F.round(F.col("cum_freq").cast("double") / F.col("tot"), 6).alias(
             "cum_coverage"
         ),
     )

@@ -569,20 +569,16 @@ def q_dedup_keep_best(spark, sf_dir):
     what was dropped — the rule production dedup uses so truncated /
     mutated variants lose to their fuller original. Pipeline:
     MinHash-LSH pairs -> connected components -> join text lengths ->
-    per-cluster row_number pick. The extra work over dedup_clusters is
-    one broadcast-sized join and a window over clusters (cluster size
-    is bounded, so the window partition never skews). Oracle: the same
+    per-cluster row_number pick. The component sub-plan is shared with
+    dedup_clusters (registry_ext.dedup_components memoizes it per
+    session), so the extra work over dedup_clusters is one
+    broadcast-sized join and a window over clusters (cluster size is
+    bounded, so the window partition never skews). Oracle: the same
     recursive-CTE closure extended with a ranked representative."""
-    from etl_sh_design_spark.operators.graph import connected_components
-    from etl_sh_design_spark.operators.dedup import minhash_lsh_pairs
-    from etl_sh_design_spark.registry_ext import _corpus_mutated
+    from etl_sh_design_spark.registry_ext import _corpus_mutated, dedup_components
 
     corpus = _corpus_mutated(spark, sf_dir)
-    pairs = minhash_lsh_pairs(corpus)
-    comp = connected_components(
-        corpus.select(F.col("doc_id").alias("node")),
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-    )
+    comp = dedup_components(spark, sf_dir)
     lengths = corpus.select("doc_id", F.length("text").alias("n_chars"))
     sized = comp.join(lengths, comp["node"] == lengths["doc_id"]).select(
         "component", "doc_id", "n_chars"

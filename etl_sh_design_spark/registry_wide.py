@@ -134,14 +134,46 @@ FROM q GROUP BY 1
 """,
 )
 def q_ntile(spark, sf_dir):
-    """Quantile bucketing via ntile(4) (global sort — fine for a
-    dimension; at fact scale use approx percentiles + width_bucket,
-    exposed in `approx_stats`). Tie-broken by c_custkey for
-    determinism."""
-    c = _t(spark, sf_dir, "customer")
-    q = c.select(
-        "c_acctbal",
-        F.ntile(4).over(W.orderBy("c_acctbal", "c_custkey")).alias("quartile"),
+    """Quantile bucketing with exact ntile(4) semantics, computed
+    WITHOUT a global single-partition sort: rows are range-partitioned
+    on the sort key, ranked locally per partition (window partitioned
+    by partition id — P balanced groups, not one), and local ranks are
+    shifted by broadcast per-partition offsets; the ntile bucket is
+    then a closed-form expression of the global rank (first n%4 buckets
+    take floor(n/4)+1 rows). Every shuffle is P-way; nothing ever
+    funnels through one task, so the same plan holds at fact scale.
+    Tie-broken by c_custkey for determinism."""
+    c = _t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    p = spark.sparkContext.defaultParallelism
+    parts = c.repartitionByRange(p, "c_acctbal", "c_custkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    # Range partitioning guarantees partition i's keys all sort before
+    # partition i+1's, so global rank = (rows in earlier partitions) +
+    # local rank — regardless of where the sampled boundaries fell.
+    counts = sorted(
+        (r["pid"], r["cnt"])
+        for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    n = sum(cnt for _, cnt in counts)
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets, schema="pid int, _offset long")
+    wlocal = W.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+    ranked = (
+        parts.withColumn("_lrk", F.row_number().over(wlocal))
+        .join(F.broadcast(off_df), "pid")
+        .withColumn("_rank", F.col("_offset") + F.col("_lrk"))
+    )
+    base, rem = n // 4, n % 4
+    cut = rem * (base + 1)
+    quartile = F.when(
+        F.col("_rank") <= cut, (F.col("_rank") - 1) / max(base + 1, 1)
+    ).otherwise(rem + (F.col("_rank") - cut - 1) / max(base, 1))
+    q = ranked.select(
+        "c_acctbal", (F.floor(quartile) + 1).cast("int").alias("quartile")
     )
     return q.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n"),

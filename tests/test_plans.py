@@ -166,10 +166,38 @@ def test_regression_stats_partial_agg(spark):
     assert first_agg > first_exchange or "partial" in plan.lower()
 
 
-def test_vocab_coverage_window_after_limit(spark):
-    """The unpartitioned cumulative window must sit ABOVE the top-k
-    limit in the plan (it may only ever see k rows)."""
+def test_vocab_coverage_no_window_exec(spark):
+    """The cumulative sum runs as a broadcast theta-join over the
+    checkpointed top-k (bounded rows) — there must be NO WindowExec in
+    the plan at all (an unpartitioned window would be a global
+    single-partition sort)."""
     from etl_sh_design_spark import registry
 
     plan = _plan(registry.queries()["vocab_coverage"](spark, SF_SMOKE))
-    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_top_bigrams_no_window_exec(spark):
+    """Same invariant for the top-bigrams rank: broadcast theta-join
+    rank over the TakeOrdered top-k, no WindowExec anywhere."""
+    from etl_sh_design_spark import registry
+
+    plan = _plan(registry.queries()["top_bigrams"](spark, SF_SMOKE))
+    assert "Window" not in plan
+
+
+def test_ntile_no_global_sort(spark):
+    """ntile_acctbal must not funnel all rows through one partition:
+    every WindowExec in the plan must carry a partition spec (the
+    distributed rank windows are partitioned by range-partition id)."""
+    from etl_sh_design_spark import registry
+
+    plan = _plan(registry.queries()["ntile_acctbal"](spark, SF_SMOKE))
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "partitionBy" not in line or "pid" in line
+    # the giveaway of a global window is an Exchange SinglePartition
+    # feeding a Window/Sort; the only SinglePartition allowed here is
+    # a scalar aggregate (there is none in this query)
+    assert "Exchange SinglePartition" not in plan
