@@ -90,3 +90,104 @@ def filter_blocked_polygons(
         cond = c if cond is None else (cond | c)
     out = out.filter(~cond) if cond is not None else out
     return out.drop(*[f"_in_{name}" for name in polygons])
+
+
+def _segment_intersects_rect(
+    x0: float, y0: float, xe: float, ye: float,
+    rx1: np.ndarray, ry1: np.ndarray, rx2: np.ndarray, ry2: np.ndarray,
+) -> np.ndarray:
+    """Vectorized Liang-Barsky: does the fixed segment (x0,y0)-(xe,ye)
+    intersect each axis-aligned rect (rx1,ry1,rx2,ry2)? A segment fully
+    inside a rect clips to t0=0 <= t1=1, so interior containment counts
+    as intersection (which is what an overlap test wants)."""
+    dx, dy = xe - x0, ye - y0
+    t0 = np.zeros(len(rx1))
+    t1 = np.ones(len(rx1))
+    ok = np.ones(len(rx1), dtype=bool)
+    for p, q in (
+        (-dx, x0 - rx1),
+        (dx, rx2 - x0),
+        (-dy, y0 - ry1),
+        (dy, ry2 - y0),
+    ):
+        if p == 0:
+            ok &= q >= 0  # parallel and outside this slab -> reject
+        else:
+            t = q / p
+            if p < 0:
+                t0 = np.maximum(t0, t)
+            else:
+                t1 = np.minimum(t1, t)
+    return ok & (t0 <= t1)
+
+
+def rects_overlap_polygon(
+    rects: DataFrame,
+    vertices: list[tuple[float, float]],
+    x1: str = "x1",
+    y1: str = "y1",
+    x2: str = "x2",
+    y2: str = "y2",
+    out: str = "overlaps",
+) -> DataFrame:
+    """J3 polygon-polygon (rect x polygon) OVERLAP — the reference's
+    `overlaps(x) or within(x)` predicate (ETL.py:552-553,
+    dee_geometry.py:134-138), not just center containment.
+
+    rect INTERSECTS polygon iff (a) any rect corner is inside the
+    polygon (covers rect-within-polygon), or (b) any polygon edge
+    intersects the rect (Liang-Barsky; covers polygon-within-rect and
+    all boundary crossings). Both are vectorized NumPy over the Arrow
+    batch; the vertex list rides the UDF closure."""
+    verts = [(float(x), float(y)) for x, y in vertices]
+
+    if HAVE_SHAPELY:
+        from shapely.geometry import Polygon, box
+
+        poly = Polygon(verts)
+
+        @F.pandas_udf(T.BooleanType())
+        def _overlaps(ax: pd.Series, ay: pd.Series, bx: pd.Series, by: pd.Series) -> pd.Series:
+            return pd.Series(
+                [poly.intersects(box(a, b, c, d)) for a, b, c, d in zip(ax, ay, bx, by)]
+            )
+
+    else:
+
+        @F.pandas_udf(T.BooleanType())
+        def _overlaps(ax: pd.Series, ay: pd.Series, bx: pd.Series, by: pd.Series) -> pd.Series:
+            rx1, ry1 = ax.values, ay.values
+            rx2, ry2 = bx.values, by.values
+            hit = np.zeros(len(rx1), dtype=bool)
+            for cxs, cys in ((rx1, ry1), (rx1, ry2), (rx2, ry1), (rx2, ry2)):
+                hit |= _ray_cast(cxs, cys, verts)
+            n = len(verts)
+            for i in range(n):
+                vx0, vy0 = verts[i]
+                vx1, vy1 = verts[(i + 1) % n]
+                hit |= _segment_intersects_rect(vx0, vy0, vx1, vy1, rx1, ry1, rx2, ry2)
+            return pd.Series(hit)
+
+    return rects.withColumn(out, _overlaps(F.col(x1), F.col(y1), F.col(x2), F.col(y2)))
+
+
+def filter_blocked_polygons_overlap(
+    rects: DataFrame,
+    polygons: dict[str, list[tuple[float, float]]],
+    x1: str = "x1",
+    y1: str = "y1",
+    x2: str = "x2",
+    y2: str = "y2",
+) -> DataFrame:
+    """J3 strict variant: drop slots whose RECTANGLE overlaps any
+    blocked polygon — excludes overlapping-not-containing slots that
+    the center-point test wrongly keeps."""
+    out = rects
+    for name, verts in polygons.items():
+        out = rects_overlap_polygon(out, verts, x1, y1, x2, y2, out=f"_ov_{name}")
+    cond = None
+    for name in polygons:
+        c = F.col(f"_ov_{name}")
+        cond = c if cond is None else (cond | c)
+    out = out.filter(~cond) if cond is not None else out
+    return out.drop(*[f"_ov_{name}" for name in polygons])

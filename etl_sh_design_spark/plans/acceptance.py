@@ -93,6 +93,80 @@ def acceptance_profile(
     )
 
 
+def mc_sanity_probe(
+    spark: SparkSession, n_rays: int, min_hits: int = 3, strategy: str = "binned"
+) -> DataFrame:
+    """MC sanity re-probe (reference dee_geometry.py:712-810): take the
+    FIRST ray with n >= min_hits hits (the reference picks the first
+    v.n>2 vector), re-project it onto every layer, and re-count the
+    sensors whose active area contains each projected point — the
+    debugging query that confirms high-multiplicity events are real
+    geometry, not bookkeeping.
+
+    One row per layer: (event_id, layer, px, py, n_sensors, hit).
+    The probe id is a 1-row broadcast; the re-projection re-runs the
+    SAME containment predicate as the flagship join, so a bookkeeping
+    bug would show as hit=true on a layer with n_sensors=0 (or vice
+    versa)."""
+    per_ray = ray_hits(spark, n_rays, strategy)
+    probe_id = (
+        per_ray.filter(F.col("n") >= min_hits)
+        .agg(F.min("event_id").alias("event_id"))
+    )
+    rays = datagen.rays(spark, n_rays).join(F.broadcast(probe_id), "event_id")
+    sensors = datagen.sensors(spark)
+    proj = (
+        rays.crossJoin(F.broadcast(datagen.layers(spark)))
+        .withColumn("px", F.col("z_mm") * F.col("tanth") * F.col("cphi"))
+        .withColumn("py", F.col("z_mm") * F.col("tanth") * F.col("sphi"))
+        .select("event_id", "layer", "px", "py")
+    )
+    probed = proj.join(
+        F.broadcast(sensors),
+        (proj["layer"] == sensors["layer"])
+        & (sensors["ax1"] < proj["px"])
+        & (proj["px"] < sensors["ax2"])
+        & (sensors["ay1"] < proj["py"])
+        & (proj["py"] < sensors["ay2"]),
+        "left",
+    )
+    return (
+        probed.groupBy(proj["event_id"], proj["layer"], "px", "py")
+        .agg(F.count(sensors["sensor_id"]).alias("n_sensors"))
+        .select(
+            "event_id",
+            "layer",
+            F.round("px", 6).alias("px"),
+            F.round("py", 6).alias("py"),
+            "n_sensors",
+            (F.col("n_sensors") > 0).alias("hit"),
+        )
+    )
+
+
+def mc_sanity_probe_sql(n_rays: int, min_hits: int = 3) -> str:
+    return (
+        _hits_cte(n_rays)
+        + f""",
+probe AS (SELECT min(event_id) AS event_id FROM per_ray WHERE n >= {min_hits}),
+probe_proj AS (
+  SELECT p.event_id, p.layer, p.px, p.py
+  FROM proj p JOIN probe USING (event_id)
+)
+SELECT pp.event_id, pp.layer,
+       round(pp.px, 6) AS px, round(pp.py, 6) AS py,
+       count(s.sensor_id) AS n_sensors,
+       count(s.sensor_id) > 0 AS hit
+FROM probe_proj pp
+LEFT JOIN sensors s
+  ON s.layer = pp.layer
+ AND s.ax1 < pp.px AND pp.px < s.ax2
+ AND s.ay1 < pp.py AND pp.py < s.ay2
+GROUP BY 1, 2, pp.px, pp.py
+"""
+    )
+
+
 def hit_count_histogram(spark: SparkSession, n_rays: int) -> DataFrame:
     """A10 on the MC result: histogram of n (0..4) — the reference's
     `Hist1D(nHits, "5,-0.5,4.5")` (example.ipynb cell 19)."""

@@ -11,7 +11,10 @@ Stages (all declarative DataFrame ops — no UDFs anywhere):
        whole-stage codegen AND make the whole pipeline SQL-expressible)
 4. W6  neighbor rule: a 'maybe' slot is kept only if its outward
        neighbor (ix+1) in the same row is fully available
-5. W5  gaps-and-islands: contiguous available runs per row
+5. W5  gaps-and-islands: contiguous available runs per row, with the
+       reference's TWO-PASS fallback (ETL.py:646-668): a row whose
+       maybe-led run cannot be covered by a 7-board is re-tiled under
+       the stricter yes-only filter (runs_two_pass_from)
 6. U2  partition lookup join: run length -> readout-board flavors
 7.     placement: running-sum window positions each board in its run
 
@@ -104,16 +107,55 @@ def slots_blocked_table(spark: SparkSession) -> DataFrame:
     )
 
 
-def runs(spark: SparkSession) -> DataFrame:
-    """W5: contiguous available runs per row -> (iy, start_ix, n_slots)."""
-    s = slots(spark).filter(F.col("available"))
+def _runs_from(s: DataFrame) -> DataFrame:
+    """W5 gaps-and-islands over a pre-filtered slot table, keeping the
+    state of each run's first slot (needed by the W6 fallback rule)."""
     w = W.partitionBy("iy").orderBy("ix")
     return (
         s.withColumn("island", F.col("ix") - F.row_number().over(w))
         .groupBy("iy", "island")
-        .agg(F.min("ix").alias("start_ix"), F.count(F.lit(1)).alias("n_slots"))
-        .select("iy", "start_ix", "n_slots")
+        .agg(
+            F.min("ix").alias("start_ix"),
+            F.count(F.lit(1)).alias("n_slots"),
+            F.min_by("state", "ix").alias("first_state"),
+        )
+        .select("iy", "start_ix", "n_slots", "first_state")
     )
+
+
+def runs_two_pass_from(s: DataFrame, pl: DataFrame) -> DataFrame:
+    """W6 two-pass fallback over an arbitrary slot table
+    (reference ETL.py:646-668): pass 1 builds runs over all available
+    slots ('yes' + surviving 'maybe'); a ROW fails validation if any of
+    its runs starts with a 'maybe' slot whose partition leads with a
+    flavor != 7 (getPartition returns largest-first, so ordinal 1 is
+    the largest board — a maybe-led run must be covered by a 7-board).
+    Failed rows are re-tiled under the stricter yes-only filter.
+
+    Everything is row-key-partitioned DataFrame ops: two
+    gaps-and-islands passes, a broadcast lookup join, and an anti/semi
+    row split — no collect, no global shuffle; scales with |rows|."""
+    pass1 = _runs_from(s.filter(F.col("available")))
+    first_flavor = pl.filter(F.col("ordinal") == 1).select(
+        "n", F.col("flavor").alias("first_flavor")
+    )
+    failed_rows = (
+        pass1.join(F.broadcast(first_flavor), pass1.n_slots == first_flavor.n, "left")
+        .filter((F.col("first_state") == "maybe") & (F.col("first_flavor") != 7))
+        .select("iy")
+        .distinct()
+    )
+    kept = pass1.join(failed_rows, "iy", "left_anti")
+    redone = _runs_from(s.filter(F.col("state") == "yes")).join(
+        F.broadcast(failed_rows), "iy", "left_semi"
+    )
+    return kept.unionByName(redone).select("iy", "start_ix", "n_slots")
+
+
+def runs(spark: SparkSession) -> DataFrame:
+    """W5 + W6: contiguous available runs per row with the two-pass
+    fallback -> (iy, start_ix, n_slots)."""
+    return runs_two_pass_from(slots(spark), partition_lookup(spark))
 
 
 def supermodules(spark: SparkSession) -> DataFrame:
@@ -188,15 +230,39 @@ SLOTS_SQL = "WITH " + _slots_sql() + " SELECT iy, ix, state, coalesce(available,
 
 RUNS_CTE = (
     _slots_sql()
-    + """,
-avail AS (SELECT iy, ix FROM slots WHERE available),
+    + f""",
+avail AS (SELECT iy, ix, state FROM slots WHERE available),
 isl AS (
-  SELECT iy, ix, ix - row_number() OVER (PARTITION BY iy ORDER BY ix) AS island
+  SELECT iy, ix, state,
+         ix - row_number() OVER (PARTITION BY iy ORDER BY ix) AS island
   FROM avail
 ),
-runs AS (
-  SELECT iy, CAST(min(ix) AS INT) AS start_ix, count(*) AS n_slots
+runs1 AS (
+  SELECT iy, CAST(min(ix) AS INT) AS start_ix, count(*) AS n_slots,
+         min_by(state, ix) AS first_state
   FROM isl GROUP BY iy, island
+),
+pl_first AS (SELECT n, flavor FROM ({PARTITION_LOOKUP_SQL}) WHERE ordinal = 1),
+failed_rows AS (
+  SELECT DISTINCT r.iy
+  FROM runs1 r LEFT JOIN pl_first p ON r.n_slots = p.n
+  WHERE r.first_state = 'maybe' AND p.flavor != 7
+),
+strict_isl AS (
+  SELECT iy, ix,
+         ix - row_number() OVER (PARTITION BY iy ORDER BY ix) AS island
+  FROM slots WHERE state = 'yes'
+),
+strict_runs AS (
+  SELECT iy, CAST(min(ix) AS INT) AS start_ix, count(*) AS n_slots
+  FROM strict_isl GROUP BY iy, island
+),
+runs AS (
+  SELECT iy, start_ix, n_slots FROM runs1
+  WHERE iy NOT IN (SELECT iy FROM failed_rows)
+  UNION ALL
+  SELECT iy, start_ix, n_slots FROM strict_runs
+  WHERE iy IN (SELECT iy FROM failed_rows)
 )
 """
 )

@@ -77,6 +77,13 @@ def q_hit_histogram(spark, sf_dir):
     return acceptance.hit_count_histogram(spark, N_RAYS)
 
 
+@query("mc_sanity_probe", acceptance.mc_sanity_probe_sql(N_RAYS))
+def q_mc_sanity_probe(spark, sf_dir):
+    """MC sanity re-probe (dee_geometry.py:712-810): first n>=3 ray
+    re-projected per layer with a per-layer containment re-count."""
+    return acceptance.mc_sanity_probe(spark, N_RAYS)
+
+
 @query(
     "sensor_corners",
     f"SELECT layer, sensor_id, x, y, ax1, ax2, ay1, ay2 FROM ({datagen.SENSORS_SQL})",

@@ -200,6 +200,49 @@ def q_occupancy_summary(spark, sf_dir):
 
 
 @query(
+    "occupancy_per_etroc",
+    f"""
+WITH sensors AS ({datagen.SENSORS_SQL}),
+e AS (
+  SELECT layer, etroc, sqrt(ex * ex + y * y) AS r
+  FROM (
+    SELECT layer, y,
+           unnest([x - {datagen.HALF_H!r}, x + {datagen.HALF_H!r}]) AS ex,
+           unnest([0, 1]) AS etroc
+    FROM sensors
+  )
+),
+o AS (SELECT layer, etroc, {physics.OCCUPANCY_SQL.format(r='r')} AS occ FROM e)
+SELECT layer, CAST(etroc AS INT) AS etroc,
+       count(*) AS n_etrocs,
+       round(avg(occ), 6) AS mean_occ,
+       round(max(occ), 6) AS max_occ
+FROM o GROUP BY 1, 2
+""",
+)
+def q_occupancy_per_etroc(spark, sf_dir):
+    """P11 per-ETROC occupancy (ETL.py:154-161, per_etroc=True): each
+    sensor reads out through TWO ETROCs at x -/+ h/2, each with its own
+    occupancy sample — explode(array(x -/+ h/2)) then the same P11
+    curve, summarized per (layer, etroc side). The explode is map-side
+    (2x rows, no shuffle until the layer-sized groupBy)."""
+    s = datagen.sensors(spark)
+    e = s.select(
+        "layer",
+        "y",
+        F.posexplode(
+            F.array(F.col("x") - datagen.HALF_H, F.col("x") + datagen.HALF_H)
+        ).alias("etroc", "ex"),
+    ).withColumn("r", F.sqrt(F.col("ex") ** 2 + F.col("y") ** 2))
+    occ = physics.occupancy("r")
+    return e.groupBy("layer", F.col("etroc").cast("int").alias("etroc")).agg(
+        F.count(F.lit(1)).alias("n_etrocs"),
+        F.round(F.avg(occ), 6).alias("mean_occ"),
+        F.round(F.max(occ), 6).alias("max_occ"),
+    )
+
+
+@query(
     "bandwidth_totals",
     f"""
 WITH sensors AS ({datagen.SENSORS_SQL}),

@@ -245,3 +245,35 @@ def test_scd2_interval_invariants(spark):
         assert bad_len.count() == 0
     finally:
         df.unpersist()
+
+
+def test_w6_two_pass_fallback_crowded_row(spark):
+    """W6 two-pass fallback golden (reference ETL.py:646-668), on a
+    crowded-row fixture where the fallback actually fires.
+
+    Hand-derived from the reference rule: a run starting with a 'maybe'
+    slot whose partition leads with a flavor != 7 fails its ROW, and
+    the row is re-split over 'yes' slots only.
+
+    - iy=0: maybe,yes,yes -> pass-1 run n=3 (maybe-led); partition(3)
+      leads with 3 != 7 -> row FAILS -> strict re-tile gives (1..2), n=2
+    - iy=1: maybe + 6x yes -> n=7 (maybe-led); partition(7) leads with
+      7 -> passes unchanged
+    - iy=2: yes,yes,no,maybe -> available run (0..1) is yes-led ->
+      passes unchanged (the trailing maybe has no 'yes' neighbor and
+      was never available)
+    """
+    from etl_sh_design_spark.operators.partition import partition_lookup
+    from etl_sh_design_spark.plans.tiling import runs_two_pass_from
+
+    rows = []
+    rows += [(0, 0, "maybe", True), (0, 1, "yes", True), (0, 2, "yes", True)]
+    rows += [(1, 0, "maybe", True)] + [(1, i, "yes", True) for i in range(1, 7)]
+    rows += [(2, 0, "yes", True), (2, 1, "yes", True), (2, 2, "no", False), (2, 3, "maybe", False)]
+    slots_df = spark.createDataFrame(rows, "iy INT, ix INT, state STRING, available BOOLEAN")
+
+    got = {
+        (r["iy"], r["start_ix"], r["n_slots"])
+        for r in runs_two_pass_from(slots_df, partition_lookup(spark)).collect()
+    }
+    assert got == {(0, 1, 2), (1, 0, 7), (2, 0, 2)}

@@ -113,3 +113,46 @@ def test_jsonl_scan_permissive(spark, tmp_path):
     good = {r["id"] for r in clean.collect()}
     assert good == {1, 2}
     assert bad.count() == 2
+
+
+def test_rects_overlap_polygon_cases(spark):
+    """J3 polygon-polygon overlap (reference ETL.py:552-553): every
+    geometric relationship class, against a triangle (0,0)(10,0)(0,10)."""
+    from etl_sh_design_spark.operators.polygon import rects_overlap_polygon
+
+    tri = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+    rects = spark.createDataFrame(
+        [
+            # id, x1, y1, x2, y2
+            (0, 4.0, 4.0, 9.0, 9.0),    # overlaps; center (6.5,6.5) OUTSIDE
+            (1, 1.0, 1.0, 2.0, 2.0),    # fully inside polygon
+            (2, -5.0, -5.0, 15.0, 15.0),  # polygon fully inside rect
+            (3, 11.0, 11.0, 12.0, 12.0),  # disjoint
+            (4, 6.0, 6.0, 9.0, 9.0),    # disjoint (past the hypotenuse)
+        ],
+        "rid INT, x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE",
+    )
+    got = {r["rid"]: r["overlaps"] for r in rects_overlap_polygon(rects, tri).collect()}
+    assert got == {0: True, 1: True, 2: True, 3: False, 4: False}
+
+
+def test_overlap_excludes_what_center_test_keeps(spark):
+    """The reference exclusion is overlap-based: a slot OVERLAPPING the
+    blocked polygon without containing its center must be dropped by
+    the strict filter even though the center-point filter keeps it."""
+    from etl_sh_design_spark.operators.polygon import (
+        filter_blocked_polygons,
+        filter_blocked_polygons_overlap,
+    )
+
+    tri = {"nose": [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]}
+    # slot 0: rect (4,4)-(9,9) — overlaps the triangle, center outside it
+    # slot 1: far away — kept by both
+    slots = spark.createDataFrame(
+        [(0, 4.0, 4.0, 9.0, 9.0, 6.5, 6.5), (1, 50.0, 50.0, 60.0, 60.0, 55.0, 55.0)],
+        "slot_id INT, x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE, cx DOUBLE, cy DOUBLE",
+    )
+    by_center = {r["slot_id"] for r in filter_blocked_polygons(slots, tri).collect()}
+    by_overlap = {r["slot_id"] for r in filter_blocked_polygons_overlap(slots, tri).collect()}
+    assert by_center == {0, 1}   # center test wrongly keeps slot 0
+    assert by_overlap == {1}     # overlap test excludes it
