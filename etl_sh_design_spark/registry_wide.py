@@ -269,3 +269,189 @@ def q17_below_avg(spark, sf_dir):
         F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "q8_market_share",
+    """
+WITH rev AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000.0e0) AS BIGINT) AS micro,
+         sn.n_regionkey AS supp_region
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE cr.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_region = 2 THEN micro ELSE 0 END) AS DOUBLE)
+             / CAST(sum(micro) AS DOUBLE), 6) AS asia_share,
+       count(*) AS n_items
+FROM rev GROUP BY 1
+""",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (market share): of PROMO-part revenue sold to
+    AMERICA-region customers, the fraction supplied from ASIA-region
+    (r_regionkey=2) suppliers, per order year. All five dimension
+    joins broadcast; the two fact joins shuffle once on their keys.
+    Revenue is summed as bigint ten-thousandths so the share is a
+    ratio of exact integers (6dp-rounding a ratio double is tie-free,
+    unlike rounding a terminating-decimal quotient)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_regionkey").alias("supp_region"))
+    amer = r.filter(F.col("r_name") == "AMERICA").select(F.col("r_regionkey").alias("c_region"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(amer), "c_region")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    micro = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000).cast(
+        "bigint"
+    )
+    return (
+        j.select(F.year("o_orderdate").alias("o_year"), micro.alias("micro"), "supp_region")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_region") == 2, F.col("micro")).otherwise(F.lit(0))).cast("double")
+                / F.sum("micro").cast("double"),
+                6,
+            ).alias("asia_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+SELECT sn.n_name AS supp_nation, year(o.o_orderdate) AS o_year,
+       ((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000.0e0) AS BIGINT)) + 50) // 100) / 100.0e0 AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE p.p_type = 'ECONOMY'
+GROUP BY 1, 2
+""",
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit, adapted — the testdata has
+    no partsupp/supplycost, so 'profit' is discounted revenue): per
+    (supplier nation, order year) over ECONOMY-type parts. Dimensions
+    broadcast; revenue rounded to cents in bigint ((micro+50) div 100)
+    like q10 — a double round(x,2) of a terminating-decimal quotient
+    sits on the half-up knife edge across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    micro = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000).cast(
+        "bigint"
+    )
+    return (
+        j.select(F.col("n_name").alias("supp_nation"), F.year("o_orderdate").alias("o_year"), micro.alias("micro"))
+        .groupBy("supp_nation", "o_year")
+        .agg(
+            F.expr("((sum(micro) + 50) div 100) / cast(100 as double)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+WITH srev AS (
+  SELECT l.l_suppkey,
+         ((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000.0e0) AS BIGINT)) + 50) // 100) / 100.0e0 AS total_rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE year(o.o_orderdate) = 1996 AND month(o.o_orderdate) <= 3
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, sr.total_rev
+FROM srev sr JOIN supplier s ON s.s_suppkey = sr.l_suppkey
+WHERE sr.total_rev = (SELECT max(total_rev) FROM srev)
+""",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): per-supplier Q1-1996 revenue,
+    keep supplier(s) whose revenue equals the global max — the
+    scalar-subquery-vs-view shape, expressed as one aggregation plus a
+    broadcast 1-row max joined back (no second scan of the fact).
+    Revenue in cents via bigint so the equality compare is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") <= 3)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    micro = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000).cast(
+        "bigint"
+    )
+    srev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_suppkey", micro.alias("micro"))
+        .groupBy("l_suppkey")
+        .agg(F.expr("((sum(micro) + 50) div 100) / cast(100 as double)").alias("total_rev"))
+    )
+    mx = srev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        srev.join(F.broadcast(mx), srev.total_rev == F.col("max_rev"))
+        .join(F.broadcast(s), srev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "q16_supplier_counts",
+    """
+SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE p.p_type <> 'PROMO' AND s.s_name NOT LIKE '%7'
+GROUP BY 1, 2
+""",
+)
+def q16_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape (supplier counts by part attributes, adapted —
+    no partsupp, so supply relationships come from lineitem): distinct
+    suppliers per (brand, size) excluding PROMO parts and suppliers
+    whose name ends in 7 (the NOT LIKE complaint-filter shape).
+    Dimensions broadcast; the count-distinct is a two-level partial
+    aggregation on (brand, size, suppkey) — no fact self-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    s = _t(spark, sf_dir, "supplier").filter(~F.col("s_name").like("%7"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
