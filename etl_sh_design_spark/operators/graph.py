@@ -27,10 +27,13 @@ Two execution strategies behind one API:
    exponentially in the optimizer). Only edge endpoints participate in
    the iteration; isolated nodes are reattached at the end.
 
-For adversarial long-chain graphs at 100 TB, the known upgrade is the
-large-star/small-star variant (Kiveris et al., "Connected Components
-in MapReduce and Beyond", SoCC'14), O(log^2 n) rounds from the same
-join/agg building blocks. Not needed for dedup-shaped graphs.
+3. **Large-star / small-star** (`strategy="star"`): the alternating
+   algorithm of Kiveris et al., "Connected Components in MapReduce and
+   Beyond" (SoCC'14) — O(log^2 n) rounds regardless of graph diameter,
+   from the same groupBy-min + join building blocks. This is the scale
+   path for ADVERSARIAL long-chain graphs where min-label propagation
+   needs O(diameter) rounds; dedup graphs (tiny cliques) don't need it,
+   so "propagate" stays the default distributed strategy.
 """
 
 from __future__ import annotations
@@ -78,6 +81,78 @@ def _union_find_components(edge_rows, nodes: DataFrame, node_col: str) -> DataFr
     )
 
 
+def _star_components(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., SoCC'14) over
+    a symmetrized, materialized edge list. Returns (node, component)
+    for every edge endpoint; component = min reachable node id.
+
+    Each round is two groupBy-min + join passes; the edge list
+    monotonically contracts toward star graphs rooted at each
+    component's min node. Convergence in O(log^2 n) rounds regardless
+    of diameter — the property min-label propagation lacks. The
+    fixpoint test is exact and hash-free: the canonical edge set is a
+    union of stars iff no edge's parent (v) is itself a child (u) of
+    another edge — one semi-join + limit(1) per round.
+    """
+    edges = sym  # symmetric (both directions present), already checkpointed
+
+    def canonical(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        ).filter(F.col("u") != F.col("v")).distinct()
+
+    def has_chains(e: DataFrame) -> bool:
+        parents = e.select(F.col("v").alias("x"))
+        children = e.select(F.col("u").alias("x"))
+        return parents.join(children, "x", "left_semi").limit(1).count() > 0
+
+    cur = canonical(edges).localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_iter):
+        if not has_chains(cur):
+            converged = True
+            break
+        # large-star: per node u over ALL neighbors, attach the
+        # larger neighbors to m = min(N(u) + {u})
+        bi = cur.select("u", "v").unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = bi.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            bi.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        step1 = canonical(large.select(F.col("u").alias("src"), F.col("v").alias("dst")))
+        # small-star: per node u over SMALLER neighbors (canonical
+        # orientation u > v), re-root them all at m = min
+        mins2 = step1.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            step1.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        cur = canonical(
+            small.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        ).localCheckpoint(eager=True)
+    if not converged and has_chains(cur):
+        import warnings
+
+        warnings.warn(
+            f"star components: not a star forest within max_iter={max_iter} rounds; "
+            "labels may be unconverged.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # at the fixpoint every edge is (child, root): child > root = min id
+    roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return cur.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    ).unionByName(roots).distinct()
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -86,6 +161,7 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 25,
     collect_threshold: int = 5_000_000,
+    strategy: str = "propagate",
 ) -> DataFrame:
     """Label every node with its component id = min node id reachable.
 
@@ -95,7 +171,10 @@ def connected_components(
 
     Edge lists up to `collect_threshold` (symmetrized rows) are solved
     with driver union-find (see module docstring); pass 0 to force the
-    distributed iterative path.
+    distributed path. `strategy` picks the distributed algorithm:
+    "propagate" (min-label fixpoint, O(diameter) rounds — right for
+    dedup-shaped clique graphs) or "star" (large-star/small-star,
+    O(log^2 n) rounds — right for adversarial long-chain graphs).
     """
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -114,6 +193,13 @@ def connected_components(
             rows = sym.toLocalIterator()
         return _union_find_components(
             ((r["src"], r["dst"]) for r in rows), nodes, node_col
+        )
+
+    if strategy == "star":
+        star_labels = _star_components(sym, max_iter)
+        all_nodes = nodes.select(F.col(node_col).alias("node"))
+        return all_nodes.join(star_labels, "node", "left").select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
         )
 
     # Only edge endpoints can ever change label; isolated nodes (the

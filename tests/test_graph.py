@@ -79,3 +79,50 @@ def test_cc_on_neardup_pairs(spark):
         comp_min.setdefault(comp, node)
         comp_min[comp] = min(comp_min[comp], node)
     assert all(comp == mn for comp, mn in comp_min.items())
+
+
+def _labels_star(spark, node_ids, edge_pairs, max_iter=25):
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "node bigint")
+    edges = spark.createDataFrame(edge_pairs or [], "src bigint, dst bigint")
+    return _labels(
+        connected_components(
+            nodes, edges, collect_threshold=0, strategy="star", max_iter=max_iter
+        )
+    )
+
+
+def test_cc_star_basic_shapes(spark):
+    """large-star/small-star == union-find on mixed shapes."""
+    node_ids = range(12)
+    edge_pairs = [(0, 1), (1, 2), (3, 4), (5, 6), (6, 7), (7, 8)]
+    assert _labels_star(spark, node_ids, edge_pairs) == _run_both(
+        spark, node_ids, edge_pairs
+    )
+
+
+def test_cc_star_long_chain_few_rounds(spark):
+    """The adversarial case the star variant exists for: a 64-node
+    chain (diameter 63) must close in O(log^2 n) alternations — 8
+    rounds here — where min-label propagation would need ~63."""
+    n = 64
+    got = dict(_labels_star(spark, range(n), [(i, i + 1) for i in range(n - 1)], max_iter=8))
+    assert all(got[i] == 0 for i in range(n))
+
+
+def test_cc_star_random_equivalence(spark):
+    """Randomized (seeded) graph: star == union-find labels exactly."""
+    import random
+
+    rng = random.Random(7)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    uf = _labels(connected_components(nodes, edf))
+    star = _labels(connected_components(nodes, edf, collect_threshold=0, strategy="star"))
+    assert uf == star
+
+
+def test_cc_star_empty_and_isolated(spark):
+    assert _labels_star(spark, range(5), []) == [(i, i) for i in range(5)]
