@@ -932,3 +932,62 @@ def q_padding_waste(spark, sf_dir):
         F.sum("n_tokens").cast("bigint").alias("real_tokens"),
         F.sum(padded - F.col("n_tokens")).cast("bigint").alias("pad_waste"),
     )
+
+
+# ------------------------------------------------- overlapping chunking
+_CHUNK_SIZE, _CHUNK_STRIDE = 128, 96
+
+
+@query(
+    "doc_chunks",
+    f"""
+WITH t AS (SELECT doc_id, len({_TOKS_DUCK}) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens = 0 THEN 0
+              ELSE 1 + (greatest(n_tokens - {_CHUNK_SIZE}, 0) + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}
+         END AS n_chunks
+  FROM t
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(least({_CHUNK_SIZE}, n_tokens - chunk_id * {_CHUNK_STRIDE}) AS INT) AS chunk_len
+FROM (SELECT doc_id, n_tokens, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+""",
+)
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping context-window chunking (size 128, stride 96) —
+    the pretraining precursor to sequence packing: one row
+    per (doc, chunk) with the chunk's token length; the final partial
+    chunk is kept (len < size). Pure map-side integer arithmetic + an
+    explode(sequence(...)) — no shuffle at all until a consumer
+    aggregates, and chunk counts are exact integers on both engines
+    (ceil done as (a + b - 1) div b, no float ceil)."""
+    d = _t(spark, sf_dir, "documents")
+    d = _repartitioned(spark, d.select("doc_id", "text"))
+    t = d.select("doc_id", F.size(F.expr(_TOKS)).alias("n_tokens"))
+    c = t.withColumn(
+        "n_chunks",
+        F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+            1
+            + F.expr(
+                f"(greatest(n_tokens - {_CHUNK_SIZE}, 0) + {_CHUNK_STRIDE} - 1) div {_CHUNK_STRIDE}"
+            )
+        ),
+    )
+    return (
+        c.filter(F.col("n_chunks") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.least(
+                F.lit(_CHUNK_SIZE), F.col("n_tokens") - F.col("chunk_id") * _CHUNK_STRIDE
+            )
+            .cast("int")
+            .alias("chunk_len"),
+        )
+    )
