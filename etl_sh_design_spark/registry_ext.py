@@ -110,7 +110,8 @@ _SH = word_shingles_sql("corpus")
     "ngram_jaccard_neardup",
     f"""
 WITH corpus AS ({CORPUS_MUTATED_SQL}),
-sh AS ({_SH}),
+sh0 AS ({_SH}),
+sh AS (SELECT doc_id, {MD5_INT64_SQL.format(x='shingle')} AS shingle FROM sh0),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 freq AS (SELECT shingle, count(*) AS freq FROM sh GROUP BY 1),
 cold AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle) WHERE freq <= 1000),

@@ -147,8 +147,9 @@ def test_streaming_equals_batch(spark):
 def test_approx_aggregates_sane(spark):
     """Sketch outputs must bracket the exact answers (rows-only query,
     so the sanity bound lives here)."""
-    from etl_sh_design_spark.registry import QUERIES, _t
+    from etl_sh_design_spark.registry import _t, queries
 
+    QUERIES = queries()  # loads extension registries (raw dict is lazy)
     approx = {
         r["l_returnflag"]: r
         for r in QUERIES["approx_stats"](spark, SF_SMOKE).collect()
