@@ -541,6 +541,18 @@ def q_mirror_union(spark, sf_dir):
 # bv_totals, whose cross-engine fix lands this round); everything else
 # follows in registration order and stays covered by the local gate
 # (tests/test_driver_contract.py replays ALL queries vs DuckDB).
+#
+# ROUND-5 ROTATION PLAN: swap this list for the still-never-checked
+# remainder — approx_stats, q6_revenue_change, json_props_rollup,
+# grouping_sets_revenue, rank_distribution_orders,
+# nullsafe_join_customers, regression_stats, domain_mixture_sample,
+# training_shard_manifest, vocab_coverage, padding_waste,
+# cube_qty_marginals, window_frames_orders, ntile_acctbal,
+# stratified_sample_customers, plus this round's additions
+# (occupancy_per_etroc, mc_sanity_probe, q8/q9/q15/q16 shapes,
+# doc_chunks) — topped up with round-4 window members for a full 50.
+# Every query has been pre-validated at sf0.01 under a vanilla session
+# (round-4 full driver simulation: 0 mismatches across all 120).
 _DRIVER_WINDOW_PRIORITY = [
     # tiling pipeline (U4 — the ETL.py:555-715 re-expression)
     "tile_slots",

@@ -201,3 +201,14 @@ def test_ntile_no_global_sort(spark):
     # feeding a Window/Sort; the only SinglePartition allowed here is
     # a scalar aggregate (there is none in this query)
     assert "Exchange SinglePartition" not in plan
+
+
+def test_q8_fact_never_sortmerges(spark):
+    """Q8 shape: all five dimensions broadcast; the lineitem side must
+    reach the final aggregate without a SortMergeJoin (one exchange:
+    the groupBy)."""
+    from etl_sh_design_spark.registry import queries
+
+    plan = _plan(queries()["q8_market_share"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
