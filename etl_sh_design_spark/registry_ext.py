@@ -773,9 +773,10 @@ def dedup_components(spark, sf_dir):
     return comp
 
 
-@query(
-    "dedup_clusters",
-    f"""
+# shared recursive-CTE closure (corpus -> MinHash sigs -> LSH candidates
+# -> threshold pairs -> transitive closure -> per-doc component) used by
+# every cluster-level oracle below
+_DEDUP_CLOSURE_CTE = f"""
 WITH RECURSIVE corpus AS ({CORPUS_MUTATED_SQL}),
 sh AS ({_SH}),
 sig AS (
@@ -817,6 +818,13 @@ comp AS (
   FROM corpus c LEFT JOIN reach r ON r.src = c.doc_id
   GROUP BY c.doc_id
 )
+"""
+
+
+@query(
+    "dedup_clusters",
+    _DEDUP_CLOSURE_CTE
+    + """
 SELECT component AS canonical_id, count(*) AS n_docs
 FROM comp GROUP BY 1
 """,
@@ -830,4 +838,29 @@ def q_dedup_clusters(spark, sf_dir):
     comp = dedup_components(spark, sf_dir)
     return comp.groupBy(F.col("component").alias("canonical_id")).agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "dedup_size_histogram",
+    _DEDUP_CLOSURE_CTE
+    + """
+, clusters AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM clusters GROUP BY 1
+""",
+)
+def q_dedup_size_histogram(spark, sf_dir):
+    """Dedup audit report: the duplicate-cluster SIZE distribution —
+    how many singletons, pairs, triples... and how many raw docs each
+    size class holds (effective unique count = sum of n_clusters).
+    Third consumer of the memoized components sub-plan
+    (dedup_components): two |clusters|-sized aggregations on top, all
+    integer-exact (no float sums, nothing to knife-edge)."""
+    comp = dedup_components(spark, sf_dir)
+    clusters = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
     )
