@@ -69,3 +69,14 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert not math.isnan(rows[0]["eff"])
+
+
+def test_driver_window_is_priority_list():
+    """Regression guard: the external driver verifies the FIRST 50
+    entries of queries() — that prefix must stay exactly the curated
+    rotation list (a silent reorder would quietly un-verify queries)."""
+    from etl_sh_design_spark.registry import _DRIVER_WINDOW_PRIORITY
+
+    names = list(entrymod.queries())
+    assert names[: len(_DRIVER_WINDOW_PRIORITY)] == _DRIVER_WINDOW_PRIORITY
+    assert len(_DRIVER_WINDOW_PRIORITY) == 50
