@@ -170,8 +170,9 @@ HAVING CAST(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0
 )
 def q_minhash_lsh(spark, sf_dir):
     """MinHash(16) + LSH(4 bands x 4 rows) near-dup candidates with
-    estimated Jaccard >= 0.5."""
-    return minhash_lsh_pairs(_corpus_mutated(spark, sf_dir))
+    estimated Jaccard >= 0.5. Shares the memoized pair sub-plan with
+    the cluster-level queries (dedup_lsh_pairs)."""
+    return dedup_lsh_pairs(spark, sf_dir)
 
 
 # ----------------------------------------------------------------- SimHash
@@ -745,14 +746,30 @@ def q_mod_partition_totals(spark, sf_dir):
 
 
 # ------------------------------------------------- duplicate clusters
-# The expensive sub-plan (MinHash signatures -> LSH pairs -> connected
-# components) is shared by dedup_clusters and dedup_keep_best; the
-# components DataFrame is memoized per (session, sf_dir) so the second
-# query reuses the materialized closure instead of recomputing the
-# whole pipeline. connected_components is eager (it counts/collects
-# internally), so the cached frame's remaining lineage is only the
-# cheap label join.
+# The expensive sub-plans (MinHash signatures -> LSH pairs, and pairs
+# -> connected components) are shared by minhash_lsh_neardup,
+# dedup_clusters, dedup_keep_best, and dedup_size_histogram: both
+# intermediate DataFrames are memoized per (session, sf_dir) so later
+# queries reuse the materialized result instead of recomputing the
+# pipeline. connected_components is eager (it counts/collects
+# internally), so the cached frames' remaining lineage is only the
+# cheap tail.
+_DEDUP_PAIRS_CACHE: dict = {}
 _DEDUP_COMPONENTS_CACHE: dict = {}
+
+
+def dedup_lsh_pairs(spark, sf_dir):
+    """(id_a, id_b, est_jaccard) MinHash-LSH pairs over the mutated
+    corpus — memoized."""
+    key = (id(spark), sf_dir)
+    got = _DEDUP_PAIRS_CACHE.get(key)
+    if got is not None:
+        return got
+    pairs = minhash_lsh_pairs(_corpus_mutated(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    _DEDUP_PAIRS_CACHE[key] = pairs
+    return pairs
 
 
 def dedup_components(spark, sf_dir):
@@ -764,7 +781,7 @@ def dedup_components(spark, sf_dir):
     if got is not None:
         return got
     corpus = _corpus_mutated(spark, sf_dir)
-    pairs = minhash_lsh_pairs(corpus)
+    pairs = dedup_lsh_pairs(spark, sf_dir)
     comp = connected_components(
         corpus.select(F.col("doc_id").alias("node")),
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
