@@ -73,3 +73,59 @@ def test_layout_export_pipeline(spark, tmp_path):
     assert back.count() == 4
     ys = sorted(r["y"] for r in back.filter(F.col("x") == 100.0).collect())
     assert abs(ys[0] - (200.0 - 10.95)) < 1e-9 and abs(ys[1] - (200.0 + 10.95)) < 1e-9
+
+
+def test_stateful_running_totals_tws(spark, tmp_path):
+    """transformWithStateInPandas twin accumulates identically to the
+    applyInPandasWithState operator and to the batch aggregate."""
+    import pytest
+
+    from etl_sh_design_spark.streaming.stateful import HAVE_TWS
+
+    if not HAVE_TWS:
+        pytest.skip("pyspark < 4: no transformWithStateInPandas")
+    from etl_sh_design_spark.streaming.stateful import running_user_totals_tws
+
+    ev = read_events(spark, SF_SMOKE)
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    other = ev.filter(F.col("event_id") % 2 == 1)
+    src_dir = str(tmp_path / "stream_src_tws")
+    half.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    other.coalesce(1).write.mode("append").parquet(src_dir)
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = running_user_totals_tws(stream)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("stateful_totals_tws")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_batches = len(q.recentProgress)
+        finally:
+            q.stop()
+        assert n_batches >= 2
+        updates = spark.sql("SELECT * FROM stateful_totals_tws")
+        final = updates.groupBy("user_id").agg(
+            F.max("n").alias("n"), F.max("sum_value").alias("sum_value")
+        )
+        expected = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        got = {r["user_id"]: (r["n"], r["sum_value"]) for r in final.collect()}
+        want = {r["user_id"]: (r["n"], r["sum_value"]) for r in expected.collect()}
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
