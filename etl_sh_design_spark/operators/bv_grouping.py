@@ -161,20 +161,30 @@ def _config_search_factory(budget: float):
         """W7: exact search over consecutive-split configs of one SM
         (<= 7 modules -> <= 64 masks; ETL.py:423-493 semantics): pick
         the valid split with fewest segments, then the most
-        current-balanced, then the lowest mask (deterministic)."""
+        current-balanced, then the lowest mask (deterministic).
+
+        Currents are quantized to integer micro-amps up front
+        (floor(c*1e6 + 0.5), matching SQL round-half-away on the
+        bit-identical module currents), so the budget check, the
+        balance tie-break, and the reported segment sums are exact
+        integer arithmetic — which is what makes this search
+        DuckDB-oracle-checkable instead of rows-only: raw float
+        partial sums would knife-edge both the validity predicate and
+        the balance comparison across engines."""
         pdf = pdf.sort_values(["r_max", "module_id"], ascending=[False, True])
-        cur = list(pdf["current"])
+        cur_micro = [int(math.floor(c * 1e6 + 0.5)) for c in pdf["current"]]
         rmin = list(pdf["r_min"])
         rmax = list(pdf["r_max"])
-        n = len(cur)
-        csum = [0.0]
-        for c in cur:
+        n = len(cur_micro)
+        budget_micro = int(math.floor(budget * 1e6 + 0.5))
+        csum = [0]
+        for c in cur_micro:
             csum.append(csum[-1] + c)
         limit_cache = {}
         vendor = pdf["vendor"].iloc[0]
 
         def seg_ok(a: int, b: int) -> bool:
-            if csum[b] - csum[a] > budget:
+            if csum[b] - csum[a] > budget_micro:
                 return False
             rmx = max(rmax[a:b])
             if rmx not in limit_cache:
@@ -199,8 +209,8 @@ def _config_search_factory(budget: float):
                 band,
                 smo,
                 k,
-                b - a,
-                sum(cur[a:b]),
+                (b - a),
+                (csum[b] - csum[a]) / 1e6,
                 min(rmin[a:b]),
                 max(rmax[a:b]),
             )
