@@ -596,55 +596,12 @@ def q_dedup_keep_best(spark, sf_dir):
 
 
 def _dedup_keep_best_sql() -> str:
-    from etl_sh_design_spark.registry_ext import (
-        CORPUS_MUTATED_SQL,
-        _H_SEED_SHINGLE,
-        _SH,
-    )
+    from etl_sh_design_spark.registry_ext import _DEDUP_CLOSURE_CTE
 
-    return f"""
-WITH RECURSIVE corpus AS ({CORPUS_MUTATED_SQL}),
-sh AS ({_SH}),
-sig AS (
-  SELECT doc_id, seed, min({_H_SEED_SHINGLE}) AS minh
-  FROM sh CROSS JOIN (SELECT CAST(range AS INT) AS seed FROM range(0, 16))
-  GROUP BY 1, 2
-),
-bands AS (
-  SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band,
-         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
-  FROM sig GROUP BY 1, 2
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-  WHERE a.doc_id < b.doc_id
-),
-pairs AS (
-  SELECT id_a, id_b
-  FROM cand
-  JOIN sig sa ON sa.doc_id = id_a
-  JOIN sig sb ON sb.doc_id = id_b AND sb.seed = sa.seed
-  GROUP BY 1, 2
-  HAVING CAST(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 >= 0.5
-),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION
-  SELECT id_b, id_a FROM pairs
-),
-reach(src, dst) AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-),
-comp AS (
-  SELECT c.doc_id,
-         least(c.doc_id, coalesce(min(r.dst), c.doc_id)) AS component
-  FROM corpus c LEFT JOIN reach r ON r.src = c.doc_id
-  GROUP BY c.doc_id
-),
-ranked AS (
+    return (
+        _DEDUP_CLOSURE_CTE
+        + """
+, ranked AS (
   SELECT comp.component, comp.doc_id, length(c2.text) AS n_chars,
          row_number() OVER (PARTITION BY comp.component
                             ORDER BY length(c2.text) DESC, comp.doc_id ASC) AS rk
@@ -656,6 +613,7 @@ SELECT component AS cluster_id,
        count(*) - 1 AS n_dropped
 FROM ranked GROUP BY 1
 """
+    )
 
 
 from etl_sh_design_spark.registry import ORACLE as _ORACLE  # noqa: E402
