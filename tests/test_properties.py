@@ -97,3 +97,48 @@ def test_greedy_pack_reference_properties(tokens, budget):
     # greediness: merging any adjacent pair would overflow the budget
     for (_, t1), (_, t2) in zip(chunks, chunks[1:]):
         assert t1 + t2 > budget
+
+
+def test_ntile_closed_form_matches_definition():
+    """The distributed ntile_acctbal computes buckets from a closed
+    form of the global rank; for every n the resulting bucket sizes
+    must equal SQL ntile(4)'s definition (first n%4 buckets take
+    floor(n/4)+1 rows) and be monotone in rank."""
+    from collections import Counter
+
+    for n in range(1, 500):
+        base, rem = divmod(n, 4)
+        cut = rem * (base + 1)
+        buckets = []
+        for r in range(1, n + 1):
+            if r <= cut:
+                q = (r - 1) // max(base + 1, 1) + 1
+            else:
+                q = rem + (r - cut - 1) // max(base, 1) + 1
+            buckets.append(q)
+        got = Counter(buckets)
+        want = {
+            i + 1: (base + 1 if i < rem else base)
+            for i in range(4)
+            if (base + 1 if i < rem else base) > 0
+        }
+        assert got == dict(want), n
+        assert buckets == sorted(buckets), n
+
+
+def test_chunk_count_formula_matches_reference_loop():
+    """doc_chunks' integer ceil formula must equal the naive
+    chunking loop (starts at 0, advance by stride while the window
+    doesn't reach the end) for every token count."""
+    size, stride = 128, 96
+    for n_tokens in range(0, 2000):
+        if n_tokens == 0:
+            formula = 0
+        else:
+            formula = 1 + (max(n_tokens - size, 0) + stride - 1) // stride
+        starts = [0] if n_tokens > 0 else []
+        while starts and starts[-1] + size < n_tokens:
+            starts.append(starts[-1] + stride)
+        assert formula == len(starts), n_tokens
+        for st in starts:
+            assert 1 <= min(size, n_tokens - st) <= size
