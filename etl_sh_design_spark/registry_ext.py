@@ -372,6 +372,85 @@ def q_similarity_ivf(spark, sf_dir):
 
 
 @query(
+    "ann_recall_at_k",
+    f"""
+WITH ve AS ({_VE}),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ve GROUP BY 1),
+bdots AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.v * c.v) AS dot
+  FROM ve q JOIN ve c ON q.d = c.d AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10 GROUP BY 1, 2
+),
+brute AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC, cid ASC) AS rk
+    FROM bdots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
+  ) WHERE rk <= 3
+),
+planes AS (
+  SELECT j, d,
+         ({MD5_INT64_SQL.format(x="CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)")} % 2) * 2 - 1 AS sign
+  FROM (SELECT CAST(range AS INT) AS j FROM range(0, 4)),
+       (SELECT CAST(range AS INT) AS d FROM range(0, 64))
+),
+proj AS (
+  SELECT vec_id, j, round(sum(sign * v), 6) AS proj
+  FROM ve JOIN planes USING (d) GROUP BY 1, 2
+),
+sig AS (
+  SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN 1 << j ELSE 0 END) AS INT) AS bucket
+  FROM proj GROUP BY 1
+),
+cand AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid
+  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+adots AS (
+  SELECT cand.qid, cand.cid, sum(q.v * c.v) AS dot
+  FROM cand JOIN ve q ON q.vec_id = cand.qid
+            JOIN ve c ON c.vec_id = cand.cid AND c.d = q.d
+  GROUP BY 1, 2
+),
+ann AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC, cid ASC) AS rk
+    FROM adots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
+  ) WHERE rk <= 3
+)
+SELECT b.qid, CAST(count(a.cid) AS INT) AS n_hits,
+       round(count(a.cid) / 3.0e0, 6) AS recall
+FROM brute b LEFT JOIN ann a ON a.qid = b.qid AND a.cid = b.cid
+GROUP BY 1
+""",
+)
+def q_ann_recall(spark, sf_dir):
+    """ANN quality evaluation: recall@3 of the SRP-LSH index against
+    the exact brute-force top-3, per query vector — the standard ANN
+    acceptance metric, computed as a join of the two existing
+    pipelines (no new math). Integer hit counts, so cross-engine
+    exact; at scale this is the query you run before trusting an
+    index over 10^9 embeddings."""
+    from etl_sh_design_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = cosine_topk(q, e, k=3).select("qid", "cid")
+    ann = lsh_bucket_topk(q, e, k=3, n_planes=4).select(
+        F.col("qid").alias("aqid"), F.col("cid").alias("acid")
+    )
+    j = brute.join(ann, (brute.qid == ann.aqid) & (brute.cid == ann.acid), "left")
+    return j.groupBy("qid").agg(
+        F.count("acid").cast("int").alias("n_hits"),
+        F.round(F.count("acid") / 3.0, 6).alias("recall"),
+    )
+
+
+@query(
     "embedding_neardup",
     f"""
 WITH ve AS ({_VE}),
