@@ -99,7 +99,8 @@ scan AS (
   FROM scan s JOIN d n ON n.shard = s.shard AND n.rn = s.rn + 1
 ),
 chunks AS (
-  SELECT shard, chunk_id, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+  SELECT shard, chunk_id, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
   FROM scan GROUP BY 1, 2
 )
 """

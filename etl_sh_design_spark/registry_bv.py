@@ -153,7 +153,8 @@ def q_bv_greedy(spark, sf_dir):
     "bv_totals",
     _GREEDY_SCAN_SQL
     + """
-SELECT vendor, count(*) AS n_groups, sum(n_modules) AS n_modules,
+SELECT vendor, count(*) AS n_groups,
+       CAST(sum(n_modules) AS BIGINT) AS n_modules,
        round(sum(CAST(round(round(sum_current, 6) * 1e6) AS BIGINT)) / 1e6, 6) AS total_current,
        round(max(round(sum_current, 6)), 6) AS max_group_current
 FROM bv_groups GROUP BY 1

@@ -37,6 +37,85 @@ def _normalize(rows, colnames):
 QUERY_NAMES = sorted(entrymod.queries().keys())
 
 
+# ------------------------------------------------------------------
+# Driver-faithful dtype gate. The round-4 driver reds (bv_totals,
+# sequence_packing) were NOT value bugs: DuckDB widens an uncast
+# integer sum() to HUGEINT, which the driver's pandas-path hasher
+# renders as `7040.0` while Spark's bigint renders `7040`. fetchall()
+# (used below for values) converts HUGEINT to a Python int, so the
+# value comparison alone can never see this class. So we additionally
+# compare the *type class* of every output column: DuckDB DESCRIBE
+# (no execution) vs the Spark schema. Any class mismatch — or any
+# DuckDB type outside the classes both engines render identically —
+# is exactly the set of dtype differences the driver's hasher turns
+# into a red row.
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE"}
+
+
+def _duck_class(t: str) -> str:
+    t = t.upper()
+    if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+        return "WIDE"  # pandas-renders as float/Decimal: always a hash hazard
+    if t in _DUCK_INT:
+        return "int"
+    if t in _DUCK_FLOAT:
+        return "float"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST")):
+        return "nested"
+    return "str"
+
+
+def _spark_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "WIDE"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+        return "nested"
+    return "str"
+
+
+def _assert_dtype_parity(name, sdf, duck, sql):
+    desc = duck.execute("DESCRIBE " + sql).fetchall()
+    duck_types = {r[0]: r[1] for r in desc}
+    spark_types = {f.name: f.dataType for f in sdf.schema.fields}
+    for col in sorted(duck_types):
+        dc = _duck_class(duck_types[col])
+        assert dc != "WIDE", (
+            f"{name}.{col}: oracle type {duck_types[col]} widens past BIGINT "
+            "(DuckDB HUGEINT/DECIMAL hashes as float on the driver) — add an "
+            "explicit CAST in the oracle SQL"
+        )
+        if col in spark_types:
+            sc = _spark_class(spark_types[col])
+            assert sc == dc, (
+                f"{name}.{col}: dtype class mismatch — spark "
+                f"{spark_types[col].simpleString()} ({sc}) vs oracle "
+                f"{duck_types[col]} ({dc}); the driver hasher renders these "
+                "differently even when values are equal"
+            )
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(name, spark, duck):
     q = entrymod.queries()[name]
@@ -50,6 +129,8 @@ def test_query_matches_oracle(name, spark, duck):
         assert len(spark_rows) >= 0
         return
 
+    _assert_dtype_parity(name, sdf, duck, sql)
+
     res = duck.execute(sql)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
@@ -62,6 +143,21 @@ def test_query_matches_oracle(name, spark, duck):
     assert ndiff == 0, f"{name}: {ndiff}/{len(a)} rows differ; first: " + str(
         next(((x, y) for x, y in zip(a, b) if x != y), None)
     )
+
+
+def test_dtype_gate_catches_uncast_integer_sum(duck):
+    """Regression for the round-4 driver reds (bv_totals,
+    sequence_packing): an uncast integer sum() widens to HUGEINT in
+    DuckDB and must register as a hash hazard here, even though
+    fetchall() erases it from the value comparison."""
+    desc = duck.execute(
+        "DESCRIBE SELECT sum(x) AS s FROM (SELECT 1 AS x) t"
+    ).fetchall()
+    assert _duck_class(desc[0][1]) == "WIDE"
+    desc = duck.execute(
+        "DESCRIBE SELECT CAST(sum(x) AS BIGINT) AS s FROM (SELECT 1 AS x) t"
+    ).fetchall()
+    assert _duck_class(desc[0][1]) == "int"
 
 
 def test_entry_smoke(spark):
