@@ -91,8 +91,13 @@ def _star_components(sym: DataFrame, max_iter: int) -> DataFrame:
     component's min node. Convergence in O(log^2 n) rounds regardless
     of diameter — the property min-label propagation lacks. The
     fixpoint test is exact and hash-free: the canonical edge set is a
-    union of stars iff no edge's parent (v) is itself a child (u) of
-    another edge — one semi-join + limit(1) per round.
+    union of MIN-rooted stars iff (a) no edge's parent (v) is itself a
+    child (u) of another edge — rules out chains — AND (b) every child
+    u appears in exactly one edge — rules out a star centered at its
+    MAX node (e.g. {(2,4),(3,4)}: chain-free, yet node 4 has two
+    parents, so emitting (u, v) rows would label it twice). Two
+    semi-join/agg + limit(1) probes per round; one more round always
+    resolves the max-centered-star state.
     """
     edges = sym  # symmetric (both directions present), already checkpointed
 
@@ -101,15 +106,19 @@ def _star_components(sym: DataFrame, max_iter: int) -> DataFrame:
             F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
         ).filter(F.col("u") != F.col("v")).distinct()
 
-    def has_chains(e: DataFrame) -> bool:
+    def not_star_forest(e: DataFrame) -> bool:
         parents = e.select(F.col("v").alias("x"))
         children = e.select(F.col("u").alias("x"))
-        return parents.join(children, "x", "left_semi").limit(1).count() > 0
+        if parents.join(children, "x", "left_semi").limit(1).count() > 0:
+            return True  # some parent is another edge's child: a chain
+        # chain-free but a child attached to >1 root: max-centered star
+        dup = e.groupBy("u").count().filter(F.col("count") > 1)
+        return dup.limit(1).count() > 0
 
     cur = canonical(edges).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
-        if not has_chains(cur):
+        if not not_star_forest(cur):
             converged = True
             break
         # large-star: per node u over ALL neighbors, attach the
@@ -135,7 +144,7 @@ def _star_components(sym: DataFrame, max_iter: int) -> DataFrame:
         cur = canonical(
             small.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         ).localCheckpoint(eager=True)
-    if not converged and has_chains(cur):
+    if not converged and not_star_forest(cur):
         import warnings
 
         warnings.warn(

@@ -534,83 +534,75 @@ def q_mirror_union(spark, sf_dir):
 # =====================================================================
 
 # The external driver verifies a 50-query prefix of queries() per round.
-# Rounds 1-3 verified the same first-registered 50, leaving the tiling
-# family, config search, packing, SCD2, TPC-H shapes, and the event-
-# window family with only the local sf0.001 oracle gate. This explicit
-# front-of-window list rotates those into the driver's window (plus
-# bv_totals, whose cross-engine fix lands this round); everything else
-# follows in registration order and stays covered by the local gate
-# (tests/test_driver_contract.py replays ALL queries vs DuckDB).
-#
-# ROUND-5 ROTATION PLAN: swap this list for the still-never-checked
-# remainder — approx_stats, q6_revenue_change, json_props_rollup,
-# grouping_sets_revenue, rank_distribution_orders,
-# nullsafe_join_customers, regression_stats, domain_mixture_sample,
-# training_shard_manifest, vocab_coverage, padding_waste,
-# cube_qty_marginals, window_frames_orders, ntile_acctbal,
-# stratified_sample_customers, plus this round's additions
-# (occupancy_per_etroc, mc_sanity_probe, q8/q9/q15/q16 shapes,
-# doc_chunks) — topped up with round-4 window members for a full 50.
-# Every query has been pre-validated at sf0.01 under a vanilla session
-# (round-4 full driver simulation: 0 mismatches across all 120).
+# Round-5 rotation (executed per the plan recorded here in round 4):
+# the 23 queries never yet seen by the driver (union of CORRECTNESS_r01-
+# r04 covers the other 99), then bv_totals + sequence_packing (round-4
+# hash-reds, fixed this round: the oracle's integer sums are now CAST
+# to BIGINT so DuckDB's HUGEINT widening can't diverge the hash), then
+# 25 re-checks chosen stalest-first with priority to queries whose
+# implementation was rewritten in round 4 AFTER their last driver check
+# (the dedup/similarity family: map-side est-jaccard, hashed shingles,
+# star-strategy connected components) and queries touched this round
+# (dedup_clusters via the graph.py star-convergence fix). After this
+# window, union(r1..r5) = 122/122 registered queries driver-checked.
+# Everything else stays covered by the local gate
+# (tests/test_driver_contract.py replays ALL queries vs DuckDB, now
+# with a dtype-class parity check matching the driver's hasher path).
 _DRIVER_WINDOW_PRIORITY = [
-    # tiling pipeline (U4 — the ETL.py:555-715 re-expression)
-    "tile_slots",
-    "tile_runs",
-    "tile_supermodules",
-    "tile_flavor_counts",
-    # W7 config search, packing, SCD2
-    "bv_config_search",
-    "sequence_packing",
-    "scd2_user_history",
-    # TPC-H shapes
-    "q4_priority_exists",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "q10_returned_revenue",
-    "q13_custdist",
-    "q14_promo_ratio",
-    "q17_below_avg_qty",
-    "q18_large_orders",
-    "q19_disjunctive_parts",
-    "q22_idle_customers",
-    # A9 fix proof
+    # --- never driver-checked (23) ---
+    "mc_sanity_probe",
+    "occupancy_per_etroc",
+    "ann_recall_at_k",
+    "dedup_size_histogram",
+    "approx_stats",
+    "domain_mixture_sample",
+    "training_shard_manifest",
+    "vocab_coverage",
+    "padding_waste",
+    "doc_chunks",
+    "json_props_rollup",
+    "grouping_sets_revenue",
+    "rank_distribution_orders",
+    "nullsafe_join_customers",
+    "regression_stats",
+    "cube_qty_marginals",
+    "window_frames_orders",
+    "ntile_acctbal",
+    "stratified_sample_customers",
+    "q8_market_share",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    # --- round-4 hash-reds, oracle dtype fixed this round (2) ---
     "bv_totals",
-    # event-window family (un-broken by the TIMESTAMP_NTZ fix)
-    "range_frame_events",
-    "sliding_window_events",
-    "ewma_events",
-    "rolling_median_events",
-    "resample_locf_events",
-    "funnel_interval_join",
-    "asof_events",
-    # dedup/pipeline extensions
-    "dedup_keep_best",
-    "passage_dedup",
-    "tfidf_cosine_topk",
-    "incremental_dedup",
-    "decontamination",
-    "top_bigrams",
-    "pii_redaction",
-    "merge_upsert_customers",
-    # remaining never-driver-checked operators
-    "p21_flavor_surgery",
-    "j4_sm_module_pairs",
-    "j5_rounded_equijoin",
-    "j6_ordinal_join",
-    "j9_run_comparison",
-    "a5_slot_state_counts",
-    "a16_histogram_mean",
-    "so3_set_equality",
-    "p6_translate_probe",
-    "string_date_revenue",
-    "zorder_layout",
-    "doc_repetition",
-    "quality_filter_chain",
-    "kmeans_profile",
-    "udtf_chunk_stats",
-    "salted_join_events",
-    "dataset_split",
+    "sequence_packing",
+    # --- re-checks: rewritten in r4 after last driver check, or
+    # --- touched this round (25) ---
+    "minhash_lsh_neardup",
+    "ngram_jaccard_neardup",
+    "dedup_clusters",
+    "simhash_neardup",
+    "simhash_docs",
+    "embedding_neardup",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "dedup_exact",
+    "acceptance_profile",
+    "bv_greedy_groups",
+    "bandwidth_totals",
+    "bv_zone_counts",
+    "occupancy_summary",
+    "module_rollup",
+    "sensor_physics",
+    "sensor_corners",
+    "stats_summary",
+    "sessionization_events",
+    "salted_agg_events",
+    "pivot_returnflag_status",
+    "gaps_islands_events",
+    "hit_count_histogram",
+    "partition_flavors",
 ]
 
 

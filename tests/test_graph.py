@@ -126,3 +126,33 @@ def test_cc_star_random_equivalence(spark):
 
 def test_cc_star_empty_and_isolated(spark):
     assert _labels_star(spark, range(5), []) == [(i, i) for i in range(5)]
+
+
+def test_cc_star_max_centered_star(spark):
+    """Regression: edges {(2,4),(3,4)} form a star centered at the MAX
+    node — chain-free, so the old fixpoint test (parents∩children only)
+    declared convergence while node 4 still had two parents, emitting
+    node 4 under BOTH components 2 and 3 (a duplicate row violating the
+    one-row-per-node contract) and leaving 2 and 3 unmerged. The
+    strengthened test also requires every child to appear in exactly
+    one edge, forcing one more round."""
+    got = _labels_star(spark, [2, 3, 4], [(2, 4), (3, 4)])
+    assert got == [(2, 2), (3, 2), (4, 2)]
+    # and == union-find on the same graph
+    assert got == _run_both(spark, [2, 3, 4], [(2, 4), (3, 4)])
+
+
+def test_cc_star_one_row_per_node_random_shapes(spark):
+    """Contract check the duplicate-row bug class violates: exactly one
+    output row per node, across several seeded sparse graphs (sparse →
+    more star-shaped intermediates than the dense seed-7 graph)."""
+    import random
+
+    for seed in (11, 23, 42):
+        rng = random.Random(seed)
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(25)]
+        edges = [(a, b) for a, b in edges if a != b]
+        got = _labels_star(spark, range(n), edges)
+        assert len(got) == n, f"seed {seed}: duplicate/missing node rows"
+        assert got == _run_both(spark, range(n), edges), f"seed {seed}"
