@@ -837,11 +837,28 @@ _DEDUP_PAIRS_CACHE: dict = {}
 _DEDUP_COMPONENTS_CACHE: dict = {}
 
 
+def _dedup_cache_key(spark, sf_dir):
+    """Key on the Spark application id, not id(spark): a stopped
+    session's id() can be reused by a new SparkSession object, which
+    would hand back DataFrames bound to a dead context. applicationId
+    is unique per started application. Entries from previous
+    applications are evicted on first touch by a new one."""
+    return (spark.sparkContext.applicationId, sf_dir)
+
+
+def _dedup_cache_get(cache, key):
+    app_id = key[0]
+    stale = [k for k in cache if k[0] != app_id]
+    for k in stale:
+        del cache[k]
+    return cache.get(key)
+
+
 def dedup_lsh_pairs(spark, sf_dir):
     """(id_a, id_b, est_jaccard) MinHash-LSH pairs over the mutated
     corpus — memoized."""
-    key = (id(spark), sf_dir)
-    got = _DEDUP_PAIRS_CACHE.get(key)
+    key = _dedup_cache_key(spark, sf_dir)
+    got = _dedup_cache_get(_DEDUP_PAIRS_CACHE, key)
     if got is not None:
         return got
     pairs = minhash_lsh_pairs(_corpus_mutated(spark, sf_dir)).localCheckpoint(
@@ -855,8 +872,8 @@ def dedup_components(spark, sf_dir):
     """(node, component) for the mutated corpus — memoized."""
     from etl_sh_design_spark.operators.graph import connected_components
 
-    key = (id(spark), sf_dir)
-    got = _DEDUP_COMPONENTS_CACHE.get(key)
+    key = _dedup_cache_key(spark, sf_dir)
+    got = _dedup_cache_get(_DEDUP_COMPONENTS_CACHE, key)
     if got is not None:
         return got
     corpus = _corpus_mutated(spark, sf_dir)

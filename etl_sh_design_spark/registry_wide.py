@@ -145,8 +145,16 @@ def q_ntile(spark, sf_dir):
     Tie-broken by c_custkey for determinism."""
     c = _t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
     p = spark.sparkContext.defaultParallelism
-    parts = c.repartitionByRange(p, "c_acctbal", "c_custkey").withColumn(
-        "pid", F.spark_partition_id()
+    # Pin the physical partitioning: the range partitioner SAMPLES its
+    # boundaries, and `parts` feeds two separate jobs (the counts
+    # collect below and the final ranked plan) — without an eager
+    # checkpoint a recompute could draw different boundaries and the
+    # broadcast offsets would belong to a partitioning that no longer
+    # exists.
+    parts = (
+        c.repartitionByRange(p, "c_acctbal", "c_custkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # Range partitioning guarantees partition i's keys all sort before
     # partition i+1's, so global rank = (rows in earlier partitions) +
