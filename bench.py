@@ -45,6 +45,7 @@ HEADLINE = [
     "tile_slots",
     "partition_flavors",
     "dedup_exact",
+    "dedup_family_shared_subplan",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "ngram_jaccard_neardup",
@@ -91,6 +92,25 @@ def main() -> None:
 
     queries = registry.queries()
     timings: dict[str, float] = {}
+
+    # The MinHash->LSH-pairs -> connected-components sub-plan is
+    # memoized and shared by four queries (minhash_lsh_neardup,
+    # dedup_clusters, dedup_keep_best, dedup_size_histogram). If it
+    # materializes lazily inside whichever family member happens to run
+    # first (alphabetical), that query's number absorbs the whole
+    # shared cost and none of the family is comparable round-to-round.
+    # Materialize it up front as its own timed entry instead: the total
+    # still pays the cost exactly once, and each member then measures
+    # only its own tail.
+    from etl_sh_design_spark import registry_ext
+
+    t0 = time.perf_counter()
+    try:
+        registry_ext.dedup_components(spark, SF_DIR).count()
+        timings["dedup_family_shared_subplan"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:
+        timings["dedup_family_shared_subplan"] = -1.0
+        print(f"bench: dedup shared sub-plan FAILED: {exc}", file=sys.stderr)
     for name in sorted(queries):
         fn = queries[name]
         t0 = time.perf_counter()

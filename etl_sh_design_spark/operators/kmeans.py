@@ -86,15 +86,23 @@ def kmeans_cluster_profile(
     """Aggregate surface for the oracle: per final cluster, member
     count, inertia (sum of rounded distances, re-rounded), and a
     checksum of the last centroid update."""
+    # checkpoint the cast vectors once: every Lloyd round (and the
+    # final stats pass) reads them, and without this each consumer
+    # re-runs the parquet scan + float->double cast
     vecs = embeddings.select(
         F.col("vec_id"), _as_double("embedding").alias("v")
-    )
+    ).localCheckpoint(eager=False)
     centroids = vecs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c")
     )
     assigned = None
-    for _ in range(iterations):
+    for i in range(iterations):
         assigned = _assign(vecs, centroids)
+        if i == iterations - 1:
+            # the last assignment feeds BOTH the stats agg and the
+            # final centroid update (for the checksum); materialize it
+            # once instead of running the round twice
+            assigned = assigned.localCheckpoint(eager=False)
         centroids = _update(assigned).localCheckpoint(eager=False)
     stats = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs"),

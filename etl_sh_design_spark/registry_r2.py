@@ -819,9 +819,15 @@ def q_q10_returned_revenue(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
+    # join order matters at fact scale: orders(quarter) |><| lineitem(R)
+    # first, so only the doubly-filtered slim result rides the custkey
+    # shuffle to customer — joining customer before lineitem would drag
+    # every customer row through the orderkey exchange too. Nation
+    # broadcasts; customer cannot (1.5M rows/SF), so that join is one
+    # custkey shuffle.
     j = (
-        c.join(o, o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
     )
     return (
