@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Scaling-curve probe: run the bucketed operator families at sf0.1
+and at a synthetic 10x corpus, recording wall time, rows/s, and
+shuffle-write bytes (Spark REST API), to back SCALE.md's near-linear
+claims with a measured curve instead of a plan argument.
+
+The 10x corpus (written under /tmp/spark_graft_scale10x) is 10 copies
+of the sf0.1 documents/events tables. Each document copy k gets a
+distinct `translate` alphabet rotation, so copies are shingle-disjoint
+— the within-copy near-dup structure is preserved and repeated 10x,
+while no cross-copy candidate pairs appear. (Ten verbatim copies would
+instead create 10-cliques of exact duplicates: candidate-pair work
+would grow ~45x and the probe would measure a different workload, not
+the same one at 10x.) Events get user_id/event_id strides, which
+multiplies the window-partition population without changing per-user
+series length.
+
+Usage: python tools/scale_probe.py  (prints a markdown table; ~5 min)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+SF10X = "/tmp/spark_graft_scale10x"
+COPIES = 10
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def build_10x(spark) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    parts = []
+    for k in range(COPIES):
+        rot = ALPHA[k:] + ALPHA[:k]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+                F.translate("text", ALPHA, rot).alias("text"),
+                *[c for c in docs.columns if c not in ("doc_id", "text")],
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{SF10X}/documents.parquet")
+
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    parts = []
+    for k in range(COPIES):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + k * 10_000_000).alias("event_id"),
+                "ts",
+                (F.col("user_id") + k * 1_000_000).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{SF10X}/events.parquet")
+
+
+def shuffle_write_bytes(spark) -> int:
+    """Total shuffle-write bytes across all completed stages so far."""
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        stages = json.load(r)
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def main() -> None:
+    from etl_sh_design_spark import registry, registry_ext
+    from etl_sh_design_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe", ui=True)
+    spark.sparkContext.setLogLevel("ERROR")
+    build_10x(spark)
+
+    # warm JVM + parquet footers
+    spark.read.parquet(f"{SF01}/documents.parquet").count()
+    spark.read.parquet(f"{SF10X}/documents.parquet").count()
+
+    qs = registry.queries()
+    rows_in = {
+        SF01: {"docs": 10_000, "events": 100_000},  # corpus incl. mutants
+        SF10X: {"docs": 100_000, "events": 1_000_000},
+    }
+    plan = [
+        ("dedup_family_shared", "docs", None),  # pairs+components materialization
+        ("minhash_lsh_neardup", "docs", qs["minhash_lsh_neardup"]),
+        ("dedup_clusters", "docs", qs["dedup_clusters"]),
+        ("ngram_jaccard_neardup", "docs", qs["ngram_jaccard_neardup"]),
+        ("range_frame_events", "events", qs["range_frame_events"]),
+    ]
+    results: dict[str, dict] = {}
+    for sf_dir in (SF01, SF10X):
+        for name, table, fn in plan:
+            sw0 = shuffle_write_bytes(spark)
+            t0 = time.perf_counter()
+            if fn is None:
+                registry_ext.dedup_components(spark, sf_dir).count()
+            else:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            sw = shuffle_write_bytes(spark) - sw0
+            n = rows_in[sf_dir][table]
+            results.setdefault(name, {})[sf_dir] = (dt, n / dt, sw)
+            spark.catalog.clearCache()
+
+    rss_gib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024 / 1024
+    print("\n| query | 1x sec | 10x sec | time ratio | 1x rows/s | 10x rows/s |"
+          " 1x shuffle MB | 10x shuffle MB |")
+    print("|---|---|---|---|---|---|---|---|")
+    for name, r in results.items():
+        a, b = r[SF01], r[SF10X]
+        print(
+            f"| {name} | {a[0]:.1f} | {b[0]:.1f} | {b[0]/a[0]:.1f}x "
+            f"| {a[1]:,.0f} | {b[1]:,.0f} "
+            f"| {a[2]/1e6:.1f} | {b[2]/1e6:.1f} |"
+        )
+    print(f"\npython-driver max RSS after 10x dedup_clusters: {rss_gib:.2f} GiB")
+
+
+if __name__ == "__main__":
+    main()
