@@ -278,3 +278,86 @@ def test_w6_two_pass_fallback_crowded_row(spark):
         for r in runs_two_pass_from(slots_df, partition_lookup(spark)).collect()
     }
     assert got == {(0, 1, 2), (1, 0, 7), (2, 0, 2)}
+
+
+def test_tiling_flavor_counts_reference_derived_fixture(spark):
+    """Pin the tiling family (W5+W6+U2 composition) to constants
+    derived from the REFERENCE's own partition algorithm, not only to
+    the DuckDB twin.
+
+    The reference reports per-detector readout-board counts as 4x the
+    per-quarter supermodule tallies (dee_geometry.py:389-394: 'Small
+    RBs counts[3]*4' etc.), where each run of n available slots is
+    decomposed by getPartition (partition.py:56-67). This fixture is a
+    TDR-like quarter face of 27 rows whose runs were fed through the
+    reference's getPartition verbatim (verified exact vs our
+    best_partition for all n in 1..60) to derive the expected totals:
+
+      runs 13x[3] + 2x[maybe-led 4 -> two-pass -> 3] + 3x[9] + 3x[10]
+      + 3x[13] + 3x[16]
+      -> per-quarter {3: 24, 6: 9, 7: 9} -> x4 = 96 / 36 / 36
+
+    Two rows exercise the W6 two-pass fallback (maybe-led run of 4
+    leads with flavor 3 != 7 -> re-tiled yes-only to n=3); one n=10
+    row is maybe-led but leads with 7, so it must survive pass 1."""
+    from etl_sh_design_spark.operators.partition import partition_lookup
+    from etl_sh_design_spark.plans.tiling import runs_two_pass_from
+
+    rows = []
+    iy = 0
+    for _ in range(13):  # plain [3] runs
+        rows += [(iy, i, "yes", True) for i in range(3)]
+        iy += 1
+    for _ in range(2):  # maybe-led 4: partition(4)=[3] -> row fails -> yes-only 3
+        rows += [(iy, 0, "maybe", True)] + [(iy, i, "yes", True) for i in range(1, 4)]
+        iy += 1
+    for _ in range(3):  # [9] -> [6,3]
+        rows += [(iy, i, "yes", True) for i in range(9)]
+        iy += 1
+    for _ in range(2):  # [10] -> [7,3]
+        rows += [(iy, i, "yes", True) for i in range(10)]
+        iy += 1
+    # maybe-led 10: partition(10) leads with 7 -> survives pass 1
+    rows += [(iy, 0, "maybe", True)] + [(iy, i, "yes", True) for i in range(1, 10)]
+    iy += 1
+    for _ in range(3):  # [13] -> [7,6]
+        rows += [(iy, i, "yes", True) for i in range(13)]
+        iy += 1
+    for _ in range(3):  # [16] -> [7,6,3]
+        rows += [(iy, i, "yes", True) for i in range(16)]
+        iy += 1
+
+    slots_df = spark.createDataFrame(rows, "iy INT, ix INT, state STRING, available BOOLEAN")
+    pl = partition_lookup(spark)
+    runs = runs_two_pass_from(slots_df, pl)
+    counts = {
+        r["flavor"]: r["n"] * 4
+        for r in runs.join(pl, runs.n_slots == pl.n)
+        .groupBy("flavor")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {3: 96, 6: 36, 7: 36}
+
+
+def test_partition_matches_reference_algorithm():
+    """U2 parity pin: best_partition(n) must equal the reference's
+    getPartition(n) (partition.py:56-67 — pure python, no deps) as a
+    multiset for every n the lookup table covers. Skips when the
+    read-only reference checkout isn't present."""
+    import importlib.util
+    import os
+
+    ref_path = "/root/reference/partition.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference checkout not available")
+    spec = importlib.util.spec_from_file_location("ref_partition", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from etl_sh_design_spark.operators.partition import MAX_N, best_partition
+
+    for n in range(1, MAX_N + 1):
+        assert sorted(best_partition(n), reverse=True) == sorted(
+            ref.getPartition(n), reverse=True
+        ), n
