@@ -463,3 +463,267 @@ def q16_supplier_counts(spark, sf_dir):
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+WITH cost AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         min(CAST(round(l.l_extendedprice * 10000.0e0) AS BIGINT)) AS cost_micro
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY 1, 2
+),
+best AS (SELECT l_partkey, min(cost_micro) AS min_micro FROM cost GROUP BY 1)
+SELECT round(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name,
+       p.p_partkey, p.p_name,
+       ((c.cost_micro + 50) // 100) / 100.0e0 AS cost
+FROM cost c
+JOIN best b ON b.l_partkey = c.l_partkey AND b.min_micro = c.cost_micro
+JOIN part p ON p.p_partkey = c.l_partkey AND p.p_size = 15
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY s_acctbal DESC, n.n_name ASC, s.s_name ASC, p.p_partkey ASC
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier, adapted — no partsupp, so
+    the offered cost is the min observed lineitem price per
+    (part, supplier)): for size-15 parts, the EUROPE supplier(s)
+    matching the per-part minimum cost — the correlated groupwise-min
+    subquery, expressed as agg + per-part min + equality join back
+    (no re-scan of the fact). Cost compares happen on exact bigint
+    micro-prices; cents division only in the final projection.
+    Dimensions broadcast; the two aggs partial map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    eur_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", F.col("s_acctbal"), "n_name")
+    )
+    micro = F.round(F.col("l_extendedprice") * 10000).cast("bigint")
+    cost = (
+        li.join(F.broadcast(eur_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .select("l_partkey", "l_suppkey", micro.alias("micro"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("micro").alias("cost_micro"))
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("cost_micro").alias("min_micro"))
+    return (
+        cost.join(best, ["l_partkey"])
+        .filter(F.col("cost_micro") == F.col("min_micro"))
+        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .join(F.broadcast(eur_supp), cost.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.expr("((cost_micro + 50) div 100) / cast(100 as double)").alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+WITH v AS (
+  SELECT l.l_partkey,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000.0e0) AS BIGINT)) AS value_micro
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = 3
+  GROUP BY 1
+),
+tot AS (SELECT sum(value_micro) AS total_micro FROM v)
+SELECT v.l_partkey AS p_partkey,
+       ((v.value_micro + 50) // 100) / 100.0e0 AS part_value
+FROM v, tot
+WHERE v.value_micro * 1000 > tot.total_micro
+ORDER BY part_value DESC, p_partkey ASC
+""",
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock, adapted — part value is
+    EUROPE-supplied discounted revenue instead of partsupp stock
+    value): parts whose value exceeds 1/1000 of the total — the
+    HAVING-vs-global-scalar shape. The threshold compare is pure
+    bigint (value*1000 > total), no division; the 1-row total
+    broadcasts. One fact shuffle on partkey; the global sum reduces
+    the already-aggregated per-part table."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    eur = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    micro = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000).cast("bigint")
+    v = (
+        li.join(F.broadcast(eur), li.l_suppkey == F.col("s_suppkey"))
+        .select("l_partkey", micro.alias("micro"))
+        .groupBy("l_partkey")
+        .agg(F.sum("micro").alias("value_micro"))
+    )
+    tot = v.agg(F.sum("value_micro").alias("total_micro"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_micro") * 1000 > F.col("total_micro"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.expr("((value_micro + 50) div 100) / cast(100 as double)").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("p_partkey"))
+    )
+
+
+@query(
+    "q12_priority_latency",
+    """
+SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            THEN 'late' ELSE 'on_time' END AS ship_bucket,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE year(l.l_shipdate) = 1997
+GROUP BY 1
+""",
+)
+def q12_priority_latency(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode priority counts, adapted — no
+    l_shipmode/commitdate, so the bucket is ship latency vs order
+    date): per on-time/late bucket, conditional counts of high- vs
+    low-priority lines — the CASE-inside-agg signature. One orderkey
+    shuffle; the year filter pushes to the lineitem scan; the
+    interval compare is exact timestamp arithmetic on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.lit("late"),
+    ).otherwise(F.lit("on_time"))
+    return (
+        j.select(bucket.alias("ship_bucket"), high.alias("high"))
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(F.col("high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("high"), 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q20_part_suppliers",
+    """
+WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+supq AS (
+  SELECT l.l_suppkey, sum(l.l_quantity) AS qty
+  FROM lineitem l JOIN red ON l.l_partkey = red.p_partkey
+  WHERE year(l.l_shipdate) = 1996
+  GROUP BY 1
+),
+thr AS (SELECT 0.5 * avg(qty) AS half_avg FROM supq)
+SELECT s.s_suppkey, s.s_name, CAST(sq.qty AS BIGINT) AS qty
+FROM supplier s
+JOIN supq sq ON sq.l_suppkey = s.s_suppkey
+JOIN thr ON sq.qty > thr.half_avg
+ORDER BY qty DESC, s_suppkey ASC
+""",
+)
+def q20_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (part-promotion suppliers, adapted — no
+    partsupp availqty, so the inner aggregate is shipped quantity):
+    suppliers whose 1996 shipped quantity of red-named parts exceeds
+    half the per-supplier average — the nested-aggregate semi-join
+    shape. The part probe and the 1-row threshold broadcast; one
+    suppkey shuffle. Quantities are integral doubles, so the sum and
+    the strict compare are exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1996)
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier")
+    supq = (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thr = supq.agg((F.avg("qty") * 0.5).alias("half_avg"))
+    return (
+        supq.crossJoin(F.broadcast(thr))
+        .filter(F.col("qty") > F.col("half_avg"))
+        .join(F.broadcast(s), supq.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("qty").cast("bigint").alias("qty"))
+        .orderBy(F.desc("qty"), F.asc("s_suppkey"))
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+WITH f AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey, max(l_shipdate) AS max_ship,
+         count(DISTINCT l_suppkey) AS n_supp
+  FROM f GROUP BY 1
+),
+blame AS (
+  SELECT DISTINCT f.l_orderkey, f.l_suppkey
+  FROM f JOIN per_order po ON f.l_orderkey = po.l_orderkey
+  WHERE po.n_supp > 1 AND f.l_shipdate = po.max_ship
+)
+SELECT s.s_name, count(*) AS numwait
+FROM blame b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+GROUP BY 1
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+""",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting, adapted —
+    no receipt/commit dates, so 'kept waiting' means shipped last):
+    for finished multi-supplier orders, the supplier(s) whose lineitem
+    carries the order's max shipdate, counted per supplier — the
+    EXISTS (another supplier) / NOT EXISTS (anyone later) double
+    correlation, expressed as one per-order aggregate joined back
+    (two orderkey shuffles, no quadratic self-join; the EXISTS pair
+    becomes n_supp > 1 and shipdate = max)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    f = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_order = f.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    blame = (
+        f.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("max_ship")))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        blame.join(F.broadcast(s), blame.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
