@@ -991,3 +991,65 @@ def q_doc_chunks(spark, sf_dir):
             .alias("chunk_len"),
         )
     )
+
+
+# ----------------------------------------------- unigram LM commonness
+@query(
+    "token_frequency_scores",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_TOKS_DUCK}) AS tok FROM documents
+),
+freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY 1),
+per_doc AS (
+  SELECT t.doc_id, t.source,
+         CAST(sum(fr.f) AS BIGINT) AS sum_freq,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(CASE WHEN fr.f < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM toks t JOIN freq fr ON t.tok = fr.tok
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(sum_freq) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE), 6)
+         AS mean_token_freq,
+       round(CAST(sum(n_rare) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE), 6)
+         AS rare_token_ratio
+FROM per_doc GROUP BY 1
+""",
+)
+def q_token_frequency_scores(spark, sf_dir):
+    """Unigram-LM commonness scoring (extension; the frequency-join
+    stand-in for perplexity filtering — log-free so both engines
+    compute on exact integers until the single final division): build
+    the corpus unigram table, join every token back to its corpus
+    frequency, and score each source by mean token frequency and
+    rare-token (< 5 occurrences) ratio.
+
+    Scale shape: explode is map-side; the frequency agg and the
+    token join shuffle on the token (high-cardinality, partial aggs
+    map-side); the doc rollup shuffles on doc_id. No broadcast of the
+    vocab needed — at 100 TB the unigram table is itself large, and
+    the token-keyed hash join handles it; AQE broadcasts it when
+    small. All aggregates stay bigint until the final ratios."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.explode(F.expr(_TOKS)).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    per_doc = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("f").alias("sum_freq"),
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.when(F.col("f") < 5, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("sum_freq").cast("double") / F.sum("n_tok").cast("double"), 6
+        ).alias("mean_token_freq"),
+        F.round(
+            F.sum("n_rare").cast("double") / F.sum("n_tok").cast("double"), 6
+        ).alias("rare_token_ratio"),
+    )

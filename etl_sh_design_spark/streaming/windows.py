@@ -131,3 +131,53 @@ def streaming_tumbling_counts(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Shared batch/stream transformation: per-user session windows
+    (events merge while consecutive gaps stay under `gap`). The
+    streaming-native counterpart of the batch gaps-and-islands
+    sessionization (registry_extra.sessionization_events): Spark's
+    session_window merges as long as the next event starts before
+    prev_ts + gap, i.e. a gap strictly greater than `gap` splits —
+    identical boundaries to the lag-based batch twin."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_session_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    query_name: str = "session_counts",
+) -> DataFrame:
+    """Session-window aggregation as a real Structured Streaming query
+    (state merges sessions across micro-batches) into a memory sink;
+    returns the drained result. Watermark bounds session state at real
+    scale: closed sessions age out of the store."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = session_agg(events, gap)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

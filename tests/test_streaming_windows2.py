@@ -132,3 +132,43 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     out = [r["n"] for r in spark.sql("SELECT * FROM late_t1").collect() if r["win_start"] == t0]
     # exactly one emission of the 10:00 window, with only on-time events
     assert out == [3]
+
+
+def test_streaming_session_window_equals_batch(spark):
+    """Session windows: the streaming query (stateful session merge
+    across micro-batches) must equal the same session_agg run in batch
+    mode over the full table."""
+    from etl_sh_design_spark.streaming.windows import (
+        session_agg,
+        streaming_session_counts,
+    )
+
+    got = streaming_session_counts(spark, SF_SMOKE, query_name="session_t2")
+    want = session_agg(read_events(spark, SF_SMOKE))
+    g = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_value"])
+        for r in got.collect()
+    }
+    w = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_value"])
+        for r in want.collect()
+    }
+    assert g == w and len(g) > 0
+
+
+def test_session_window_matches_gaps_islands_sessionization(spark):
+    """Cross-formulation pin: session_window sessions must carry the
+    same (user, session_start, n_events) triples as the lag-based
+    gaps-and-islands batch sessionization (registry_extra)."""
+    from etl_sh_design_spark.registry import queries
+    from etl_sh_design_spark.streaming.windows import session_agg
+
+    sw = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in session_agg(read_events(spark, SF_SMOKE)).collect()
+    }
+    gi = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in queries()["sessionization_events"](spark, SF_SMOKE).collect()
+    }
+    assert sw == gi and len(sw) > 0
