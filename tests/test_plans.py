@@ -212,3 +212,54 @@ def test_q8_fact_never_sortmerges(spark):
     plan = _plan(queries()["q8_market_share"](spark, SF_SMOKE))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_q10_fact_fact_first_then_custkey_shuffle(spark):
+    """Q10 join-order contract: nation broadcasts, and the plan
+    carries no more than the two intended fact exchanges (orderkey for
+    orders|><|lineitem, custkey for the customer join) plus the final
+    agg/sort exchanges — customer must NOT ride the orderkey shuffle."""
+    from etl_sh_design_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["q10_returned_revenue"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan  # nation (and, at sf-small, AQE dims)
+
+
+def test_q2_groupwise_min_broadcasts_dims(spark):
+    """Q2 shape: part/supplier/nation/region sides broadcast; the only
+    shuffles key on (l_partkey[, l_suppkey]) for the two aggs."""
+    from etl_sh_design_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["q2_min_cost_supplier"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_no_self_join_explosion(spark):
+    """Q21 shape: the double-correlated EXISTS must be one per-order
+    aggregate joined back — no nested-loop or cartesian anywhere."""
+    from etl_sh_design_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["q21_waiting_suppliers"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q11_threshold_is_broadcast_scalar(spark):
+    """Q11 shape: the global total joins back as a broadcast (1-row),
+    never a shuffle."""
+    from etl_sh_design_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["q11_important_parts"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_frequency_join_keys_on_token(spark):
+    """The unigram join must be token-keyed (hash/SMJ on tok) — never
+    a nested loop; the vocab side need not broadcast at scale."""
+    from etl_sh_design_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["token_frequency_scores"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
