@@ -1,0 +1,222 @@
+"""Product-quantization ANN (extension; completes the similarity-search
+scale ladder: brute -> LSH/SRP -> IVF -> PQ).
+
+PQ is the standard memory-compression path for cluster-scale ANN
+(Jegou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011): split each D-dim vector into M subvectors, k-means each
+subspace into K codes, store each vector as M small ints (here 4x
+uint4-sized codes for a 64-dim float vector — a 64x compression), and
+approximate distances as sums of per-subspace lookup-table entries
+(ADC: asymmetric distance computation).
+
+Scale contract (the reason PQ matters at 100 TB):
+- the codebooks are M x K x (D/M) doubles — KB-sized, broadcast;
+- training is one Lloyd round per subspace over exploded subvectors —
+  the only shuffles key on (subspace, cluster, pos), all bounded by
+  M*K*D/M = D*K cells regardless of corpus size;
+- encoding is a broadcast join + argmin — map-side, no shuffle;
+- the ADC lookup table is |queries| x M x K rows — broadcast; the
+  scan-and-score pass over the codes table is map-side, and the only
+  per-query state is a bounded top-k.
+
+Determinism contract (what makes the DuckDB oracle hash-match):
+distances rounded to 6dp before every argmin (ties -> lowest code);
+centroid means rounded to 6dp; ADC partials quantized to exact bigint
+micro-units BEFORE the cross-subspace sum, so the 4-term addition is
+integer-exact on both engines (a double sum of 4 rounded partials
+would be summation-order-dependent).
+
+Deterministic init (same discipline as operators/kmeans.py): code j of
+subspace s starts at the subvector of vec_id == j. Swap in k-means||
+per subspace at real scale without touching the pipeline shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+M = 4  # subspaces
+SUBDIM = 16  # dims per subspace (M * SUBDIM = 64)
+KCODES = 16  # codes per subspace
+
+
+def _sqdist(a: str, b: str) -> F.Column:
+    """6dp-rounded squared L2 distance between two array<double> cols;
+    the fold runs in index order on both engines."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _subvectors(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, s, sv): one row per (vector, subspace)."""
+    v = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    return v.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("s"),
+        F.col("v"),
+    ).select(
+        "vec_id", "s", F.expr(f"slice(v, s * {SUBDIM} + 1, {SUBDIM})").alias("sv")
+    )
+
+
+def pq_train_encode(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """One Lloyd round per subspace -> (codebooks, codes).
+
+    codebooks: (s, cluster, c array<double>) — M*K rows, broadcastable.
+    codes:     (vec_id, s, code) — the compressed index."""
+    sub = _subvectors(embeddings, id_col, vec_col).localCheckpoint(eager=False)
+    c0 = sub.filter(F.col("vec_id") < KCODES).select(
+        F.col("vec_id").cast("int").alias("cluster"), "s", F.col("sv").alias("c")
+    )
+    assigned = (
+        sub.join(F.broadcast(c0), "s")
+        .withColumn("dist", _sqdist("sv", "c"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("dist", "cluster")).alias("m"), F.first("sv").alias("sv"))
+        .select("vec_id", "s", F.col("m.cluster").alias("cluster"), "sv")
+    )
+    means = (
+        assigned.select("s", "cluster", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("s", "cluster", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("x"))
+    )
+    codebooks = means.groupBy("s", "cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "x"))), lambda t: t["x"]
+        ).alias("c")
+    ).localCheckpoint(eager=False)
+    codes = (
+        sub.join(F.broadcast(codebooks), "s")
+        .withColumn("dist", _sqdist("sv", "c"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+        .select("vec_id", "s", F.col("m.cluster").alias("code"))
+    )
+    return codebooks, codes
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: (qid, neighbor_id, rk, adc_dist) for the first
+    `n_queries` vectors as queries against the PQ-encoded corpus."""
+    codebooks, codes = pq_train_encode(embeddings, id_col, vec_col)
+    q = _subvectors(
+        embeddings.filter(F.col(id_col) < n_queries), id_col, vec_col
+    ).select(F.col("vec_id").alias("qid"), "s", F.col("sv").alias("qv"))
+    lut = (
+        q.join(F.broadcast(codebooks), "s")
+        .select(
+            "qid",
+            "s",
+            "cluster",
+            F.round(_sqdist("qv", "c") * 1e6).cast("bigint").alias("pmicro"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.s == lut.s) & (codes.code == lut.cluster),
+        )
+        .filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("pmicro").alias("adc_micro"))
+    )
+    w = W.partitionBy("qid").orderBy("adc_micro", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "rk",
+            (F.col("adc_micro").cast("double") / F.lit(1e6)).alias("adc_dist"),
+        )
+    )
+
+
+def pq_topk_oracle_sql(k: int = 5, n_queries: int = 10) -> str:
+    """DuckDB twin of pq_topk over the `embeddings` view."""
+
+    def sqd(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
+        )
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, CAST(sr.s AS INT) AS s,
+         v[sr.s * {SUBDIM} + 1 : sr.s * {SUBDIM} + {SUBDIM}] AS sv
+  FROM v CROSS JOIN (SELECT unnest(range({M})) AS s) sr
+),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cluster, s, sv AS c FROM sub WHERE vec_id < {KCODES}
+),
+d0 AS (
+  SELECT t.vec_id, t.s, c0.cluster, t.sv, {sqd('t.sv', 'c0.c')} AS dist
+  FROM sub t JOIN c0 ON t.s = c0.s
+),
+a0 AS (
+  SELECT vec_id, s, cluster, sv FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cluster) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+e0 AS (
+  SELECT s, cluster,
+         unnest(list_transform(range(1, len(sv) + 1), i -> {{'idx': i, 'x': sv[i]}})) AS u
+  FROM a0
+),
+m0 AS (
+  SELECT s, cluster, u.idx AS idx, round(avg(u.x), 6) AS x
+  FROM e0 GROUP BY 1, 2, 3
+),
+cb AS (SELECT s, cluster, list(x ORDER BY idx) AS c FROM m0 GROUP BY 1, 2),
+enc AS (
+  SELECT vec_id, s, cluster AS code FROM (
+    SELECT t.vec_id, t.s, cb.cluster,
+           row_number() OVER (PARTITION BY t.vec_id, t.s
+                              ORDER BY {sqd('t.sv', 'cb.c')}, cb.cluster) AS rn
+    FROM sub t JOIN cb ON t.s = cb.s
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, s, sv AS qv FROM sub WHERE vec_id < {n_queries}),
+lut AS (
+  SELECT q.qid, q.s, cb.cluster,
+         CAST(round({sqd('q.qv', 'cb.c')} * 1e6) AS BIGINT) AS pmicro
+  FROM q JOIN cb ON q.s = cb.s
+),
+adc AS (
+  SELECT l.qid, e.vec_id, CAST(sum(l.pmicro) AS BIGINT) AS adc_micro
+  FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.cluster
+  WHERE l.qid <> e.vec_id
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id AS neighbor_id, CAST(rk AS INT) AS rk,
+       CAST(adc_micro AS DOUBLE) / 1e6 AS adc_dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_micro, vec_id) AS rk
+  FROM adc
+) WHERE rk <= {k}
+"""

@@ -1053,3 +1053,17 @@ def q_token_frequency_scores(spark, sf_dir):
             F.sum("n_rare").cast("double") / F.sum("n_tok").cast("double"), 6
         ).alias("rare_token_ratio"),
     )
+
+
+# ---------------------------------------------- product-quantized ANN
+from etl_sh_design_spark.operators.pq import pq_topk, pq_topk_oracle_sql  # noqa: E402
+
+
+@query("pq_ann_topk", pq_topk_oracle_sql(k=5, n_queries=10))
+def q_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN top-k (extension; the memory-compression
+    rung of the similarity ladder — see operators/pq.py for the 100 TB
+    contract: KB-sized broadcast codebooks, map-side encode, broadcast
+    ADC lookup table, integer-exact cross-subspace sums)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_topk(e, k=5, n_queries=10)

@@ -1,0 +1,76 @@
+"""Product-quantization ANN goldens: code structure, determinism, and
+a recall floor against exact L2 — the honest-quality check for the
+compression rung of the similarity ladder (synthetic random embeddings
+are PQ's worst case, so the floor is deliberately modest; structured
+real-world embeddings do far better)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark.operators.pq import KCODES, M, SUBDIM, pq_topk, pq_train_encode
+from tests.conftest import SF_SMOKE
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_pq_codebook_and_code_structure(spark):
+    cb, codes = pq_train_encode(_emb(spark))
+    cb_rows = cb.collect()
+    # at most M*K codebook entries, each a SUBDIM-length double vector
+    assert len(cb_rows) <= M * KCODES
+    assert all(len(r["c"]) == SUBDIM for r in cb_rows)
+    assert {r["s"] for r in cb_rows} == set(range(M))
+    n_vecs = _emb(spark).count()
+    code_rows = codes.collect()
+    # every vector gets exactly M codes, all in [0, KCODES)
+    assert len(code_rows) == n_vecs * M
+    assert all(0 <= r["code"] < KCODES for r in code_rows)
+
+
+def test_pq_topk_shape_and_recall_floor(spark):
+    e = _emb(spark)
+    got = pq_topk(e, k=5, n_queries=10).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rk"], r["neighbor_id"]))
+    assert set(by_q) == set(range(10))
+    for q, pairs in by_q.items():
+        ranks = sorted(rk for rk, _ in pairs)
+        assert ranks == [1, 2, 3, 4, 5]
+        assert len({n for _, n in pairs}) == 5
+        assert all(n != q for _, n in pairs)
+
+    # exact L2 top-5 via brute crossJoin (test-scale corpus only)
+    v = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d = (
+        v.crossJoin(q)
+        .filter(F.col("qid") != F.col("vec_id"))
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy("dist", "vec_id")
+    exact = (
+        d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5).collect()
+    )
+    ex: dict = {}
+    for r in exact:
+        ex.setdefault(r["qid"], set()).add(r["vec_id"])
+    hits = sum(len(ex[q] & {n for _, n in by_q[q]}) for q in ex)
+    recall = hits / sum(len(s) for s in ex.values())
+    assert recall >= 0.15, f"PQ recall@5 collapsed: {recall}"
