@@ -600,10 +600,17 @@ _DRIVER_WINDOW_PRIORITY = [
     "sessionization_events",
     "salted_agg_events",
     "pivot_returnflag_status",
-    "gaps_islands_events",
-    "hit_count_histogram",
-    "partition_flavors",
+    # rewritten THIS round after their r4 check (shared-scan j9,
+    # checkpointed kmeans, reordered q10) — must re-verify
+    "j9_run_comparison",
+    "kmeans_profile",
+    "q10_returned_revenue",
 ]
+# Round-6 rotation debt: the queries added in round 5
+# (q2_min_cost_supplier, q11_important_parts, q12_priority_latency,
+# q20_part_suppliers, q21_waiting_suppliers, token_frequency_scores,
+# pq_ann_topk) have only the local sf0.001/sf0.01 gates so far —
+# front them next round.
 
 
 def _windowed(d: dict) -> dict:

