@@ -172,3 +172,29 @@ def test_session_window_matches_gaps_islands_sessionization(spark):
         for r in queries()["sessionization_events"](spark, SF_SMOKE).collect()
     }
     assert sw == gi and len(sw) > 0
+
+
+def test_session_window_gap_boundary_semantics(spark):
+    """Boundary pin for the session twin equivalence: an inter-event
+    gap EXACTLY equal to the session gap merges (Spark's session
+    windows are end-inclusive for merging: 1800s gap at '30 minutes'
+    -> one session), one second over splits — which is precisely the
+    lag-based twin's `diff > gap` rule, so the two formulations agree
+    on the knife edge, not just on generic data."""
+    import datetime
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = [
+        (1, base, 1.0),
+        (1, base + datetime.timedelta(seconds=1800), 2.0),  # == gap: merge
+        (2, base, 1.0),
+        (2, base + datetime.timedelta(seconds=1801), 2.0),  # > gap: split
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    from etl_sh_design_spark.streaming.windows import session_agg
+
+    got = sorted(
+        (r["user_id"], r["n_events"]) for r in session_agg(df).collect()
+    )
+    assert got == [(1, 2), (2, 1), (2, 1)]
