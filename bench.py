@@ -70,6 +70,9 @@ HEADLINE = [
     "kmeans_profile",
     "decontamination",
     "resample_locf_events",
+    "token_frequency_scores",
+    "pq_ann_topk",
+    "q21_waiting_suppliers",
 ]
 
 
