@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etl_sh_design_spark.functions import text
-from etl_sh_design_spark.operators.dedup import MD5_INT64_SQL, md5_int64
+from etl_sh_design_spark.operators.dedup import MD5_INT64_SQL, md5_int64, word_shingles_sql
 from etl_sh_design_spark.operators.packing import greedy_pack, pack_oracle_sql
 from etl_sh_design_spark.registry import _t, query
 from etl_sh_design_spark.registry_ext import _repartitioned
@@ -1067,3 +1067,135 @@ def q_pq_ann_topk(spark, sf_dir):
     ADC lookup table, integer-exact cross-subspace sums)."""
     e = _t(spark, sf_dir, "embeddings")
     return pq_topk(e, k=5, n_queries=10)
+
+
+# ------------------------------------------ incremental NEAR-dup probe
+_INC_NEAR_DUCK = f"""
+SELECT doc_id + 1000000 AS doc_id,
+       array_to_string(({_TOKS_DUCK})[1 : len({_TOKS_DUCK}) - 1], ' ') AS text
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id + 3000000 AS doc_id,
+       array_to_string(list_reverse({_TOKS_DUCK}), ' ') AS text
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@query(
+    "incremental_neardup",
+    f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  {_INC_NEAR_DUCK}
+),
+sh AS ({word_shingles_sql("corpus")}),
+sig AS (
+  SELECT doc_id, seed,
+         min({MD5_INT64_SQL.format(x="CAST(seed AS VARCHAR) || ':' || shingle")}) AS minh
+  FROM sh CROSS JOIN (SELECT CAST(range AS INT) AS seed FROM range(0, 16))
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS ex_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000
+),
+agree AS (
+  SELECT c.inc_id, c.ex_id,
+         sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS n_agree
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.inc_id
+  JOIN sig sb ON sb.doc_id = c.ex_id AND sb.seed = sa.seed
+  GROUP BY 1, 2
+),
+matched AS (SELECT DISTINCT inc_id FROM agree WHERE n_agree >= 8),
+incoming AS ({_INC_NEAR_DUCK})
+SELECT CASE WHEN m.inc_id IS NOT NULL THEN 'near_dup_of_existing'
+            ELSE 'new' END AS status,
+       count(*) AS n_docs
+FROM incoming i LEFT JOIN matched m ON i.doc_id = m.inc_id
+GROUP BY 1
+""",
+)
+def q_incremental_neardup(spark, sf_dir):
+    """Incremental NEAR-dup — the production companion to
+    incremental_dedup: a new crawl batch (every 3rd doc re-arriving
+    with its last token dropped, so exact hashing calls it 'new') is
+    probed against the EXISTING corpus through MinHash LSH bands.
+    An incoming doc sharing any band bucket with an existing doc at
+    >= 8/16 agreeing minhashes is flagged near_dup_of_existing.
+
+    Scale shape: at 100 TB the existing side's banded signature index
+    is a stored table (computed once, bucketed on (band, band_key));
+    per batch you only sign the incoming docs and hash-join the
+    buckets — no all-pairs, no re-scan of existing text. The agree
+    threshold compares exact integers (>= 8 of 16), nothing to
+    knife-edge. Spark side computes both signature sets in one
+    distinct-shingle pass (the union trick in operators/dedup.py)."""
+    from etl_sh_design_spark.operators.dedup import minhash_signatures_wide
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # batch fixture: every 3rd doc re-arrives with its last token
+    # dropped (a near-dup the exact hash misses); every 5th arrives
+    # with its tokens REVERSED — same vocabulary, near-disjoint
+    # 3-gram shingles, so the probe must call it new
+    incoming = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            f"array_join(slice({_TOKS}, 1, greatest(size({_TOKS}) - 1, 0)), ' ')"
+        ).alias("text"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.expr(f"array_join(reverse({_TOKS}), ' ')").alias("text"),
+        )
+    )
+    corpus = d.unionByName(incoming)
+    sig = minhash_signatures_wide(corpus, k=16, n=3).localCheckpoint(eager=False)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                ",", *[F.col("sig")[i].cast("string") for i in range(j * 4, j * 4 + 4)]
+            ).alias("band_key"),
+        )
+        for j in range(4)
+    ]
+    banded = sig.select(
+        "doc_id", "sig", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    inc_b = banded.filter(F.col("doc_id") >= 1000000).select(
+        F.col("doc_id").alias("inc_id"), F.col("sig").alias("sig_i"), "band", "band_key"
+    )
+    ex_b = banded.filter(F.col("doc_id") < 1000000).select(
+        F.col("doc_id").alias("ex_id"), F.col("sig").alias("sig_e"), "band", "band_key"
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_i", "sig_e", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    matched = (
+        inc_b.join(ex_b, ["band", "band_key"])
+        .withColumn("n_agree", agree)
+        .filter(F.col("n_agree") >= 8)
+        .select("inc_id")
+        .distinct()
+    )
+    labeled = incoming.join(
+        matched.withColumnRenamed("inc_id", "doc_id").withColumn("_hit", F.lit(1)),
+        "doc_id",
+        "left",
+    ).withColumn(
+        "status",
+        F.when(F.col("_hit").isNotNull(), "near_dup_of_existing").otherwise("new"),
+    )
+    return labeled.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
