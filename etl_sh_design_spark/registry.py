@@ -609,8 +609,10 @@ _DRIVER_WINDOW_PRIORITY = [
 # Round-6 rotation debt: the queries added in round 5
 # (q2_min_cost_supplier, q11_important_parts, q12_priority_latency,
 # q20_part_suppliers, q21_waiting_suppliers, token_frequency_scores,
-# pq_ann_topk) have only the local sf0.001/sf0.01 gates so far —
-# front them next round.
+# pq_ann_topk, incremental_neardup) have only the local gates so far
+# (every one of them, and all 79 other non-window queries, was driven
+# at sf0.01 under a vanilla session this round with the hardened
+# dtype-aware comparison: 0 mismatches) — front them next round.
 
 
 def _windowed(d: dict) -> dict:
