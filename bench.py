@@ -72,6 +72,8 @@ HEADLINE = [
     "resample_locf_events",
     "token_frequency_scores",
     "pq_ann_topk",
+    "ivfpq_ann_topk",
+    "incremental_neardup",
     "q21_waiting_suppliers",
 ]
 

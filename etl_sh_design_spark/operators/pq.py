@@ -220,3 +220,203 @@ FROM (
   FROM adc
 ) WHERE rk <= {k}
 """
+
+
+# ---------------------------------------------------------------- IVF-PQ
+N_COARSE = 8  # coarse cells (nprobe=1 at query time)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (the Faiss-style production index, nprobe=1): coarse
+    cosine cells + product quantization of the RESIDUAL vectors.
+
+    Why residuals: within a cell, vectors share the coarse centroid's
+    direction; subtracting it concentrates the remaining variance so
+    the same code budget quantizes finer (Jegou et al. 2011, §IV).
+
+    Scale contract on top of pq_topk's: the coarse table is N_COARSE
+    rows (broadcast); cell assignment is one broadcast join + argmax;
+    the ADC scan touches ONLY the query's cell (the cell equi-key cuts
+    the scored set by ~N_COARSE regardless of corpus size). Coarse
+    centroids here are a deterministic seed (vectors 0..N_COARSE-1);
+    at scale you would k-means|| them without touching the shape.
+
+    Determinism: cosine rounded 6dp before the argmax (ties -> lowest
+    cell); residual arithmetic is raw IEEE (exact both engines); the
+    PQ stages inherit pq_train_encode's contract."""
+    from etl_sh_design_spark.operators.similarity import _dot, _dvec, _norm
+
+    v = embeddings.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
+    ).localCheckpoint(eager=False)
+    cents = v.filter(F.col("vec_id") < N_COARSE).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
+    )
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "sim",
+        F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6),
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", (-F.col("m.nc")).cast("int").alias("cell"), "v")
+    )
+    resid = assign.join(F.broadcast(cents), "cell").select(
+        "vec_id",
+        "cell",
+        F.zip_with("v", "cv", lambda x, y: x - y).alias("r"),
+    ).localCheckpoint(eager=False)
+
+    codebooks, codes = pq_train_encode(resid, id_col="vec_id", vec_col="r")
+    codes_cells = codes.join(resid.select("vec_id", "cell"), "vec_id")
+
+    qres = resid.filter(F.col("vec_id") < n_queries)
+    qsub = _subvectors(qres, "vec_id", "r").select(
+        F.col("vec_id").alias("qid"), "s", F.col("sv").alias("qv")
+    )
+    qcell = qres.select(F.col("vec_id").alias("qid"), F.col("cell").alias("q_cell"))
+    lut = (
+        qsub.join(F.broadcast(codebooks), "s")
+        .select(
+            "qid",
+            "s",
+            "cluster",
+            F.round(_sqdist("qv", "c") * 1e6).cast("bigint").alias("pmicro"),
+        )
+        .join(F.broadcast(qcell), "qid")
+    )
+    adc = (
+        codes_cells.join(
+            F.broadcast(lut),
+            (codes_cells.s == lut.s)
+            & (codes_cells.code == lut.cluster)
+            & (codes_cells.cell == lut.q_cell),
+        )
+        .filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("pmicro").alias("adc_micro"))
+    )
+    w = W.partitionBy("qid").orderBy("adc_micro", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "rk",
+            (F.col("adc_micro").cast("double") / F.lit(1e6)).alias("adc_dist"),
+        )
+    )
+
+
+def ivfpq_topk_oracle_sql(k: int = 5, n_queries: int = 10) -> str:
+    """DuckDB twin of ivfpq_topk over the `embeddings` view. The dot
+    products and distance folds run in index order (list_sum of an
+    index-range transform), matching Spark's in-order aggregate()."""
+
+    def sqd(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
+        )
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i] * {b}[i]))"
+        )
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM v WHERE vec_id < {N_COARSE}
+),
+scored AS (
+  SELECT a.vec_id, c.cell, a.v,
+         round({dot('a.v', 'c.cv')} / (sqrt({dot('a.v', 'a.v')}) * sqrt({dot('c.cv', 'c.cv')})), 6) AS sim
+  FROM v a CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, len(a.v) + 1), i -> a.v[i] - c.cv[i]) AS r
+  FROM assign a JOIN cents c ON a.cell = c.cell
+),
+sub AS (
+  SELECT vec_id, CAST(sr.s AS INT) AS s,
+         r[sr.s * {SUBDIM} + 1 : sr.s * {SUBDIM} + {SUBDIM}] AS sv
+  FROM resid CROSS JOIN (SELECT unnest(range({M})) AS s) sr
+),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cluster, s, sv AS c FROM sub WHERE vec_id < {KCODES}
+),
+d0 AS (
+  SELECT t.vec_id, t.s, c0.cluster, t.sv, {sqd('t.sv', 'c0.c')} AS dist
+  FROM sub t JOIN c0 ON t.s = c0.s
+),
+a0 AS (
+  SELECT vec_id, s, cluster, sv FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cluster) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+e0 AS (
+  SELECT s, cluster,
+         unnest(list_transform(range(1, len(sv) + 1), i -> {{'idx': i, 'x': sv[i]}})) AS u
+  FROM a0
+),
+m0 AS (
+  SELECT s, cluster, u.idx AS idx, round(avg(u.x), 6) AS x
+  FROM e0 GROUP BY 1, 2, 3
+),
+cb AS (SELECT s, cluster, list(x ORDER BY idx) AS c FROM m0 GROUP BY 1, 2),
+enc AS (
+  SELECT vec_id, s, cluster AS code FROM (
+    SELECT t.vec_id, t.s, cb.cluster,
+           row_number() OVER (PARTITION BY t.vec_id, t.s
+                              ORDER BY {sqd('t.sv', 'cb.c')}, cb.cluster) AS rn
+    FROM sub t JOIN cb ON t.s = cb.s
+  ) WHERE rn = 1
+),
+enc_cells AS (
+  SELECT e.vec_id, e.s, e.code, r.cell FROM enc e JOIN resid r ON e.vec_id = r.vec_id
+),
+q AS (SELECT vec_id AS qid, s, sv AS qv FROM sub WHERE vec_id < {n_queries}),
+qcell AS (SELECT vec_id AS qid, cell AS q_cell FROM resid WHERE vec_id < {n_queries}),
+lut AS (
+  SELECT q.qid, q.s, cb.cluster,
+         CAST(round({sqd('q.qv', 'cb.c')} * 1e6) AS BIGINT) AS pmicro,
+         qc.q_cell
+  FROM q JOIN cb ON q.s = cb.s JOIN qcell qc ON qc.qid = q.qid
+),
+adc AS (
+  SELECT l.qid, e.vec_id, CAST(sum(l.pmicro) AS BIGINT) AS adc_micro
+  FROM enc_cells e
+  JOIN lut l ON e.s = l.s AND e.code = l.cluster AND e.cell = l.q_cell
+  WHERE l.qid <> e.vec_id
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id AS neighbor_id, CAST(rk AS INT) AS rk,
+       CAST(adc_micro AS DOUBLE) / 1e6 AS adc_dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_micro, vec_id) AS rk
+  FROM adc
+) WHERE rk <= {k}
+"""

@@ -1199,3 +1199,15 @@ def q_incremental_neardup(spark, sf_dir):
         F.when(F.col("_hit").isNotNull(), "near_dup_of_existing").otherwise("new"),
     )
     return labeled.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+from etl_sh_design_spark.operators.pq import ivfpq_topk, ivfpq_topk_oracle_sql  # noqa: E402
+
+
+@query("ivfpq_ann_topk", ivfpq_topk_oracle_sql(k=5, n_queries=10))
+def q_ivfpq_ann_topk(spark, sf_dir):
+    """IVF-PQ ANN top-k (extension; the Faiss-style production index:
+    coarse cells + residual product quantization, nprobe=1 — see
+    operators/pq.py:ivfpq_topk for the 100 TB contract)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(e, k=5, n_queries=10)

@@ -74,3 +74,41 @@ def test_pq_topk_shape_and_recall_floor(spark):
     hits = sum(len(ex[q] & {n for _, n in by_q[q]}) for q in ex)
     recall = hits / sum(len(s) for s in ex.values())
     assert recall >= 0.15, f"PQ recall@5 collapsed: {recall}"
+
+
+def test_ivfpq_candidates_stay_in_cell(spark):
+    """IVF-PQ contract: every returned neighbor must live in the same
+    coarse cell as its query (nprobe=1), and each query returns k
+    distinct, rank-complete neighbors."""
+    from etl_sh_design_spark.operators.pq import N_COARSE, ivfpq_topk
+    from etl_sh_design_spark.operators.similarity import _dot, _dvec, _norm
+
+    e = _emb(spark)
+    got = ivfpq_topk(e, k=5, n_queries=10).collect()
+    # recompute cell assignment independently (same rounded-cosine rule)
+    v = e.select("vec_id", _dvec("embedding").alias("v"))
+    cents = v.filter(F.col("vec_id") < N_COARSE).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
+    )
+    scored = v.crossJoin(cents).withColumn(
+        "sim", F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+        assert cell_of[r["neighbor_id"]] == cell_of[r["qid"]], (
+            f"neighbor {r['neighbor_id']} left query {r['qid']}'s cell"
+        )
+    for q, rows in by_q.items():
+        assert sorted(r["rk"] for r in rows) == list(range(1, len(rows) + 1))
+        assert len({r["neighbor_id"] for r in rows}) == len(rows)
