@@ -75,6 +75,9 @@ HEADLINE = [
     "ivfpq_ann_topk",
     "incremental_neardup",
     "q21_waiting_suppliers",
+    "pagerank_hubs",
+    "weighted_sample_docs",
+    "source_token_kl",
 ]
 
 

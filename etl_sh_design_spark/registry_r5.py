@@ -1,0 +1,156 @@
+"""Round-5 extension registry: link analysis (PageRank), weighted
+reservoir sampling (Efraimidis-Spirakis A-Res), and source-level
+distribution-shift statistics (KL divergence / entropy of per-source
+token distributions vs the corpus).
+
+These close three remaining gaps in the large-pipeline surface:
+- an iterative *graph* algorithm beyond connected components (k-means
+  covers iterative-numeric; PageRank covers iterative-graph),
+- principled weighted sampling (domain_mixture_sample is per-stratum
+  Bernoulli; A-Res draws ONE global weighted sample deterministically),
+- corpus health metrics for mixture tuning (which sources diverge
+  from the overall token distribution, and by how much).
+
+Every query pairs the Spark pipeline with a DuckDB oracle; hash
+discipline follows the repo contract (registry.py header): exact
+integers stay BIGINT, accumulation-order-dependent doubles are
+rounded 6dp on both sides, iterative state is quantized per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark.operators.dedup import MD5_INT64_SQL, md5_int64
+from etl_sh_design_spark.operators.pagerank import pagerank, pagerank_oracle_sql
+from etl_sh_design_spark.registry import _t, query
+
+_TOKS = "filter(split(text, '\\\\s+'), t -> t != '')"
+_TOKS_DUCK = r"list_filter(string_split_regex(text, '\s+'), t -> t != '')"
+
+# ------------------------------------------------------------ PageRank
+# Deterministic link graph derived from events: 197 nodes, an edge
+# per (user bucket -> event bucket) pair. Dense enough for hubs to
+# emerge, small enough that the unrolled oracle stays fast.
+_PR_MOD = 197
+_PR_ITERS = 3
+_PR_EDGES_SQL = f"""
+SELECT DISTINCT user_id % {_PR_MOD} AS src, event_id % {_PR_MOD} AS dst
+FROM events WHERE user_id % {_PR_MOD} <> event_id % {_PR_MOD}
+"""
+
+
+@query("pagerank_hubs", pagerank_oracle_sql(_PR_EDGES_SQL, iterations=_PR_ITERS))
+def q_pagerank_hubs(spark, sf_dir):
+    """PageRank over the derived event graph: 3 power-iteration
+    rounds, each ONE |E|-keyed shuffle + a |V|-row rank update (see
+    operators/pagerank.py for the scale contract and the per-round
+    9dp quantization that makes the unrolled-CTE oracle hash-match)."""
+    e = _t(spark, sf_dir, "events")
+    edges = e.select(
+        (F.col("user_id") % _PR_MOD).alias("src"),
+        (F.col("event_id") % _PR_MOD).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, iterations=_PR_ITERS)
+
+
+# ---------------------------------- weighted reservoir sampling (A-Res)
+# Efraimidis-Spirakis: key_i = u_i^(1/w_i), keep top-k. We compare in
+# log space (ln(u)/w, monotone-equivalent) and derive u deterministic-
+# ally from md5(doc_id) so both engines draw the SAME sample. One
+# partial top-k (TakeOrderedAndProject) — no global sort shuffle.
+_WRS_K = 50
+_WRS_U_SQL = (
+    "(" + MD5_INT64_SQL.format(x="CAST(doc_id AS VARCHAR) || ':wrs'")
+    + " % 1000000000 + 0.5) / 1000000000.0"
+)
+
+
+@query(
+    "weighted_sample_docs",
+    f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln({_WRS_U_SQL}) / n_chars AS k
+  FROM documents
+)
+SELECT doc_id, source, n_chars, round(k, 9) AS wrs_key
+FROM keyed ORDER BY k DESC, doc_id LIMIT {_WRS_K}
+""",
+)
+def q_weighted_sample_docs(spark, sf_dir):
+    """One global weighted sample of k=50 docs with probability ∝
+    n_chars (A-Res / Efraimidis-Spirakis 2006), deterministic via a
+    hash-derived uniform. At 100 TB this is the way to draw a fixed-
+    size weighted sample in one pass: per-partition top-k then a
+    driver-side k-merge — exactly what orderBy().limit(k) compiles
+    to (TakeOrderedAndProject), with zero full-data shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        md5_int64(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs")))
+        % 1000000000
+        + 0.5
+    ) / 1000000000.0
+    keyed = d.select(
+        "doc_id", "source", "n_chars", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+    return (
+        keyed.orderBy(F.desc("k"), "doc_id")
+        .limit(_WRS_K)
+        .select("doc_id", "source", "n_chars", F.round("k", 9).alias("wrs_key"))
+    )
+
+
+# -------------------------- source distribution shift (KL divergence)
+@query(
+    "source_token_kl",
+    f"""
+WITH t AS (
+  SELECT source, unnest({_TOKS_DUCK}) AS token FROM documents
+),
+sc AS (SELECT source, token, count(*) AS c FROM t GROUP BY 1, 2),
+st AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM sc GROUP BY 1),
+gc AS (SELECT token, CAST(sum(c) AS BIGINT) AS gcnt FROM sc GROUP BY 1),
+gt AS (SELECT CAST(sum(gcnt) AS BIGINT) AS gtot FROM gc)
+SELECT sc.source,
+       CAST(max(st.tot) AS BIGINT) AS n_tokens,
+       count(*) AS vocab,
+       round(sum((CAST(sc.c AS DOUBLE) / st.tot)
+                 * ln((CAST(sc.c AS DOUBLE) / st.tot)
+                      / (CAST(gc.gcnt AS DOUBLE) / gt.gtot))), 6) AS kl_vs_corpus,
+       round(-sum((CAST(sc.c AS DOUBLE) / st.tot)
+                  * ln(CAST(sc.c AS DOUBLE) / st.tot)), 6) AS entropy
+FROM sc
+JOIN st ON st.source = sc.source
+JOIN gc ON gc.token = sc.token
+CROSS JOIN gt
+GROUP BY sc.source
+""",
+)
+def q_source_token_kl(spark, sf_dir):
+    """Per-source token-distribution shift vs the whole corpus:
+    KL(p_source ‖ p_corpus) plus source entropy — the mixture-tuning
+    diagnostic (which domain's unigram distribution is drifting).
+    Shuffles are keyed by (source, token); the global token table is
+    vocab-bounded and broadcast into the join, so at 100 TB the heavy
+    side never re-shuffles for the corpus statistics."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.expr(_TOKS)).alias("token"))
+    sc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("tot"))
+    gc = sc.groupBy("token").agg(F.sum("c").alias("gcnt"))
+    gt = gc.agg(F.sum("gcnt").alias("gtot"))
+    p = F.col("c").cast("double") / F.col("tot")
+    q = F.col("gcnt").cast("double") / F.col("gtot")
+    return (
+        sc.join(st, "source")
+        .join(F.broadcast(gc), "token")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("source")
+        .agg(
+            F.max("tot").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
