@@ -78,6 +78,7 @@ HEADLINE = [
     "pagerank_hubs",
     "weighted_sample_docs",
     "source_token_kl",
+    "span_trim_audit",
 ]
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from etl_sh_design_spark.operators.dedup import MD5_INT64_SQL, md5_int64
 from etl_sh_design_spark.operators.pagerank import pagerank, pagerank_oracle_sql
+from etl_sh_design_spark.operators.span_dedup import trim_audit, trim_audit_oracle_sql
 from etl_sh_design_spark.registry import _t, query
 
 _TOKS = "filter(split(text, '\\\\s+'), t -> t != '')"
@@ -99,6 +100,44 @@ def q_weighted_sample_docs(spark, sf_dir):
         .limit(_WRS_K)
         .select("doc_id", "source", "n_chars", F.round("k", 9).alias("wrs_key"))
     )
+
+
+# ------------------------------- duplicated-span trim audit (Lee 2022)
+# Fixture: every 7th doc gets the same 12-token phrase appended, so
+# its stride-1 8-grams repeat across ~1/7 of the corpus (plus any
+# natural repeats in the synthetic text). Injected identically on
+# both engines; winner = lowest (doc_id, pos).
+_SPAN_PHRASE = (
+    "shared boilerplate footer tokens repeat across many documents"
+    " in this corpus exactly"
+)
+_SPAN_DOCS_DUCK = f"""
+SELECT doc_id, source,
+       CASE WHEN doc_id % 7 = 0 THEN text || ' ' || '{_SPAN_PHRASE}'
+            ELSE text END AS text
+FROM documents
+"""
+
+
+@query("span_trim_audit", trim_audit_oracle_sql(_SPAN_DOCS_DUCK, _TOKS_DUCK))
+def q_span_trim_audit(spark, sf_dir):
+    """Substring-level exact dedup audit (Lee et al. 2022): find every
+    duplicated 8-token span corpus-wide, keep the first occurrence,
+    report per-source how many tokens a trim pass would remove. One
+    |tokens|-keyed gram shuffle + per-doc bounded interval-union
+    windows; see operators/span_dedup.py for the 100 TB contract
+    (hot-gram cap == the n-gram-Jaccard skew cap)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_PHRASE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return trim_audit(d, _TOKS)
 
 
 # -------------------------- source distribution shift (KL divergence)

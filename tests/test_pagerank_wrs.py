@@ -80,3 +80,51 @@ def test_source_kl_nonnegative_and_entropy_bounded(spark):
     for r in rows:
         assert r.kl_vs_corpus >= -1e-9
         assert 0.0 < r.entropy <= math.log(r.vocab) + 1e-9
+
+
+# ------------------------- duplicated-span trim (operators/span_dedup)
+from etl_sh_design_spark.operators.span_dedup import trim_audit  # noqa: E402
+
+_TOKS = "filter(split(text, '\\\\s+'), t -> t != '')"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: bigint, source: string, text: string")
+
+
+def test_span_trim_keeps_first_occurrence(spark):
+    """Two docs share an exact 8-token span: the lower doc_id keeps
+    it, the higher one is trimmed exactly 8 tokens; an unrelated doc
+    is untouched."""
+    span = "a b c d e f g h"
+    rows = [
+        (1, "s", span + " tail1 tail2"),
+        (2, "s", "lead1 lead2 " + span),
+        (3, "s", "x y z w v u t s r q"),
+    ]
+    got = {r.source: r for r in trim_audit(_docs(spark, rows), _TOKS).collect()}["s"]
+    assert got.n_docs == 3
+    assert got.total_tokens == 10 + 10 + 10
+    assert got.trimmed_tokens == 8
+    assert got.n_docs_trimmed == 1
+
+
+def test_span_trim_overlapping_grams_union_not_sum(spark):
+    """A 10-token repeated span yields three overlapping 8-gram
+    occurrences (pos 0,1,2) — the interval union must count 10
+    trimmed tokens, not 24."""
+    span10 = "a b c d e f g h i j"
+    rows = [(1, "s", span10), (2, "s", span10)]
+    got = trim_audit(_docs(spark, rows), _TOKS).collect()[0]
+    assert got.total_tokens == 20
+    assert got.trimmed_tokens == 10
+    assert got.n_docs_trimmed == 1
+
+
+def test_span_trim_hot_gram_cap_exempts_boilerplate(spark):
+    """With max_gram_freq=2 a span occurring in 3 docs is exempt
+    (boilerplate), so nothing is trimmed."""
+    span = "a b c d e f g h"
+    rows = [(i, "s", span) for i in range(1, 4)]
+    got = trim_audit(_docs(spark, rows), _TOKS, max_gram_freq=2).collect()[0]
+    assert got.trimmed_tokens == 0
