@@ -7,11 +7,12 @@ Pipeline shape (all sizes linear in token count — no all-pairs term):
 1. stride-1 N-token shingles are built MAP-SIDE inside the token
    array (one struct list per doc; the explode never leaves the map
    task until the gram shuffle),
-2. one |tokens|-keyed shuffle groups occurrences by gram hash; the
-   winner of each duplicated gram is min(struct(doc_id, pos)) — a
-   plain min-agg, no sort,
-3. losing occurrences join back (gram-keyed, same partitioning) and
-   mark their [pos, pos+N) token range covered,
+2. ONE gram-keyed shuffle feeds a window over g that computes both
+   the occurrence count and the winner (min(struct(doc_id, pos)))
+   in the same pass — losing occurrences filter out in place, so the
+   corpus text is scanned exactly once (no groupBy + join-back
+   recompute),
+3. each losing occurrence marks its [pos, pos+N) token range covered,
 4. covered ranges union per doc via gaps-and-islands (window
    partitioned BY DOC — bounded, never global),
 5. the audit aggregates kept/trimmed token mass per source.
@@ -64,14 +65,22 @@ def covered_spans(tokenized: DataFrame, max_gram_freq: int = 10_000) -> DataFram
     occ = tokenized.select(
         "doc_id", F.explode(F.expr(_GRAMS_SPARK.format(n=N_SPAN))).alias("o")
     ).select("doc_id", F.col("o.pos").alias("pos"), F.col("o.g").alias("g"))
-    winners = occ.groupBy("g").agg(
-        F.min(F.struct("doc_id", "pos")).alias("w"), F.count(F.lit(1)).alias("n")
-    )
-    dup = winners.filter((F.col("n") > 1) & (F.col("n") <= max_gram_freq))
+    # winner + count via a window over g rather than groupBy+join-back:
+    # ONE pass over the exploded grams (the corpus text is scanned
+    # once), one g-keyed exchange, no recompute of the explode for the
+    # join side (plan-audited: the join formulation scanned the text
+    # twice)
+    wg = W.partitionBy("g")
     return (
-        occ.join(dup, "g")
+        occ.withColumn("w", F.min(F.struct("doc_id", "pos")).over(wg))
+        .withColumn("n", F.count(F.lit(1)).over(wg))
         .filter(
-            (F.col("doc_id") != F.col("w.doc_id")) | (F.col("pos") != F.col("w.pos"))
+            (F.col("n") > 1)
+            & (F.col("n") <= max_gram_freq)
+            & (
+                (F.col("doc_id") != F.col("w.doc_id"))
+                | (F.col("pos") != F.col("w.pos"))
+            )
         )
         .select("doc_id", "pos", (F.col("pos") + N_SPAN).alias("end"))
     )

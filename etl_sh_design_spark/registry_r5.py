@@ -175,7 +175,15 @@ def q_source_token_kl(spark, sf_dir):
     side never re-shuffles for the corpus statistics."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(F.expr(_TOKS)).alias("token"))
-    sc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    # (source, token) counts are (n_sources x vocab)-bounded — tiny at
+    # any corpus scale — and feed FOUR consumers (per-source totals,
+    # global counts, grand total, final join); checkpoint so the text
+    # explode runs once, not four times (plan-audited)
+    sc = (
+        tok.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     st = sc.groupBy("source").agg(F.sum("c").alias("tot"))
     gc = sc.groupBy("token").agg(F.sum("c").alias("gcnt"))
     gt = gc.agg(F.sum("gcnt").alias("gtot"))
