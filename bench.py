@@ -79,6 +79,7 @@ HEADLINE = [
     "weighted_sample_docs",
     "source_token_kl",
     "span_trim_audit",
+    "hll_distinct_sketch",
 ]
 
 

@@ -201,3 +201,39 @@ def q_source_token_kl(spark, sf_dir):
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
     )
+
+
+# ----------------------- mergeable HLL sketches (two-level aggregation)
+@query("hll_distinct_sketch")  # rows-only: DataSketches HLL has no DuckDB twin
+def q_hll_distinct_sketch(spark, sf_dir):
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL,
+    built into Spark): per event_type, 32 shard-level sketches are
+    built map-side and UNIONED — the two-level partial-aggregation
+    pattern that makes distinct-count reaggregatable across 1000
+    executors, days of partitions, or pre-computed rollups at 100 TB
+    (exact countDistinct cannot be merged; sketches can). The golden
+    proves merged == direct == within 5% of exact; the driver check
+    is rows-only (no SQL twin exists for the sketch), like
+    approx_stats."""
+    e = _t(spark, sf_dir, "events")
+    shard = e.groupBy(
+        "event_type", (F.col("user_id") % 32).alias("shard")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = shard.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        "est_merged",
+        "est_direct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_merged") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_error"),
+    )

@@ -128,3 +128,14 @@ def test_span_trim_hot_gram_cap_exempts_boilerplate(spark):
     rows = [(i, "s", span) for i in range(1, 4)]
     got = trim_audit(_docs(spark, rows), _TOKS, max_gram_freq=2).collect()[0]
     assert got.trimmed_tokens == 0
+
+
+def test_hll_merged_equals_direct_and_near_exact(spark):
+    """Sketch mergeability: union of 32 shard sketches must give the
+    SAME estimate as one direct sketch (DataSketches HLL union is
+    lossless at equal lgK), and land within 5% of exact."""
+    rows = registry_r5.q_hll_distinct_sketch(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.est_merged == r.est_direct
+        assert r.rel_error < 0.05
