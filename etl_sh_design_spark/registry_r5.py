@@ -1,15 +1,19 @@
 """Round-5 extension registry: link analysis (PageRank), weighted
-reservoir sampling (Efraimidis-Spirakis A-Res), and source-level
-distribution-shift statistics (KL divergence / entropy of per-source
-token distributions vs the corpus).
+reservoir sampling (Efraimidis-Spirakis A-Res), source-level
+distribution-shift statistics (KL divergence / entropy), substring-
+level exact dedup (duplicated-span trim audit, Lee et al. 2022), and
+mergeable HLL sketch distinct counting.
 
-These close three remaining gaps in the large-pipeline surface:
+These close remaining gaps in the large-pipeline surface:
 - an iterative *graph* algorithm beyond connected components (k-means
   covers iterative-numeric; PageRank covers iterative-graph),
 - principled weighted sampling (domain_mixture_sample is per-stratum
   Bernoulli; A-Res draws ONE global weighted sample deterministically),
 - corpus health metrics for mixture tuning (which sources diverge
-  from the overall token distribution, and by how much).
+  from the overall token distribution, and by how much),
+- dedup below document/passage granularity (exact repeated spans),
+- reaggregatable approximate distinct counts (sketches merge; exact
+  countDistinct cannot).
 
 Every query pairs the Spark pipeline with a DuckDB oracle; hash
 discipline follows the repo contract (registry.py header): exact

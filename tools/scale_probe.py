@@ -106,6 +106,8 @@ def main() -> None:
         ("dedup_clusters", "docs", qs["dedup_clusters"]),
         ("ngram_jaccard_neardup", "docs", qs["ngram_jaccard_neardup"]),
         ("range_frame_events", "events", qs["range_frame_events"]),
+        ("span_trim_audit", "docs", qs["span_trim_audit"]),
+        ("pagerank_hubs", "events", qs["pagerank_hubs"]),
     ]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
