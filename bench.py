@@ -80,6 +80,8 @@ HEADLINE = [
     "source_token_kl",
     "span_trim_audit",
     "hll_distinct_sketch",
+    "semantic_dedup",
+    "quantile_sketch_events",
 ]
 
 

@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 
 from etl_sh_design_spark.operators.dedup import MD5_INT64_SQL, md5_int64
 from etl_sh_design_spark.operators.pagerank import pagerank, pagerank_oracle_sql
+from etl_sh_design_spark.operators.semdedup import (
+    semantic_dedup_profile,
+    semdedup_oracle_sql,
+)
 from etl_sh_design_spark.operators.span_dedup import trim_audit, trim_audit_oracle_sql
 from etl_sh_design_spark.registry import _t, query
 
@@ -204,6 +208,132 @@ def q_source_token_kl(spark, sf_dir):
             F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
+    )
+
+
+# ------------------------------------- SemDeDup (semantic near-dedup)
+# Fixture: every 10th embedding is duplicated verbatim under
+# vec_id + 100000 (injected identically on both engines, like the
+# span_trim_audit boilerplate phrase) so the synthetic corpus —
+# random vectors, no natural semantic dups — contains controlled
+# duplicate relations for the cosine pruning to find. Cluster init
+# uses vec_id < k, which only ever selects originals.
+_SEMD_TAU = 0.999
+_SEMD_VECS_DUCK = """
+SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+FROM embeddings
+UNION ALL
+SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+@query("semantic_dedup", semdedup_oracle_sql(_SEMD_VECS_DUCK, k=8, tau=_SEMD_TAU))
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means cells over the
+    embeddings, then within-cell cosine pruning at tau=0.999,
+    keeping the member FARTHEST from its centroid (the paper's
+    keep-most-atypical rule). Per-cell audit: members / removed /
+    kept. The quadratic stage never crosses a cell boundary —
+    at 100 TB k scales with N so Σ|cell|² stays ~N²/k with one
+    cell-keyed shuffle; see operators/semdedup.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    dup = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    inj = e.select("vec_id", "embedding").unionByName(dup)
+    return semantic_dedup_profile(inj, k=8, iterations=2, tau=_SEMD_TAU)
+
+
+# ------------------- mergeable quantile sketch (two-level histogram)
+# Power-of-2-binned value histogram, built per shard then MERGED —
+# the quantile counterpart of the HLL two-level pattern below, but
+# fully deterministic, so unlike approx_percentile it carries a FULL
+# hash oracle. Bin index = floor(log2(cents + 1)) computed exactly as
+# length(bin(iv + 1)) - 1 on BOTH engines (binary-string length; no
+# transcendental near a bucket edge can flip a bin). Everything stays
+# integer until the final reported bin lower edges.
+_QSK_BIN_SPARK = (
+    "length(bin(CAST(round(greatest(value, 0.0) * 100) AS BIGINT) + 1)) - 1"
+)
+_QSK_BIN_DUCK = (
+    "length(bin(CAST(round(greatest(value, 0.0) * 100) AS BIGINT) + 1)) - 1"
+)
+
+
+def _qsk_edge(bin_col: str) -> str:
+    """Lower value edge of power-of-2 cent-bin b: (2^b - 1) / 100."""
+    return f"round((power(2.0, {bin_col}) - 1.0) / 100.0, 6)"
+
+
+@query(
+    "quantile_sketch_events",
+    f"""
+WITH b AS (
+  SELECT event_type, user_id % 32 AS shard, {_QSK_BIN_DUCK} AS bin
+  FROM events
+),
+sh AS (SELECT event_type, shard, bin, count(*) AS c FROM b GROUP BY 1, 2, 3),
+m AS (SELECT event_type, bin, CAST(sum(c) AS BIGINT) AS c FROM sh GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, c,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM m
+)
+SELECT event_type,
+       CAST(max(total) AS BIGINT) AS n_events,
+       count(*) AS n_bins,
+       {_qsk_edge("min(CASE WHEN cum >= ceil(total * 0.5) THEN bin END)")} AS p50,
+       {_qsk_edge("min(CASE WHEN cum >= ceil(total * 0.9) THEN bin END)")} AS p90,
+       {_qsk_edge("min(CASE WHEN cum >= ceil(total * 0.99) THEN bin END)")} AS p99
+FROM cum GROUP BY 1
+""",
+)
+def q_quantile_sketch_events(spark, sf_dir):
+    """Mergeable quantile sketch (two-level histogram aggregation):
+    per (event_type, shard) a power-of-2-binned cent histogram is
+    built map-side, then shard sketches MERGE by summing bin counts —
+    the reaggregation algebra that lets 1000 executors (or days of
+    pre-computed partition rollups) combine into corpus quantiles at
+    100 TB without re-reading values. Deterministic binning (binary-
+    string length, exact integer log2) means this sketch — unlike
+    approx_percentile's GK sketch — hash-matches a SQL twin exactly.
+    Shuffles: one (type, shard, bin)-keyed partial agg, then a
+    (type, bin) merge over a sketch-sized (not data-sized) frame;
+    the quantile extraction window runs over <=~24 bins per type."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        (F.col("user_id") % 32).alias("shard"),
+        F.expr(_QSK_BIN_SPARK).alias("bin"),
+    )
+    sh = b.groupBy("event_type", "shard", "bin").agg(F.count(F.lit(1)).alias("c"))
+    m = sh.groupBy("event_type", "bin").agg(F.sum("c").alias("c"))
+    w = W.partitionBy("event_type")
+    cum = m.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(w.orderBy("bin")).alias("cum"),
+        F.sum("c").over(w).alias("total"),
+    )
+
+    def pick(q: float) -> F.Column:
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("total") * q), F.col("bin"))
+        )
+
+    def edge(col: F.Column) -> F.Column:
+        return F.round((F.pow(F.lit(2.0), col) - 1.0) / 100.0, 6)
+
+    return cum.groupBy("event_type").agg(
+        F.max("total").alias("n_events"),
+        F.count(F.lit(1)).alias("n_bins"),
+        edge(pick(0.5)).alias("p50"),
+        edge(pick(0.9)).alias("p90"),
+        edge(pick(0.99)).alias("p99"),
     )
 
 

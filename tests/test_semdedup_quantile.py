@@ -1,0 +1,114 @@
+"""Goldens for the round-5 additions: SemDeDup (semantic dedup via
+k-means cells + within-cell cosine pruning) and the mergeable
+two-level quantile sketch."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark.registry_r5 import (
+    q_quantile_sketch_events,
+    q_semantic_dedup,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_semdedup_removes_exactly_injected_duplicates(spark):
+    """The fixture injects one verbatim copy of every 10th embedding.
+    An exact copy always has cos == 1.0 >= tau to its original, the
+    pair lands in the same cell (identical vectors assign
+    identically), and keep-order ties break to the lower vec_id — so
+    the audit must remove exactly the injected copies, nothing else
+    (random dim-64 vectors produce no natural pair at tau=0.999)."""
+    out = q_semantic_dedup(spark, SF_SMOKE).collect()
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    n_inj = emb.filter(F.col("vec_id") % 10 == 0).count()
+    n_all = emb.count()
+    assert sum(r["n_removed"] for r in out) == n_inj
+    assert sum(r["n_members"] for r in out) == n_all + n_inj
+    assert all(r["n_kept"] == r["n_members"] - r["n_removed"] for r in out)
+
+
+def test_quantile_sketch_hits_rank_statistic_bin(spark):
+    """p50/p90/p99 must be the lower edge of the power-of-2 cent-bin
+    that contains the exact rank statistic ceil(q*n) — i.e. the
+    sketch's only error is bin width, never rank placement."""
+    out = {r["event_type"]: r for r in q_quantile_sketch_events(spark, SF_SMOKE).collect()}
+    rows = (
+        spark.read.parquet(SF_SMOKE + "/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        assert out[et]["n_events"] == n
+        for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            target = vals[math.ceil(q * n) - 1]
+            cents = int(round(max(target, 0.0) * 100))
+            b = (cents + 1).bit_length() - 1
+            expect = round((2.0**b - 1.0) / 100.0, 6)
+            assert out[et][col] == expect, (et, col, target, expect, out[et][col])
+
+
+def test_quantile_sketch_shard_count_invariant(spark):
+    """Merge algebra: the final quantiles must not depend on how many
+    shard sketches the data was split into (32 here vs an adversarial
+    re-shard by event_id % 5) — the property that makes per-partition
+    sketches reaggregatable across executors or days."""
+    base = q_quantile_sketch_events(spark, SF_SMOKE)
+    e = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    reshard = e.withColumn("user_id", F.col("event_id"))  # different shard split
+    # reuse the registry pipeline by substituting the table via a temp view
+    from etl_sh_design_spark import registry_r5 as r5
+
+    b = reshard.select(
+        "event_type",
+        (F.col("user_id") % 5).alias("shard"),
+        F.expr(r5._QSK_BIN_SPARK).alias("bin"),
+    )
+    merged = (
+        b.groupBy("event_type", "shard", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = (
+        base.select("event_type", "n_events", "p50", "p90", "p99")
+        .orderBy("event_type")
+        .collect()
+    )
+    # recompute quantiles from the 5-shard merge
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(w.orderBy("bin")).alias("cum"),
+        F.sum("c").over(w).alias("total"),
+    )
+
+    def pick(q):
+        return F.min(F.when(F.col("cum") >= F.ceil(F.col("total") * q), F.col("bin")))
+
+    def edge(c):
+        return F.round((F.pow(F.lit(2.0), c) - 1.0) / 100.0, 6)
+
+    again = (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("total").alias("n_events"),
+            edge(pick(0.5)).alias("p50"),
+            edge(pick(0.9)).alias("p90"),
+            edge(pick(0.99)).alias("p99"),
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in direct] == [tuple(r) for r in again]
