@@ -263,3 +263,48 @@ def test_token_frequency_join_keys_on_token(spark):
     plan = _plan(QUERIES["token_frequency_scores"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_centroids_broadcast_pairs_stay_hash_keyed(spark):
+    """SemDeDup scale shape, asserted per stage (the Lloyd rounds sit
+    behind localCheckpoints, so the final plan only shows the pairwise
+    stage): (a) centroid assignment broadcasts the k-row centroid side
+    — the vector side carries no Exchange before the join; (b) the
+    quadratic cosine stage is an equi-join keyed on the cell id —
+    never an unkeyed product over all pairs."""
+    from pyspark.sql import functions as F
+
+    from etl_sh_design_spark.operators.kmeans import _as_double, _assign
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vecs = emb.select(F.col("vec_id"), _as_double("embedding").alias("v"))
+    cents = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c")
+    )
+    aplan = _plan(_assign(vecs, cents))
+    assert "BroadcastNestedLoopJoin" in aplan  # 8-row side broadcast
+    join_part = aplan.split("BroadcastNestedLoopJoin")[1]
+    # the big (vector) side streams straight from the scan: the only
+    # Exchange below the join is the broadcast of the centroid side
+    assert "Exchange hashpartitioning" not in join_part.split("Scan parquet")[0]
+
+    from etl_sh_design_spark import registry
+
+    df = registry.queries()["semantic_dedup"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin [cluster" in plan or "ShuffledHashJoin [cluster" in plan
+
+
+def test_quantile_sketch_partial_agg_and_bounded_window(spark):
+    """Two-level sketch: the shard histogram must partial-aggregate
+    before its shuffle (HashAggregate below the Exchange), and the
+    quantile-extraction window must be partitioned by event_type —
+    no global single-partition window."""
+    from etl_sh_design_spark import registry
+
+    df = registry.queries()["quantile_sketch_events"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+    assert "No Partition Defined for Window" not in plan
