@@ -82,6 +82,7 @@ HEADLINE = [
     "hll_distinct_sketch",
     "semantic_dedup",
     "quantile_sketch_events",
+    "bloom_decontamination",
 ]
 
 

@@ -748,6 +748,127 @@ def q_decontamination(spark, sf_dir):
     )
 
 
+# ------------------------------------- bloom-filter decontamination
+# The fixed-size-filter variant of the query above: when the
+# contamination list is too large to broadcast raw (every eval set +
+# paraphrase expansion at 100 TB), build a Bloom filter over its
+# grams — M bits in M/32 words via bit_or — and probe corpus grams
+# map-side against the words; only bloom-candidates reach the exact
+# confirm join. K=2 hashes from the shared md5_int64; 32-bit words so
+# every mask fits BIGINT arithmetic identically on both engines.
+_BLOOM_M = 65536  # bits -> 2048 words: 16 KiB regardless of bench size
+
+
+def _bloom_pos_sql(j: int, gram: str) -> tuple[str, str, str]:
+    """(h, word, mask) SQL exprs for hash j of `gram` (DuckDB)."""
+    h = MD5_INT64_SQL.format(x=f"'b{j}:' || {gram}") + f" % {_BLOOM_M}"
+    return h, f"CAST(({h}) // 32 AS INT)", f"CAST(1 AS BIGINT) << CAST(({h}) % 32 AS INT)"
+
+
+@query(
+    "bloom_decontamination",
+    f"""
+WITH t AS ({_BENCH_TOKS}),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {_DECON_N - 2}),
+                i -> array_to_string(toks[i : i + {_DECON_N - 1}], ' '))) AS gram
+  FROM t WHERE len(toks) >= {_DECON_N}
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+pos AS (
+  SELECT {_bloom_pos_sql(0, "gram")[1]} AS word, {_bloom_pos_sql(0, "gram")[2]} AS mask FROM bench
+  UNION ALL
+  SELECT {_bloom_pos_sql(1, "gram")[1]}, {_bloom_pos_sql(1, "gram")[2]} FROM bench
+),
+bloom AS (SELECT word, bit_or(mask) AS bits FROM pos GROUP BY 1),
+corp AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id >= 10),
+cand AS (
+  SELECT c.doc_id, c.gram
+  FROM corp c
+  JOIN bloom b0 ON b0.word = {_bloom_pos_sql(0, "c.gram")[1]}
+  JOIN bloom b1 ON b1.word = {_bloom_pos_sql(1, "c.gram")[1]}
+  WHERE (b0.bits & ({_bloom_pos_sql(0, "c.gram")[2]})) <> 0
+    AND (b1.bits & ({_bloom_pos_sql(1, "c.gram")[2]})) <> 0
+),
+conf AS (SELECT cand.doc_id, cand.gram FROM cand JOIN bench USING (gram))
+SELECT (SELECT count(*) FROM cand) AS n_candidate_pairs,
+       (SELECT count(*) FROM cand) - (SELECT count(*) FROM conf) AS n_fp_pairs,
+       (SELECT count(DISTINCT doc_id) FROM conf) AS n_contaminated,
+       (SELECT count(*) FROM conf) AS total_shared_grams
+""",
+)
+def q_bloom_decontamination(spark, sf_dir):
+    """Two-phase Bloom decontamination: the benchmark gram set folds
+    into a 16 KiB bit array (words x bit_or — sketch-sized no matter
+    how many eval grams), corpus grams probe it map-side through two
+    broadcast word-joins, and ONLY bloom candidates reach the exact
+    confirm join. No false negatives by construction (golden pins
+    n_contaminated/total_shared_grams == the broadcast-probe
+    `decontamination` query); n_fp_pairs measures the sketch's price.
+    At 100 TB this replaces broadcasting the raw gram list — the
+    filter stays 16 KiB whether the benchmark suite is 1 MB or 1 TB."""
+    d = _t(spark, sf_dir, "documents")
+    d = _repartitioned(spark, d.select("doc_id", "text"))
+    toks = d.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
+        F.size("toks") >= _DECON_N
+    )
+    grams_expr = (
+        f"transform(sequence(0, size(toks) - {_DECON_N}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {_DECON_N})))"
+    )
+    g = toks.select("doc_id", F.explode(F.expr(grams_expr)).alias("gram"))
+    bench = g.filter(F.col("doc_id") < 10).select("gram").distinct()
+
+    def pos(df, j: int):
+        h = md5_int64(F.concat(F.lit(f"b{j}:"), F.col("gram"))) % _BLOOM_M
+        # mask = 1 << (h % 32), written as an exact double pow so the
+        # same expression shape works without shift-by-column support;
+        # 2^31 max fits BIGINT exactly on both engines
+        return df.withColumn(f"word{j}", F.floor(h / 32).cast("int")).withColumn(
+            f"mask{j}", F.pow(F.lit(2.0), (h % 32).cast("double")).cast("bigint")
+        )
+
+    # build: both hash positions per bench gram -> word-keyed bit_or
+    b0 = pos(bench, 0).select(F.col("word0").alias("word"), F.col("mask0").alias("mask"))
+    b1 = pos(bench, 1).select(F.col("word1").alias("word"), F.col("mask1").alias("mask"))
+    bloom = b0.unionByName(b1).groupBy("word").agg(F.bit_or("mask").alias("bits"))
+
+    corp = g.filter(F.col("doc_id") >= 10).distinct()
+    probed = pos(pos(corp, 0), 1)
+    cand = (
+        probed.join(
+            F.broadcast(bloom.select(F.col("word").alias("word0"), F.col("bits").alias("bits0"))),
+            "word0",
+        )
+        .join(
+            F.broadcast(bloom.select(F.col("word").alias("word1"), F.col("bits").alias("bits1"))),
+            "word1",
+        )
+        .filter(
+            (F.col("bits0").bitwiseAND(F.col("mask0")) != 0)
+            & (F.col("bits1").bitwiseAND(F.col("mask1")) != 0)
+        )
+        .select("doc_id", "gram")
+    )
+    conf = cand.join(F.broadcast(bench), "gram")
+    return (
+        cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+        .crossJoin(
+            conf.agg(
+                F.count(F.lit(1)).alias("_n_conf"),
+                F.countDistinct("doc_id").alias("n_contaminated"),
+            )
+        )
+        .select(
+            "n_candidate_pairs",
+            (F.col("n_candidate_pairs") - F.col("_n_conf")).alias("n_fp_pairs"),
+            "n_contaminated",
+            F.col("_n_conf").alias("total_shared_grams"),
+        )
+    )
+
+
 # ------------------------------------------------- domain mixture sampling
 _MIX_WEIGHTS = {"src0": 100, "src1": 50, "src2": 25}  # percent x 100 basis: out of 10000
 _MIX_DEFAULT = 10  # 0.1% for every other source

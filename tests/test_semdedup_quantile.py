@@ -112,3 +112,21 @@ def test_quantile_sketch_shard_count_invariant(spark):
         .collect()
     )
     assert [tuple(r) for r in direct] == [tuple(r) for r in again]
+
+
+def test_bloom_decontamination_no_false_negatives(spark):
+    """Bloom property: the two-phase bloom path must confirm EXACTLY
+    the same contaminated docs and shared-gram count as the
+    broadcast-probe decontamination query (false positives only ever
+    add candidate pairs, never drop a true hit)."""
+    from etl_sh_design_spark.registry_pipeline import (
+        q_bloom_decontamination,
+        q_decontamination,
+    )
+
+    bl = q_bloom_decontamination(spark, SF_SMOKE).collect()[0]
+    ref = q_decontamination(spark, SF_SMOKE).collect()[0]
+    assert bl["n_contaminated"] == ref["n_contaminated"]
+    assert bl["total_shared_grams"] == ref["total_shared_grams"]
+    assert bl["n_fp_pairs"] >= 0
+    assert bl["n_candidate_pairs"] == bl["total_shared_grams"] + bl["n_fp_pairs"]
