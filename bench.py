@@ -83,6 +83,7 @@ HEADLINE = [
     "semantic_dedup",
     "quantile_sketch_events",
     "bloom_decontamination",
+    "cms_token_frequency",
 ]
 
 

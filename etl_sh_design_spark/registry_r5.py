@@ -337,6 +337,114 @@ def q_quantile_sketch_events(spark, sf_dir):
     )
 
 
+# -------------------- count-min sketch (mergeable frequency estimates)
+# Completes the classic mergeable-sketch trio: HLL (distinct counts,
+# below), the power-of-2 histogram (rank/quantiles, above), and CMS
+# (point frequencies, here). CMS is a LINEAR sketch — merge is
+# element-wise addition — so shard sketches built map-side sum into
+# the corpus sketch with no re-read. K=3 rows x W=1024 counters;
+# estimates only ever OVER-count (collision adds, never subtracts),
+# which the golden pins. Deterministic md5 hashing -> full SQL twin.
+_CMS_K = 3
+_CMS_W = 1024
+_CMS_TOPN = 10
+
+
+def _cms_col_sql(j: int, tok: str) -> str:
+    return MD5_INT64_SQL.format(x=f"'c{j}:' || {tok}") + f" % {_CMS_W}"
+
+
+@query(
+    "cms_token_frequency",
+    f"""
+WITH t AS (
+  SELECT doc_id % 16 AS shard, unnest({_TOKS_DUCK}) AS token FROM documents
+),
+sc AS (SELECT shard, token, count(*) AS c FROM t GROUP BY 1, 2),
+exact AS (SELECT token, CAST(sum(c) AS BIGINT) AS exact_count FROM sc GROUP BY 1),
+cells AS (
+  SELECT shard, 0 AS j, {_cms_col_sql(0, "token")} AS col, c FROM sc
+  UNION ALL SELECT shard, 1, {_cms_col_sql(1, "token")}, c FROM sc
+  UNION ALL SELECT shard, 2, {_cms_col_sql(2, "token")}, c FROM sc
+),
+shard_sk AS (SELECT shard, j, col, CAST(sum(c) AS BIGINT) AS c FROM cells GROUP BY 1, 2, 3),
+merged AS (SELECT j, col, CAST(sum(c) AS BIGINT) AS c FROM shard_sk GROUP BY 1, 2),
+top AS (SELECT token, exact_count FROM exact ORDER BY exact_count DESC, token LIMIT {_CMS_TOPN}),
+probes AS (
+  SELECT token, exact_count, 0 AS j, {_cms_col_sql(0, "token")} AS col FROM top
+  UNION ALL SELECT token, exact_count, 1, {_cms_col_sql(1, "token")} FROM top
+  UNION ALL SELECT token, exact_count, 2, {_cms_col_sql(2, "token")} FROM top
+),
+probe AS (
+  SELECT p.token, p.exact_count, min(m.c) AS cms_est
+  FROM probes p JOIN merged m USING (j, col)
+  GROUP BY 1, 2
+)
+SELECT token, CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_count AS BIGINT) AS overestimate
+FROM probe
+""",
+)
+def q_cms_token_frequency(spark, sf_dir):
+    """Count-min sketch over corpus tokens: 16 shard sketches (K=3 x
+    W=1024 bigint counters) built map-side, merged by element-wise
+    sum (CMS is linear — the property that lets 1000 executors or
+    daily partials combine without re-reading text), then the top-10
+    exact tokens are probed back: est = min over the K rows. At
+    100 TB the sketch is 24 KiB per shard regardless of vocabulary;
+    exact per-token counts need a vocab-sized shuffle. Overestimates
+    are non-negative by construction (golden)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        (F.col("doc_id") % 16).alias("shard"),
+        F.explode(F.expr(_TOKS)).alias("token"),
+    )
+    # (shard, token) pre-aggregation: vocab-bounded, feeds sketch AND
+    # exact side; checkpoint so the explode runs once
+    st = (
+        t.groupBy("shard", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    exact = st.groupBy("token").agg(F.sum("c").cast("bigint").alias("exact_count"))
+
+    def col_of(j: int, tok) -> F.Column:
+        return md5_int64(F.concat(F.lit(f"c{j}:"), tok)) % _CMS_W
+
+    cells = None
+    for j in range(_CMS_K):
+        cj = st.select(
+            "shard",
+            F.lit(j).alias("j"),
+            col_of(j, F.col("token")).alias("col"),
+            "c",
+        )
+        cells = cj if cells is None else cells.unionByName(cj)
+    shard_sk = cells.groupBy("shard", "j", "col").agg(F.sum("c").alias("c"))
+    merged = shard_sk.groupBy("j", "col").agg(F.sum("c").cast("bigint").alias("c"))
+
+    top = exact.orderBy(F.desc("exact_count"), "token").limit(_CMS_TOPN)
+    probes = None
+    for j in range(_CMS_K):
+        pj = top.select(
+            "token", "exact_count", F.lit(j).alias("j"),
+            col_of(j, F.col("token")).alias("col"),
+        )
+        probes = pj if probes is None else probes.unionByName(pj)
+    est = (
+        probes.join(F.broadcast(merged), ["j", "col"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        "exact_count",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
 # ----------------------- mergeable HLL sketches (two-level aggregation)
 @query("hll_distinct_sketch")  # rows-only: DataSketches HLL has no DuckDB twin
 def q_hll_distinct_sketch(spark, sf_dir):

@@ -130,3 +130,52 @@ def test_bloom_decontamination_no_false_negatives(spark):
     assert bl["total_shared_grams"] == ref["total_shared_grams"]
     assert bl["n_fp_pairs"] >= 0
     assert bl["n_candidate_pairs"] == bl["total_shared_grams"] + bl["n_fp_pairs"]
+
+
+def test_cms_linear_merge_and_overestimate_sign(spark):
+    """CMS is a linear sketch: the 16-shard merged sketch must equal
+    the sketch built with no sharding at all (element-wise sums
+    commute), and every probe estimate must be >= the exact count
+    (collisions only ever add)."""
+    from etl_sh_design_spark.operators.dedup import md5_int64
+    from etl_sh_design_spark import registry_r5 as r5
+
+    rows = r5.q_cms_token_frequency(spark, SF_SMOKE).collect()
+    assert len(rows) == r5._CMS_TOPN
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert all(r["cms_est"] == r["exact_count"] + r["overestimate"] for r in rows)
+
+    # direct (shard-free) sketch == the query's shard-merged sketch
+    d = spark.read.parquet(SF_SMOKE + "/documents.parquet")
+    t = d.select(F.explode(F.expr(r5._TOKS)).alias("token"))
+    direct = None
+    for j in range(r5._CMS_K):
+        cj = t.select(
+            F.lit(j).alias("j"),
+            (md5_int64(F.concat(F.lit(f"c{j}:"), F.col("token"))) % r5._CMS_W).alias("col"),
+        )
+        direct = cj if direct is None else direct.unionByName(cj)
+    direct_cells = {
+        (r["j"], r["col"]): r["c"]
+        for r in direct.groupBy("j", "col").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    sharded = t.withColumn("shard", F.monotonically_increasing_id() % 16)
+    # recompute the query's merged sketch independently (same path as
+    # the registry: shard partials then element-wise sum)
+    cells = None
+    for j in range(r5._CMS_K):
+        cj = sharded.select(
+            "shard",
+            F.lit(j).alias("j"),
+            (md5_int64(F.concat(F.lit(f"c{j}:"), F.col("token"))) % r5._CMS_W).alias("col"),
+        )
+        cells = cj if cells is None else cells.unionByName(cj)
+    merged_cells = {
+        (r["j"], r["col"]): r["c"]
+        for r in cells.groupBy("shard", "j", "col")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("j", "col")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    assert direct_cells == merged_cells
