@@ -1,0 +1,148 @@
+"""Property-based cross-engine fuzz: generate filter→groupBy→agg
+query specs and run each BOTH as a Spark DataFrame pipeline and as
+SQL on DuckDB, asserting identical results. This probes the engine
+surface BETWEEN the curated registry queries — expression typing,
+null handling, predicate/agg interactions — the way a user composing
+ad-hoc pipelines would.
+
+Determinism discipline (same as the registry): fuzzed aggregates are
+restricted to exact forms — count / min / max always, sum / avg only
+over columns whose sums carry no accumulation-order hazard at this
+scale (l_quantity is integer-valued; l_discount is 2dp ~0.1 so a
+6k-row sum's representation error is ~1e-15, nine orders under the
+6dp rounding grid). derandomize=True pins the example set, so a
+green run is reproducible, not a dice roll."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+_NUM_COLS = ["l_quantity", "l_discount"]
+_EXACT_COLS = _NUM_COLS + ["l_extendedprice", "l_tax", "l_linenumber"]
+_GROUP_COLS = ["l_returnflag", "l_linestatus", "l_shipdate"]
+_FILTER_SPECS = [
+    ("l_quantity", ">", 25.0),
+    ("l_quantity", "<=", 10.0),
+    ("l_discount", ">=", 0.05),
+    ("l_extendedprice", "<", 20000.0),
+    ("l_linenumber", "<=", 3),
+    ("l_tax", ">", 0.04),
+]
+
+spec = st.fixed_dictionaries(
+    {
+        "filters": st.lists(
+            st.sampled_from(_FILTER_SPECS), min_size=0, max_size=2, unique=True
+        ),
+        "group": st.sampled_from(_GROUP_COLS),
+        "sum_col": st.sampled_from(_NUM_COLS),
+        "minmax_col": st.sampled_from(_EXACT_COLS),
+        "want_avg": st.booleans(),
+    }
+)
+
+_OPS = {
+    ">": lambda c, v: F.col(c) > v,
+    ">=": lambda c, v: F.col(c) >= v,
+    "<": lambda c, v: F.col(c) < v,
+    "<=": lambda c, v: F.col(c) <= v,
+}
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(spec)
+def test_fuzzed_filter_group_agg_matches_duckdb(spark, duck, s):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    where = []
+    for col, op, val in s["filters"]:
+        li = li.filter(_OPS[op](col, val))
+        where.append(f"{col} {op} {val}")
+    g, sc, mc = s["group"], s["sum_col"], s["minmax_col"]
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(sc), 6).alias("s"),
+        F.min(mc).alias("lo"),
+        F.max(mc).alias("hi"),
+    ]
+    sel = [f"count(*) AS n", f"round(sum({sc}), 6) AS s",
+           f"min({mc}) AS lo", f"max({mc}) AS hi"]
+    if s["want_avg"]:
+        aggs.append(F.round(F.avg(sc), 6).alias("m"))
+        sel.append(f"round(avg({sc}), 6) AS m")
+    sdf = li.groupBy(g).agg(*aggs)
+    sql = (
+        f"SELECT {g}, {', '.join(sel)} FROM lineitem"
+        + (" WHERE " + " AND ".join(where) if where else "")
+        + f" GROUP BY {g}"
+    )
+    srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+    drows = sorted(tuple(str(x) for x in r) for r in duck.execute(sql).fetchall())
+    assert srows == drows, (s, srows[:2], drows[:2])
+
+
+_JOIN_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+join_spec = st.fixed_dictionaries(
+    {
+        "prios": st.lists(
+            st.sampled_from(_JOIN_PRIOS), min_size=1, max_size=3, unique=True
+        ),
+        "jtype": st.sampled_from(["inner", "left"]),
+        "group": st.sampled_from(["o_orderpriority", "l_returnflag"]),
+        "qty_cut": st.sampled_from([None, 15.0, 35.0]),
+    }
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(join_spec)
+def test_fuzzed_join_agg_matches_duckdb(spark, duck, s):
+    """Join-shaped fuzz: orders (priority-filtered) x lineitem with a
+    random join type, optional fact-side predicate, and a grouped
+    count/sum — probing join-null and pushdown interactions. For the
+    left join, group keys from the null-extended side are excluded
+    (a NULL group renders engine-specifically) and the sum column is
+    COALESCEd so both engines aggregate the same values."""
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    prios = s["prios"]
+    jtype, g = s["jtype"], s["group"]
+    if jtype == "left" and g == "l_returnflag":
+        g = "o_orderpriority"  # never group a left join by the null side
+    of = o.filter(F.col("o_orderpriority").isin(prios))
+    lif = li
+    where_li = ""
+    if s["qty_cut"] is not None:
+        lif = lif.filter(F.col("l_quantity") > s["qty_cut"])
+        where_li = f" WHERE l_quantity > {s['qty_cut']}"
+    j = of.join(lif, of.o_orderkey == lif.l_orderkey, jtype)
+    sdf = j.groupBy(g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.coalesce(F.col("l_quantity"), F.lit(0.0))), 6).alias("s"),
+    )
+    in_list = ", ".join(f"'{p}'" for p in prios)
+    sql = f"""
+SELECT {g}, count(*) AS n,
+       round(sum(coalesce(l_quantity, 0.0)), 6) AS s
+FROM (SELECT * FROM orders WHERE o_orderpriority IN ({in_list})) o
+{jtype.upper()} JOIN (SELECT * FROM lineitem{where_li}) l
+  ON o.o_orderkey = l.l_orderkey
+GROUP BY {g}
+"""
+    srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+    drows = sorted(tuple(str(x) for x in r) for r in duck.execute(sql).fetchall())
+    assert srows == drows, (s, srows[:2], drows[:2])
