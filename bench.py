@@ -84,6 +84,7 @@ HEADLINE = [
     "quantile_sketch_events",
     "bloom_decontamination",
     "cms_token_frequency",
+    "bpe_merge_learn",
 ]
 
 

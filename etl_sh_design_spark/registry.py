@@ -612,8 +612,8 @@ _DRIVER_WINDOW_PRIORITY = [
 # pq_ann_topk, incremental_neardup, ivfpq_ann_topk, pagerank_hubs,
 # weighted_sample_docs, source_token_kl, span_trim_audit,
 # hll_distinct_sketch, semantic_dedup, quantile_sketch_events,
-# bloom_decontamination, cms_token_frequency) have only the
-# local gates so far
+# bloom_decontamination, cms_token_frequency, bpe_merge_learn)
+# have only the local gates so far
 # (every one of them, and all 79 other non-window queries, was driven
 # at sf0.01 under a vanilla session this round with the hardened
 # dtype-aware comparison: 0 mismatches) — front them next round.

@@ -337,6 +337,136 @@ def q_quantile_sketch_events(spark, sf_dir):
     )
 
 
+# --------------------------- BPE merge learning (vocabulary induction)
+# Learn the top-2 byte-pair merges from corpus word statistics with
+# both rounds unrolled — the vocabulary-induction step of tokenizer
+# training (Sennrich et al. 2016), expressed declaratively. Words are
+# represented as '|'-wrapped symbol strings ('|a||b|...'), where
+# `replace()`'s left-to-right non-overlapping scan IS the BPE greedy
+# merge (adjacent matches share no characters, and a just-merged
+# symbol can't re-merge — verified identical in Spark and DuckDB,
+# including the '|a||a||a|' -> '|aa||a|' overlap case). Pair counts
+# are weighted by word frequency; ties break lexicographically.
+_BPE_ROUNDS = 2
+
+
+@query(
+    "bpe_merge_learn",
+    r"""
+WITH w AS (
+  SELECT token, count(*) AS cnt, regexp_replace(token, '(.)', '|\1|', 'g') AS ws
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS token
+        FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$') AND len(token) >= 2
+  GROUP BY 1
+),
+p1 AS (
+  SELECT p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                 i -> {'a': syms[i], 'b': syms[i + 1]})) AS p
+    FROM (SELECT cnt, string_split(trim(ws, '|'), '||') AS syms FROM w)
+  )
+  GROUP BY 1, 2
+),
+b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+w2 AS (
+  SELECT w.cnt,
+         replace(w.ws, '|' || b1.a || '||' || b1.b || '|',
+                 '|' || b1.a || b1.b || '|') AS ws
+  FROM w CROSS JOIN b1
+),
+p2 AS (
+  SELECT p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                 i -> {'a': syms[i], 'b': syms[i + 1]})) AS p
+    FROM (SELECT cnt, string_split(trim(ws, '|'), '||') AS syms FROM w2)
+  )
+  GROUP BY 1, 2
+),
+b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1)
+SELECT 1 AS merge_rank, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b1
+UNION ALL
+SELECT 2, a, b, cnt FROM b2
+""",
+)
+def q_bpe_merge_learn(spark, sf_dir):
+    """BPE vocabulary induction: the 2 highest-frequency symbol-pair
+    merges over the corpus word table, rounds unrolled (round 2 counts
+    pairs AFTER applying merge 1, so a learned bigram can participate
+    in a longer merge). The heavy shuffle each round is the (a, b)
+    pair-count aggregation — vocab²-bounded keys, partial-aggregated
+    map-side; the 1-row winner broadcasts back into a pure-codegen
+    string replace. At 100 TB the word table (distinct words x count)
+    is the only state between rounds — exactly how production BPE
+    trainers stream it."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(F.expr(_TOKS)).alias("token"))
+        .filter(F.col("token").rlike("^[a-z]+$") & (F.length("token") >= 2))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cnt",
+            F.regexp_replace(F.col("token"), "(.)", r"|$1|").alias("ws"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return bpe_learn_merges(w, rounds=_BPE_ROUNDS)
+
+
+def _bpe_pair_counts(words):
+    syms = words.select(
+        "cnt", F.expr(r"split(trim(BOTH '|' FROM ws), '\\|\\|')").alias("syms")
+    ).filter(F.size("syms") >= 2)
+    p = syms.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+            )
+        ).alias("p"),
+    )
+    return p.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def _bpe_apply_merge(words, b):
+    return words.crossJoin(F.broadcast(b.select("a", "b"))).select(
+        "cnt",
+        F.expr(
+            "replace(ws, '|' || a || '||' || b || '|', '|' || a || b || '|')"
+        ).alias("ws"),
+    )
+
+
+def bpe_learn_merges(words, rounds: int = 2):
+    """Run `rounds` BPE merge rounds over a (cnt, ws) word table;
+    returns (merge_rank, left_sym, right_sym, pair_count) per round."""
+    out = None
+    cur = words
+    for r in range(1, rounds + 1):
+        b = (
+            _bpe_pair_counts(cur)
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        row = b.select(
+            F.lit(r).alias("merge_rank"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+        if r < rounds:
+            cur = _bpe_apply_merge(cur, b)
+    return out
+
+
 # -------------------- count-min sketch (mergeable frequency estimates)
 # Completes the classic mergeable-sketch trio: HLL (distinct counts,
 # below), the power-of-2 histogram (rank/quantiles, above), and CMS

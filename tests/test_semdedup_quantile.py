@@ -179,3 +179,21 @@ def test_cms_linear_merge_and_overestimate_sign(spark):
         .collect()
     }
     assert direct_cells == merged_cells
+
+
+def test_bpe_learns_hand_computed_merges(spark):
+    """Hand-computed BPE fixture: words aaab (x3) and abab (x2).
+    Round-1 pair counts: aa=6, ab=3+4=7, ba=2 -> merge (a,b).
+    After the merge (greedy, non-overlapping, left-to-right):
+    aaab -> [a, a, ab]; abab -> [ab, ab]. Round-2 counts:
+    (a,a)=3, (a,ab)=3, (ab,ab)=2 -> lexicographic tie-break picks
+    (a,a). Covers the weighted counting, the greedy overlap rule,
+    merged-symbol pairs, and the deterministic tie order."""
+    from etl_sh_design_spark.registry_r5 import bpe_learn_merges
+
+    w = spark.createDataFrame(
+        [(3, "|a||a||a||b|"), (2, "|a||b||a||b|")], "cnt INT, ws STRING"
+    )
+    rows = {r["merge_rank"]: r for r in bpe_learn_merges(w, rounds=2).collect()}
+    assert (rows[1]["left_sym"], rows[1]["right_sym"], rows[1]["pair_count"]) == ("a", "b", 7)
+    assert (rows[2]["left_sym"], rows[2]["right_sym"], rows[2]["pair_count"]) == ("a", "a", 3)
