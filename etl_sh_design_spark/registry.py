@@ -606,7 +606,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kmeans_profile",
     "q10_returned_revenue",
 ]
-# Round-6 rotation debt: the queries added in round 5
+# Round-6 rotation debt: the 19 queries added in round 5
 # (q2_min_cost_supplier, q11_important_parts, q12_priority_latency,
 # q20_part_suppliers, q21_waiting_suppliers, token_frequency_scores,
 # pq_ann_topk, incremental_neardup, ivfpq_ann_topk, pagerank_hubs,
