@@ -35,6 +35,36 @@ COPIES = 10
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
+def build_10x_embeddings(spark) -> None:
+    """10 dim-rotated copies of the embeddings table. Rotating the
+    dimension order per copy preserves every within-copy geometry
+    (norms, distances, the in-copy near-dup structure) while making
+    cross-copy cosines behave like random vectors — the SAME workload
+    repeated 10x, not a 10-clique of exact duplicates. vec_ids are
+    remapped to local*10+copy so that k=80 seed vectors (vec_id<80)
+    pick one seed per copy per local id — the k-proportional-to-N
+    regime SemDeDup's scale contract requires."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    parts = []
+    for k in range(COPIES):
+        rot = F.expr(
+            f"concat(slice(embedding, {k + 1}, size(embedding) - {k}), "
+            f"slice(embedding, 1, {k}))"
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") * 10 + k).alias("vec_id"),
+                rot.alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{SF10X}/embeddings.parquet")
+
+
 def build_10x(spark) -> None:
     from pyspark.sql import functions as F
 
@@ -83,13 +113,35 @@ def shuffle_write_bytes(spark) -> int:
     return sum(s.get("shuffleWriteBytes", 0) for s in stages)
 
 
+def _semdedup_probe(spark, sf_dir):
+    """SemDeDup under its scale contract: cells stay ~constant-size
+    because k grows with N (8 at 1x -> 80 at 10x; one seed per copy
+    per local id thanks to the vec_id remap in build_10x_embeddings).
+    The 1x path is exactly the registry query's pipeline."""
+    from pyspark.sql import functions as F
+
+    from etl_sh_design_spark.operators.semdedup import semantic_dedup_profile
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = 8 if sf_dir == SF01 else 80
+    dup = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100_000_000).alias("vec_id"), "embedding"
+    )
+    return semantic_dedup_profile(
+        e.select("vec_id", "embedding").unionByName(dup), k=k, iterations=2
+    )
+
+
 def main() -> None:
     from etl_sh_design_spark import registry, registry_ext
     from etl_sh_design_spark.session import get_spark
 
+    new_only = "--new-only" in sys.argv
+
     spark = get_spark(app_name="scale_probe", ui=True)
     spark.sparkContext.setLogLevel("ERROR")
     build_10x(spark)
+    build_10x_embeddings(spark)
 
     # warm JVM + parquet footers
     spark.read.parquet(f"{SF01}/documents.parquet").count()
@@ -97,8 +149,8 @@ def main() -> None:
 
     qs = registry.queries()
     rows_in = {
-        SF01: {"docs": 10_000, "events": 100_000},  # corpus incl. mutants
-        SF10X: {"docs": 100_000, "events": 1_000_000},
+        SF01: {"docs": 10_000, "events": 100_000, "vecs": 2_200},
+        SF10X: {"docs": 100_000, "events": 1_000_000, "vecs": 22_000},
     }
     plan = [
         ("dedup_family_shared", "docs", None),  # pairs+components materialization
@@ -108,7 +160,15 @@ def main() -> None:
         ("range_frame_events", "events", qs["range_frame_events"]),
         ("span_trim_audit", "docs", qs["span_trim_audit"]),
         ("pagerank_hubs", "events", qs["pagerank_hubs"]),
+        # round-5 late additions
+        ("semantic_dedup(k~N)", "vecs", _semdedup_probe),
+        ("bloom_decontamination", "docs", qs["bloom_decontamination"]),
+        ("cms_token_frequency", "docs", qs["cms_token_frequency"]),
+        ("bpe_merge_learn", "docs", qs["bpe_merge_learn"]),
+        ("quantile_sketch_events", "events", qs["quantile_sketch_events"]),
     ]
+    if new_only:
+        plan = plan[-5:]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
         for name, table, fn in plan:
