@@ -1,0 +1,411 @@
+"""Round-5 (late) extension registry: corpus selection under a token
+budget, robust (MAD) outlier detection, the BPE compression curve, and
+boilerplate-prefix cluster detection.
+
+These add the *selection / health-check* half of a training-data
+pipeline that the earlier rounds' dedup / scoring / mixture operators
+feed into:
+- `token_budget_selection` — given per-doc quality scores and token
+  counts, pick the best documents whose tokens fit a global budget
+  (the final step of corpus curation). Computed WITHOUT a global
+  single-partition sort: the distributed range-rank pattern from
+  `registry_wide.q_ntile`, generalized from prefix-counts to prefix
+  token SUMS.
+- `mad_outliers_events` — median/MAD robust z-scores per event type
+  (Iglewicz-Hoaglin modified z, |z| > 3.5), the metric-sanity check a
+  pipeline runs on telemetry before trusting its own throughput stats.
+- `bpe_compression_curve` — corpus total-symbol count after 0, 1 and
+  2 learned BPE merges (reuses `registry_r5.bpe_learn_merges`'s
+  machinery): measures how much each induced vocabulary entry
+  actually compresses the corpus.
+- `boilerplate_prefix_clusters` — documents sharing an identical
+  leading-token prefix form template clusters (web boilerplate
+  detection); per-source counts of templated docs and clusters.
+
+Hash discipline follows the repo contract (registry.py header): exact
+integers stay BIGINT, doubles rounded 6dp on both engines, selection
+orders are fully tie-broken.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark.functions import text
+from etl_sh_design_spark.registry import _t, query
+from etl_sh_design_spark.registry_r5 import (
+    _bpe_apply_merge,
+    _bpe_pair_counts,
+    _TOKS,
+    _TOKS_DUCK,
+)
+
+# --------------------------------------------------------------------
+# shared oracle fragments
+# --------------------------------------------------------------------
+
+_STOP = "['the','a','an','and','or','of','to','in','is','it']"
+
+# Per-doc (n_tok, quality score) — the same composite score (and the
+# same DuckDB spelling) as registry_ext.q_text_quality's oracle.
+_SCORED_DOCS_SQL = f"""
+  SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+         round((least(n_tok / 100.0e0, 1.0e0)
+                + greatest(0.0e0, 1.0e0 - 4.0e0 * punct_ratio)
+                + least(1.0e0, 4.0e0 * stop_ratio)) / 3.0e0, 6) AS score
+  FROM (
+    SELECT doc_id, source, len(toks) AS n_tok,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, t -> list_contains({_STOP}, t))) AS DOUBLE) / len(toks)
+                ELSE 0.0e0 END AS stop_ratio,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+                ELSE 0.0e0 END AS punct_ratio
+    FROM (SELECT doc_id, source, text,
+                 list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+          FROM documents)
+  )
+"""
+
+
+# --------------------------------------------------------------------
+# token-budget corpus selection
+# --------------------------------------------------------------------
+
+@query(
+    "token_budget_selection",
+    f"""
+WITH scored AS ({_SCORED_DOCS_SQL}),
+tot AS (SELECT (CAST(sum(n_tok) AS BIGINT) * 2) // 5 AS budget FROM scored),
+ranked AS (
+  SELECT *, sum(n_tok) OVER (ORDER BY score DESC, doc_id) AS cum FROM scored
+),
+sel AS (SELECT r.* FROM ranked r CROSS JOIN tot WHERE r.cum <= tot.budget)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sel_tokens,
+       round(min(score), 6) AS min_score
+FROM sel GROUP BY source
+""",
+)
+def q_token_budget_selection(spark, sf_dir):
+    """Corpus curation's final cut: keep the highest-quality documents
+    whose cumulative token count fits a global budget (here 40% of the
+    corpus, exact integer arithmetic: budget = total*2 // 5), greedy
+    by (quality DESC, doc_id) — i.e. the classic quality-ranked prefix
+    selection every LLM-data pipeline ends with.
+
+    Scale story: the global cumulative sum is computed WITHOUT a
+    single-partition window. Documents are range-partitioned on the
+    selection order, each partition's token subtotal (P metadata-sized
+    values) is collected and turned into broadcast prefix offsets, and
+    the in-partition cumulative sum runs under a window partitioned by
+    partition id — P balanced groups. Same plan at 1000 executors;
+    nothing funnels through one task. (Distributed range-rank pattern
+    of `registry_wide.q_ntile`, generalized from counts to sums.)
+    """
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        text.token_count("text").cast("bigint").alias("n_tok"),
+        text.quality_score("text").alias("score"),
+    )
+    p = spark.sparkContext.defaultParallelism
+    # Pin the sampled range boundaries: `parts` feeds both the
+    # subtotal collect and the final plan (cf. registry_wide.q_ntile).
+    parts = (
+        scored.repartitionByRange(p, F.col("score").desc(), F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    subtotals = sorted(
+        (r["pid"], r["tok"])
+        for r in parts.groupBy("pid")
+        .agg(F.sum("n_tok").alias("tok"))
+        .collect()
+    )
+    total = sum(t for _, t in subtotals)
+    budget = total * 2 // 5
+    offsets, acc = [], 0
+    for pid, tok in subtotals:
+        offsets.append((pid, acc))
+        acc += tok
+    off_df = spark.createDataFrame(offsets, schema="pid int, _offset long")
+    wloc = W.partitionBy("pid").orderBy(F.col("score").desc(), F.col("doc_id"))
+    cum = (
+        parts.withColumn(
+            "_lcum",
+            F.sum("n_tok").over(wloc.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .join(F.broadcast(off_df), "pid")
+        .withColumn("cum", F.col("_offset") + F.col("_lcum"))
+    )
+    sel = cum.filter(F.col("cum") <= F.lit(budget))
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sel_tokens"),
+        F.round(F.min("score"), 6).alias("min_score"),
+    )
+
+
+# --------------------------------------------------------------------
+# robust (median / MAD) outlier detection
+# --------------------------------------------------------------------
+
+@query(
+    "mad_outliers_events",
+    """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, median(ad) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(d.med), 6) AS med,
+       round(max(m2.mad), 6) AS mad,
+       CAST(sum(CASE WHEN 0.6745e0 * d.ad > 3.5e0 * m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(max(CASE WHEN m2.mad > 0 THEN 0.6745e0 * d.ad / m2.mad ELSE 0.0e0 END), 6) AS max_abs_z
+FROM dev d JOIN mad m2 USING (event_type)
+GROUP BY 1
+""",
+)
+def q_mad_outliers_events(spark, sf_dir):
+    """Robust outlier detection per event type: Iglewicz-Hoaglin
+    modified z-score 0.6745*(x - median)/MAD, flagging |z| > 3.5.
+    Median/MAD resist the very outliers they hunt (unlike mean/stddev,
+    cf. `stats_summary`) — the standard telemetry-sanity check before
+    trusting pipeline throughput metrics.
+
+    Both engines compute the EXACT interpolated median (Spark
+    `percentile`, DuckDB `median` = percentile_cont), so the oracle
+    hash-matches; at 100 TB you'd swap in `approx_percentile` (the
+    approx surface exists: `approx_stats`). Two |E|-keyed shuffles
+    (median, then MAD over deviations) and a broadcast of the
+    per-type medians — group count is the only state.
+    """
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.lit(0.6745) * F.col("ad") > F.lit(3.5) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("mad") > 0,
+                        F.lit(0.6745) * F.col("ad") / F.col("mad"),
+                    ).otherwise(F.lit(0.0))
+                ),
+                6,
+            ).alias("max_abs_z"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# BPE compression curve
+# --------------------------------------------------------------------
+
+_BPE_W_SQL = r"""
+  SELECT token, count(*) AS cnt, regexp_replace(token, '(.)', '|\1|', 'g') AS ws
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS token
+        FROM documents)
+  WHERE regexp_matches(token, '^[a-z]+$') AND len(token) >= 2
+  GROUP BY 1
+"""
+
+def _bpe_stats_duck(rank: int, src: str) -> str:
+    # DuckDB: total symbols is Σ cnt·|syms|; distinct symbol types via
+    # an unnest. Written without LATERAL for broad version support.
+    return f"""
+  SELECT {rank} AS n_merges,
+         (SELECT CAST(sum(cnt * len(string_split(trim(ws, '|'), '||'))) AS BIGINT) FROM {src}) AS total_symbols,
+         (SELECT CAST(count(DISTINCT sym) AS BIGINT)
+          FROM (SELECT unnest(string_split(trim(ws, '|'), '||')) AS sym FROM {src})) AS distinct_symbols
+"""
+
+
+@query(
+    "bpe_compression_curve",
+    f"""
+WITH w AS ({_BPE_W_SQL}),
+p1 AS (
+  SELECT p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                 i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS p
+    FROM (SELECT cnt, string_split(trim(ws, '|'), '||') AS syms FROM w)
+  )
+  GROUP BY 1, 2
+),
+b1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+w2 AS (
+  SELECT w.cnt,
+         replace(w.ws, '|' || b1.a || '||' || b1.b || '|',
+                 '|' || b1.a || b1.b || '|') AS ws
+  FROM w CROSS JOIN b1
+),
+p2 AS (
+  SELECT p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                 i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS p
+    FROM (SELECT cnt, string_split(trim(ws, '|'), '||') AS syms FROM w2)
+  )
+  GROUP BY 1, 2
+),
+b2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+w3 AS (
+  SELECT w2.cnt,
+         replace(w2.ws, '|' || b2.a || '||' || b2.b || '|',
+                 '|' || b2.a || b2.b || '|') AS ws
+  FROM w2 CROSS JOIN b2
+)
+{_bpe_stats_duck(0, "w")}
+UNION ALL
+{_bpe_stats_duck(1, "w2")}
+UNION ALL
+{_bpe_stats_duck(2, "w3")}
+""",
+)
+def q_bpe_compression_curve(spark, sf_dir):
+    """How much does each learned BPE merge actually compress the
+    corpus? Reports total corpus symbol count (Σ word_freq × symbols)
+    and distinct symbol-type count after 0, 1 and 2 merge rounds —
+    the curve tokenizer training monitors to decide vocabulary size.
+
+    Reuses `registry_r5.bpe_learn_merges`' round machinery (winner
+    selection + codegen `replace` merge application); the added stats
+    pass per round is one vocab-sized aggregation over the word table
+    (distinct words × counts — the only state, exactly what streams
+    between rounds in a production BPE trainer at 100 TB).
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(F.expr(_TOKS)).alias("token"))
+        .filter(F.col("token").rlike("^[a-z]+$") & (F.length("token") >= 2))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cnt",
+            F.regexp_replace(F.col("token"), "(.)", r"|$1|").alias("ws"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def stats(words, rank: int):
+        syms = words.select(
+            "cnt",
+            F.expr(r"split(trim(BOTH '|' FROM ws), '\\|\\|')").alias("syms"),
+        )
+        tot = syms.agg(
+            (F.sum(F.col("cnt") * F.size("syms"))).cast("bigint").alias("total_symbols")
+        )
+        dis = (
+            syms.select(F.explode("syms").alias("sym"))
+            .agg(F.countDistinct("sym").cast("bigint").alias("distinct_symbols"))
+        )
+        return tot.crossJoin(dis).select(
+            F.lit(rank).alias("n_merges"), "total_symbols", "distinct_symbols"
+        )
+
+    out = stats(w, 0)
+    cur = w
+    for r in (1, 2):
+        b = (
+            _bpe_pair_counts(cur)
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        cur = _bpe_apply_merge(cur, b).localCheckpoint(eager=False)
+        out = out.unionByName(stats(cur, r))
+    return out
+
+
+# --------------------------------------------------------------------
+# boilerplate-prefix template clusters
+# --------------------------------------------------------------------
+
+_PFX_LEN = 2  # leading tokens forming the template key (synthetic
+# corpus vocabulary is small, so 2 tokens already yields real clusters;
+# web-scale boilerplate detection would use 8-16)
+
+
+@query(
+    "boilerplate_prefix_clusters",
+    f"""
+WITH pre AS (
+  SELECT doc_id, source,
+         array_to_string(({_TOKS_DUCK})[1:{_PFX_LEN}], ' ') AS prefix
+  FROM documents
+),
+cl AS (SELECT prefix, count(*) AS sz FROM pre GROUP BY 1)
+SELECT p.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.sz >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS templated_docs,
+       CAST(count(DISTINCT CASE WHEN c.sz >= 3 THEN p.prefix END) AS BIGINT) AS n_template_clusters,
+       CAST(max(c.sz) AS BIGINT) AS max_cluster_size
+FROM pre p JOIN cl c USING (prefix)
+GROUP BY 1
+""",
+)
+def q_boilerplate_prefix_clusters(spark, sf_dir):
+    """Template/boilerplate detection: documents opening with an
+    identical leading-token prefix form a cluster; clusters of >= 3
+    docs are flagged as templated (the shared-header/nav-bar pattern
+    web-crawl pipelines strip before dedup). Per source: doc count,
+    templated docs, template clusters touched, largest cluster.
+
+    One prefix-keyed aggregation builds the cluster-size table (it is
+    distinct-prefix-sized, FAR smaller than the corpus), which joins
+    back to the docs — broadcastable when small, plain shuffle-join
+    otherwise; either way no all-pairs comparison anywhere.
+    """
+    d = _t(spark, sf_dir, "documents")
+    pre = d.select(
+        "doc_id",
+        "source",
+        F.array_join(F.slice(F.expr(_TOKS), 1, _PFX_LEN), " ").alias("prefix"),
+    )
+    cl = pre.groupBy("prefix").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        pre.join(cl, "prefix")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("sz") >= 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("templated_docs"),
+            F.countDistinct(F.when(F.col("sz") >= 3, F.col("prefix")))
+            .cast("bigint")
+            .alias("n_template_clusters"),
+            F.max("sz").cast("bigint").alias("max_cluster_size"),
+        )
+    )
