@@ -34,14 +34,24 @@ DAMPING = 0.85
 BASE = 0.15  # (1 - DAMPING), kept explicit to mirror the oracle text
 
 
-def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def pagerank(
+    edges: DataFrame, iterations: int = 3, small_state: bool = False
+) -> DataFrame:
     """Run `iterations` power-iteration rounds over an edge list
     (src: bigint, dst: bigint); returns (node, out_deg, in_deg, rank)
     with rank rounded to 6dp.
 
     Nodes are the union of src and dst; initial rank 1.0. Nodes with
     no in-edges settle at BASE after one round (classic formulation).
+
+    `small_state=True` declares the |V|-sized rank/degree state
+    broadcastable (e.g. a bucketed/derived graph): every per-round
+    join then runs map-side and each round costs exactly ONE shuffle
+    (the groupBy-dst contribution agg). Leave False for web-scale
+    graphs where |V| itself is distributed — the joins fall back to
+    the shuffled path AQE plans.
     """
+    b = F.broadcast if small_state else (lambda df: df)
     edges = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -53,13 +63,13 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     ranks = nodes.select("node", F.lit(1.0).cast("double").alias("rank"))
     for _ in range(iterations):
         contrib = (
-            edges.join(outdeg, "src")
-            .join(ranks, edges.src == ranks.node)
+            edges.join(b(outdeg), "src")
+            .join(b(ranks), edges.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))
         )
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes.join(b(contrib), nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 F.round(
@@ -71,9 +81,9 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
         )
     indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_deg"))
     return (
-        nodes.join(outdeg, nodes.node == outdeg.src, "left")
-        .join(indeg, nodes.node == indeg.dst, "left")
-        .join(ranks, "node")
+        nodes.join(b(outdeg), nodes.node == outdeg.src, "left")
+        .join(b(indeg), nodes.node == indeg.dst, "left")
+        .join(b(ranks), "node")
         .select(
             "node",
             F.coalesce("deg", F.lit(0)).cast("bigint").alias("out_deg"),

@@ -60,7 +60,9 @@ def q_pagerank_hubs(spark, sf_dir):
         (F.col("user_id") % _PR_MOD).alias("src"),
         (F.col("event_id") % _PR_MOD).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
-    return pagerank(edges, iterations=_PR_ITERS)
+    # the derived graph has <= _PR_MOD nodes: rank state broadcasts,
+    # so each round is exactly one groupBy-dst shuffle
+    return pagerank(edges, iterations=_PR_ITERS, small_state=True)
 
 
 # ---------------------------------- weighted reservoir sampling (A-Res)
