@@ -166,9 +166,16 @@ def main() -> None:
         ("cms_token_frequency", "docs", qs["cms_token_frequency"]),
         ("bpe_merge_learn", "docs", qs["bpe_merge_learn"]),
         ("quantile_sketch_events", "events", qs["quantile_sketch_events"]),
+        # registry_r5b late additions
+        ("token_budget_selection", "docs", qs["token_budget_selection"]),
+        ("mad_outliers_events", "events", qs["mad_outliers_events"]),
+        ("bpe_compression_curve", "docs", qs["bpe_compression_curve"]),
+        ("boilerplate_prefix_clusters", "docs", qs["boilerplate_prefix_clusters"]),
     ]
     if new_only:
-        plan = plan[-5:]
+        plan = plan[-9:]
+    if "--r5b-only" in sys.argv:
+        plan = plan[-4:]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
         for name, table, fn in plan:
