@@ -409,3 +409,94 @@ def q_boilerplate_prefix_clusters(spark, sf_dir):
             F.max("sz").cast("bigint").alias("max_cluster_size"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# corpus snapshot diff (incremental-pipeline churn audit)
+# --------------------------------------------------------------------
+
+# Deterministic "v2" of the corpus derived from the documents table:
+# docs with doc_id % 17 == 3 are deleted, docs with doc_id % 11 == 5
+# are edited (a marker token appended), docs with doc_id % 13 == 7
+# spawn a new doc at doc_id + 1_000_000. This mirrors the
+# j9_run_comparison pattern: both versions derive from one scan, so
+# the oracle is pure SQL and the diff semantics are pinned exactly.
+
+_SNAP_V2_SQL = """
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 11 = 5 THEN text || ' edited' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000, source, text || ' new'
+  FROM documents WHERE doc_id % 13 = 7
+"""
+
+
+@query(
+    "corpus_snapshot_diff",
+    f"""
+WITH v1 AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+v2 AS (SELECT doc_id, source, md5(text) AS h FROM ({_SNAP_V2_SQL})),
+d AS (
+  SELECT coalesce(v1.source, v2.source) AS source,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.h <> v2.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+)
+SELECT source, status, CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY 1, 2
+""",
+)
+def q_corpus_snapshot_diff(spark, sf_dir):
+    """Snapshot-to-snapshot corpus diff: classify every document as
+    added / removed / changed / unchanged between two corpus versions
+    by content hash, rolled up per (source, status) — the churn audit
+    an incremental ingestion pipeline runs before deciding what to
+    re-tokenize, re-embed, and re-dedup (only 'added' + 'changed'
+    re-enter the pipeline; cf. `incremental_dedup` for the dedup leg).
+
+    One doc_id-keyed full-outer hash join between version manifests
+    (id, source, content-hash) — manifest-sized, never full-text; at
+    100 TB the manifests are the small fraction you'd keep as the
+    pipeline's state table, and the join is a plain co-partitioned
+    equi-join. v2 derives deterministically from v1 (delete doc_id%17,
+    edit %11, add %13 clones) so both engines diff identical inputs.
+    """
+    d = _t(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", "source", F.md5("text").alias("h"))
+    v2 = (
+        d.filter(F.col("doc_id") % 17 != 3)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 11 == 5, F.concat("text", F.lit(" edited"))
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 13 == 7).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "source",
+                F.md5(F.concat("text", F.lit(" new"))).alias("h"),
+            )
+        )
+    )
+    j = v1.alias("a").join(v2.alias("b"), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("a.h").isNull(), F.lit("added"))
+        .when(F.col("b.h").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

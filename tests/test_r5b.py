@@ -98,3 +98,29 @@ def test_boilerplate_cluster_invariants(spark):
         # a doc in a >=3 cluster implies at least 3 docs SOMEWHERE share
         # the prefix (possibly across sources), so templated_docs can be
         # as low as 1 per source — no per-source lower bound beyond 1
+
+
+def test_snapshot_diff_partitions_the_union_of_versions(spark):
+    """Every (v1 ∪ v2) doc lands in exactly one status, and the
+    status counts reconcile with the deterministic v2 derivation:
+    removed = docs with id%17==3, added = docs with id%13==7,
+    changed = docs with id%11==5 surviving the delete."""
+    from etl_sh_design_spark.registry_r5b import q_corpus_snapshot_diff
+    from etl_sh_design_spark.registry import _t
+    from pyspark.sql import functions as F
+
+    out = q_corpus_snapshot_diff(spark, SF_SMOKE).collect()
+    by_status: dict[str, int] = {}
+    for r in out:
+        by_status[r["status"]] = by_status.get(r["status"], 0) + r["n"]
+    d = _t(spark, SF_SMOKE, "documents")
+    n_removed = d.filter(F.col("doc_id") % 17 == 3).count()
+    n_added = d.filter(F.col("doc_id") % 13 == 7).count()
+    n_changed = d.filter(
+        (F.col("doc_id") % 11 == 5) & (F.col("doc_id") % 17 != 3)
+    ).count()
+    n_total = d.count()
+    assert by_status.get("removed", 0) == n_removed
+    assert by_status.get("added", 0) == n_added
+    assert by_status.get("changed", 0) == n_changed
+    assert by_status.get("unchanged", 0) == n_total - n_removed - n_changed
