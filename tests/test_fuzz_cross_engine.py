@@ -146,3 +146,94 @@ GROUP BY {g}
     srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
     drows = sorted(tuple(str(x) for x in r) for r in duck.execute(sql).fetchall())
     assert srows == drows, (s, srows[:2], drows[:2])
+
+
+_WIN_FUNCS = [
+    "row_number", "rank", "dense_rank", "lag_cents", "lead_cents",
+    "running_cents", "ma3_cents", "ntile4",
+]
+
+window_spec = st.fixed_dictionaries(
+    {
+        "part": st.sampled_from(["o_orderpriority", "o_orderstatus"]),
+        "func": st.sampled_from(_WIN_FUNCS),
+        "price_cut": st.sampled_from([None, 100000.0, 200000.0]),
+        "order_by_date_only": st.booleans(),
+    }
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(window_spec)
+def test_fuzzed_window_matches_duckdb(spark, duck, s):
+    """Window-function fuzz over orders: ranking (row_number / rank /
+    dense_rank / ntile), offset (lag / lead), and frame (running sum,
+    3-row moving avg) functions under a random partition key, optional
+    filter, and a tie-FULL vs tie-FREE ordering toggle.
+
+    Determinism discipline: value functions run on integer CENTS
+    (CAST(round(o_totalprice*100) AS BIGINT)) so running sums are
+    exact integers on both engines — DuckDB's segment-tree window
+    aggregation and Spark's streaming frame evaluation then cannot
+    diverge by accumulation order. Ranking funcs that depend on row
+    identity under ties (row_number, ntile, lag/lead/frames) always
+    get the tie-free (o_orderdate, o_orderkey) order; rank/dense_rank
+    also exercise the tie-FULL date-only order, where ties must
+    resolve identically by SQL semantics, not by luck."""
+    tie_sensitive = s["func"] not in ("rank", "dense_rank")
+    order_cols = (
+        ["o_orderdate", "o_orderkey"]
+        if tie_sensitive or not s["order_by_date_only"]
+        else ["o_orderdate"]
+    )
+    part = s["part"]
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    where = ""
+    if s["price_cut"] is not None:
+        o = o.filter(F.col("o_totalprice") < s["price_cut"])
+        where = f" WHERE o_totalprice < {s['price_cut']}"
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    o = o.select("o_orderkey", "o_orderdate", part, cents.alias("cents"))
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(part).orderBy(*order_cols)
+    order_sql = ", ".join(order_cols)
+    over = f"OVER (PARTITION BY {part} ORDER BY {order_sql}"
+    if s["func"] == "row_number":
+        col, sql_exp = F.row_number().over(w), f"row_number() {over})"
+    elif s["func"] == "rank":
+        col, sql_exp = F.rank().over(w), f"rank() {over})"
+    elif s["func"] == "dense_rank":
+        col, sql_exp = F.dense_rank().over(w), f"dense_rank() {over})"
+    elif s["func"] == "ntile4":
+        col, sql_exp = F.ntile(4).over(w), f"ntile(4) {over})"
+    elif s["func"] == "lag_cents":
+        col = F.lag("cents", 1).over(w)
+        sql_exp = f"lag(cents, 1) {over})"
+    elif s["func"] == "lead_cents":
+        col = F.lead("cents", 1).over(w)
+        sql_exp = f"lead(cents, 1) {over})"
+    elif s["func"] == "running_cents":
+        col = F.sum("cents").over(w.rowsBetween(W.unboundedPreceding, 0))
+        sql_exp = f"sum(cents) {over} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    else:  # ma3_cents: exact integer 3-row sum (avg would divide in
+        # double; the sum carries the same information hazard-free)
+        col = F.sum("cents").over(w.rowsBetween(-2, 0))
+        sql_exp = f"sum(cents) {over} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+
+    sdf = o.select("o_orderkey", col.cast("bigint").alias("v"))
+    sql = f"""
+SELECT o_orderkey, CAST({sql_exp} AS BIGINT) AS v
+FROM (SELECT o_orderkey, o_orderdate, {part},
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders{where}) t
+"""
+    srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+    drows = sorted(tuple(str(x) for x in r) for r in duck.execute(sql).fetchall())
+    assert srows == drows, (s, srows[:3], drows[:3])
