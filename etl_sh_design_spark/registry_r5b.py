@@ -47,15 +47,21 @@ from etl_sh_design_spark.registry_r5 import (
 
 _STOP = "['the','a','an','and','or','of','to','in','is','it']"
 
-# Per-doc (n_tok, quality score) — the same composite score (and the
-# same DuckDB spelling) as registry_ext.q_text_quality's oracle.
-_SCORED_DOCS_SQL = f"""
+# Per-doc (n_tok, quality score, content hash) — the same composite
+# score (and the same DuckDB spelling) as registry_ext.q_text_quality's
+# oracle, parameterized by source relation so the e2e pipeline can
+# score an augmented corpus CTE.
+
+
+def _scored_docs_sql(src: str = "documents") -> str:
+    return f"""
   SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
          round((least(n_tok / 100.0e0, 1.0e0)
                 + greatest(0.0e0, 1.0e0 - 4.0e0 * punct_ratio)
-                + least(1.0e0, 4.0e0 * stop_ratio)) / 3.0e0, 6) AS score
+                + least(1.0e0, 4.0e0 * stop_ratio)) / 3.0e0, 6) AS score,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
   FROM (
-    SELECT doc_id, source, len(toks) AS n_tok,
+    SELECT doc_id, source, text, len(toks) AS n_tok,
            CASE WHEN len(toks) > 0
                 THEN CAST(len(list_filter(toks, t -> list_contains({_STOP}, t))) AS DOUBLE) / len(toks)
                 ELSE 0.0e0 END AS stop_ratio,
@@ -64,14 +70,58 @@ _SCORED_DOCS_SQL = f"""
                 ELSE 0.0e0 END AS punct_ratio
     FROM (SELECT doc_id, source, text,
                  list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
-          FROM documents)
+          FROM {src})
   )
 """
+
+
+_SCORED_DOCS_SQL = _scored_docs_sql()
 
 
 # --------------------------------------------------------------------
 # token-budget corpus selection
 # --------------------------------------------------------------------
+
+def budget_prefix_select(spark, scored, frac_num: int = 2, frac_den: int = 5):
+    """Select the longest (score DESC, doc_id) prefix of `scored`
+    (doc_id, source, n_tok, score) whose token sum fits
+    total * frac_num // frac_den — WITHOUT a global single-partition
+    sort: range-partition on the selection order, collect P
+    metadata-sized per-partition token subtotals, broadcast prefix
+    offsets, cumulative-sum under a window partitioned by partition
+    id (the `registry_wide.q_ntile` distributed range-rank pattern,
+    generalized from counts to sums). Budget arithmetic is exact
+    integer, so both engines cut at the same document."""
+    p = spark.sparkContext.defaultParallelism
+    # Pin the sampled range boundaries: `parts` feeds both the
+    # subtotal collect and the final plan (cf. registry_wide.q_ntile).
+    parts = (
+        scored.repartitionByRange(p, F.col("score").desc(), F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    subtotals = sorted(
+        (r["pid"], r["tok"])
+        for r in parts.groupBy("pid").agg(F.sum("n_tok").alias("tok")).collect()
+    )
+    total = sum(t for _, t in subtotals)
+    budget = total * frac_num // frac_den
+    offsets, acc = [], 0
+    for pid, tok in subtotals:
+        offsets.append((pid, acc))
+        acc += tok
+    off_df = spark.createDataFrame(offsets, schema="pid int, _offset long")
+    wloc = W.partitionBy("pid").orderBy(F.col("score").desc(), F.col("doc_id"))
+    cum = (
+        parts.withColumn(
+            "_lcum",
+            F.sum("n_tok").over(wloc.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .join(F.broadcast(off_df), "pid")
+        .withColumn("cum", F.col("_offset") + F.col("_lcum"))
+    )
+    return cum.filter(F.col("cum") <= F.lit(budget))
+
 
 @query(
     "token_budget_selection",
@@ -112,37 +162,7 @@ def q_token_budget_selection(spark, sf_dir):
         text.token_count("text").cast("bigint").alias("n_tok"),
         text.quality_score("text").alias("score"),
     )
-    p = spark.sparkContext.defaultParallelism
-    # Pin the sampled range boundaries: `parts` feeds both the
-    # subtotal collect and the final plan (cf. registry_wide.q_ntile).
-    parts = (
-        scored.repartitionByRange(p, F.col("score").desc(), F.col("doc_id"))
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    subtotals = sorted(
-        (r["pid"], r["tok"])
-        for r in parts.groupBy("pid")
-        .agg(F.sum("n_tok").alias("tok"))
-        .collect()
-    )
-    total = sum(t for _, t in subtotals)
-    budget = total * 2 // 5
-    offsets, acc = [], 0
-    for pid, tok in subtotals:
-        offsets.append((pid, acc))
-        acc += tok
-    off_df = spark.createDataFrame(offsets, schema="pid int, _offset long")
-    wloc = W.partitionBy("pid").orderBy(F.col("score").desc(), F.col("doc_id"))
-    cum = (
-        parts.withColumn(
-            "_lcum",
-            F.sum("n_tok").over(wloc.rowsBetween(W.unboundedPreceding, 0)),
-        )
-        .join(F.broadcast(off_df), "pid")
-        .withColumn("cum", F.col("_offset") + F.col("_lcum"))
-    )
-    sel = cum.filter(F.col("cum") <= F.lit(budget))
+    sel = budget_prefix_select(spark, scored)
     return sel.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("sel_tokens"),
@@ -499,4 +519,100 @@ def q_corpus_snapshot_diff(spark, sf_dir):
         )
         .groupBy("source", "status")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------
+# end-to-end curation pipeline (quality gate -> exact dedup -> budget)
+# --------------------------------------------------------------------
+
+# Corpus with planted exact duplicates (docs with doc_id % 19 == 4 are
+# cloned at +2_000_000) so the dedup stage demonstrably removes rows —
+# the raw synthetic corpus has no verbatim dups.
+_E2E_CORPUS_SQL = """
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, source, text FROM documents WHERE doc_id % 19 = 4
+"""
+
+
+@query(
+    "curation_pipeline_e2e",
+    f"""
+WITH corpus AS ({_E2E_CORPUS_SQL}),
+scored AS ({_scored_docs_sql("corpus")}),
+cand AS (SELECT * FROM scored WHERE score >= 0.5e0 AND n_tok >= 20),
+canon AS (SELECT h, min(doc_id) AS keep FROM cand GROUP BY 1),
+uniq AS (SELECT c.* FROM cand c JOIN canon ON c.doc_id = canon.keep),
+tot AS (SELECT (CAST(sum(n_tok) AS BIGINT) * 2) // 5 AS budget FROM uniq),
+ranked AS (
+  SELECT *, sum(n_tok) OVER (ORDER BY score DESC, doc_id) AS cum FROM uniq
+),
+sel AS (SELECT r.* FROM ranked r CROSS JOIN tot WHERE r.cum <= tot.budget),
+c1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY 1),
+c2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique FROM uniq GROUP BY 1),
+c3 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+              CAST(sum(n_tok) AS BIGINT) AS sel_tokens,
+              round(min(score), 6) AS min_sel_score
+       FROM sel GROUP BY 1)
+SELECT c1.source, n_candidates,
+       coalesce(n_unique, 0) AS n_unique,
+       coalesce(n_selected, 0) AS n_selected,
+       coalesce(sel_tokens, 0) AS sel_tokens,
+       coalesce(min_sel_score, CAST(-1.0 AS DOUBLE)) AS min_sel_score
+FROM c1 LEFT JOIN c2 USING (source) LEFT JOIN c3 USING (source)
+""",
+)
+def q_curation_pipeline_e2e(spark, sf_dir):
+    """The whole curation story as ONE composed declarative plan:
+    quality gate (composite score >= 0.5, >= 20 tokens) -> exact
+    dedup (normalized content hash, keep min doc_id) -> token-budget
+    selection (40% of the surviving tokens, quality-ranked prefix) —
+    reported per source as candidates / unique / selected / tokens.
+    Demonstrates that the engine's stages compose without
+    materialization boundaries: Catalyst sees one tree (bar the
+    metadata-sized subtotal collect inside `budget_prefix_select`).
+
+    Scale: each stage is the already-audited plan — map-side scoring,
+    one hash-keyed dedup shuffle, the distributed range-rank budget
+    cut — composed; nothing multiplies. Duplicates are planted
+    (doc_id % 19 clones) so the dedup stage visibly removes rows.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 19 == 4).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "source", "text"
+        )
+    )
+    scored = corpus.select(
+        "doc_id",
+        "source",
+        text.token_count("text").cast("bigint").alias("n_tok"),
+        text.quality_score("text").alias("score"),
+        text.content_hash("text").alias("h"),
+    )
+    cand = scored.filter((F.col("score") >= 0.5) & (F.col("n_tok") >= 20))
+    canon = cand.groupBy("h").agg(F.min("doc_id").alias("keep"))
+    uniq = cand.join(canon, cand.doc_id == canon.keep).select(
+        cand.doc_id, "source", "n_tok", "score"
+    )
+    sel = budget_prefix_select(spark, uniq)
+    c1 = cand.groupBy("source").agg(F.count(F.lit(1)).alias("n_candidates"))
+    c2 = uniq.groupBy("source").agg(F.count(F.lit(1)).alias("n_unique"))
+    c3 = sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_tok").cast("bigint").alias("sel_tokens"),
+        F.round(F.min("score"), 6).alias("min_sel_score"),
+    )
+    return (
+        c1.join(c2, "source", "left")
+        .join(c3, "source", "left")
+        .select(
+            "source",
+            "n_candidates",
+            F.coalesce("n_unique", F.lit(0).cast("bigint")).alias("n_unique"),
+            F.coalesce("n_selected", F.lit(0).cast("bigint")).alias("n_selected"),
+            F.coalesce("sel_tokens", F.lit(0).cast("bigint")).alias("sel_tokens"),
+            F.coalesce("min_sel_score", F.lit(-1.0)).alias("min_sel_score"),
+        )
     )

@@ -124,3 +124,33 @@ def test_snapshot_diff_partitions_the_union_of_versions(spark):
     assert by_status.get("added", 0) == n_added
     assert by_status.get("changed", 0) == n_changed
     assert by_status.get("unchanged", 0) == n_total - n_removed - n_changed
+
+
+def test_curation_pipeline_stage_monotonicity(spark):
+    """Stages only shrink the corpus: candidates >= unique >= selected
+    per source, and the dedup stage removes at least every planted
+    clone whose original passed the quality gate (clones hash-collide
+    with their originals by construction)."""
+    from etl_sh_design_spark.registry_r5b import q_curation_pipeline_e2e
+    from etl_sh_design_spark.registry import _t
+    from etl_sh_design_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    out = q_curation_pipeline_e2e(spark, SF_SMOKE).collect()
+    assert out
+    for r in out:
+        assert r["n_candidates"] >= r["n_unique"] >= r["n_selected"] >= 0
+        if r["n_selected"] > 0:
+            assert r["sel_tokens"] > 0 and r["min_sel_score"] >= 0.5
+    d = _t(spark, SF_SMOKE, "documents")
+    planted_passing = (
+        d.filter(F.col("doc_id") % 19 == 4)
+        .select(
+            T.quality_score("text").alias("score"),
+            T.token_count("text").cast("bigint").alias("n_tok"),
+        )
+        .filter((F.col("score") >= 0.5) & (F.col("n_tok") >= 20))
+        .count()
+    )
+    removed = sum(r["n_candidates"] - r["n_unique"] for r in out)
+    assert removed >= planted_passing
