@@ -308,3 +308,60 @@ def test_quantile_sketch_partial_agg_and_bounded_window(spark):
     plan = _plan(df)
     assert plan.index("HashAggregate") < plan.index("Exchange")
     assert "No Partition Defined for Window" not in plan
+
+
+def test_budget_selection_no_global_window(spark):
+    """token_budget_selection's cumulative sum must never funnel
+    through one partition: every WindowExec is partitioned by the
+    range-partition id, and no Exchange SinglePartition feeds a
+    Window/Sort (the only driver-side step is the P-row subtotal
+    collect)."""
+    from etl_sh_design_spark import registry
+
+    plan = _plan(registry.queries()["token_budget_selection"](spark, SF_SMOKE))
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "pid" in line
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_snapshot_diff_is_single_equi_join(spark):
+    """corpus_snapshot_diff must diff the version manifests with a
+    plain doc_id-keyed equi-join — no nested-loop/cartesian anywhere
+    (a cross product over two corpus versions would be the classic
+    diff-gone-wrong plan)."""
+    from etl_sh_design_spark import registry
+
+    plan = _plan(registry.queries()["corpus_snapshot_diff"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan and (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    )
+
+
+def test_boilerplate_cluster_table_joins_hash_keyed(spark):
+    """The prefix-cluster-size table joins back to the docs on the
+    prefix key — hash-keyed (broadcast or shuffled), never a nested
+    loop; the cluster table is aggregated (distinct-prefix-sized)
+    before the join."""
+    from etl_sh_design_spark import registry
+
+    plan = _plan(
+        registry.queries()["boilerplate_prefix_clusters"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_mad_outliers_medians_broadcast(spark):
+    """Per-type median/MAD tables are group-count-sized and must
+    broadcast back onto the events side — the events scan should never
+    shuffle for the join legs."""
+    from etl_sh_design_spark import registry
+
+    plan = _plan(registry.queries()["mad_outliers_events"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
