@@ -606,7 +606,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kmeans_profile",
     "q10_returned_revenue",
 ]
-# Round-6 rotation debt: the 25 queries added in round 5
+# Round-6 rotation debt: the 26 queries added in round 5
 # (q2_min_cost_supplier, q11_important_parts, q12_priority_latency,
 # q20_part_suppliers, q21_waiting_suppliers, token_frequency_scores,
 # pq_ann_topk, incremental_neardup, ivfpq_ann_topk, pagerank_hubs,
@@ -615,11 +615,11 @@ _DRIVER_WINDOW_PRIORITY = [
 # bloom_decontamination, cms_token_frequency, bpe_merge_learn,
 # token_budget_selection, mad_outliers_events, bpe_compression_curve,
 # boilerplate_prefix_clusters, corpus_snapshot_diff,
-# curation_pipeline_e2e) have only the
+# curation_pipeline_e2e, quality_calibration_sources) have only the
 # local gates so far
 # (every one of them, and all 79 other non-window queries, was driven
 # at sf0.01 under a vanilla session this round with the hardened
-# dtype-aware comparison: 0 mismatches; the six registry_r5b
+# dtype-aware comparison: 0 mismatches; the seven registry_r5b
 # late additions were each checked at sf0.001 AND sf0.01 through
 # tools/check_one.py's dtype-aware compare, plus a vanilla
 # driver-style session at sf0.01: 0 mismatches) — front them next

@@ -616,3 +616,77 @@ def q_curation_pipeline_e2e(spark, sf_dir):
             F.coalesce("min_sel_score", F.lit(-1.0)).alias("min_sel_score"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# per-source quality calibration (winsorize + min-max normalize)
+# --------------------------------------------------------------------
+
+@query(
+    "quality_calibration_sources",
+    f"""
+WITH scored AS ({_SCORED_DOCS_SQL}),
+pct AS (
+  SELECT source,
+         quantile_cont(score, 0.05e0) AS p05,
+         quantile_cont(score, 0.95e0) AS p95
+  FROM scored GROUP BY 1
+)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(max(p.p05), 6) AS p05,
+       round(max(p.p95), 6) AS p95,
+       CAST(sum(CASE WHEN s.score < p.p05 OR s.score > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       round(avg(CASE WHEN p.p95 > p.p05
+                      THEN least(greatest(s.score, p.p05), p.p95) / (p.p95 - p.p05)
+                           - p.p05 / (p.p95 - p.p05)
+                      ELSE 0.5e0 END), 6) AS mean_calibrated
+FROM scored s JOIN pct p USING (source)
+GROUP BY 1
+""",
+)
+def q_quality_calibration_sources(spark, sf_dir):
+    """Per-source score calibration: winsorize the composite quality
+    score at the source's [p05, p95] and min-max normalize into
+    [0, 1] — the standard step before quality scores from different
+    domains are compared on one axis (a web source's 0.6 is not a
+    books corpus's 0.6). Reports the calibration table (p05/p95), the
+    clipped-doc count, and the post-calibration mean per source.
+
+    Exact interpolated percentiles on both engines (Spark
+    `percentile`, DuckDB `quantile_cont`); the normalization runs as
+    one expression with identical operation order on both sides, and
+    the mean is rounded 6dp (accumulation-order discipline). Two
+    source-keyed shuffles (percentile, final agg) plus a broadcast of
+    the |sources| calibration table; at 100 TB swap
+    approx_percentile, same plan shape.
+    """
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        text.quality_score("text").alias("score"),
+    )
+    pct = scored.groupBy("source").agg(
+        F.expr("percentile(score, 0.05)").alias("p05"),
+        F.expr("percentile(score, 0.95)").alias("p95"),
+    )
+    j = scored.join(F.broadcast(pct), "source")
+    calibrated = F.when(
+        F.col("p95") > F.col("p05"),
+        F.least(F.greatest(F.col("score"), F.col("p05")), F.col("p95"))
+        / (F.col("p95") - F.col("p05"))
+        - F.col("p05") / (F.col("p95") - F.col("p05")),
+    ).otherwise(F.lit(0.5))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.max("p05"), 6).alias("p05"),
+        F.round(F.max("p95"), 6).alias("p95"),
+        F.sum(
+            F.when(
+                (F.col("score") < F.col("p05")) | (F.col("score") > F.col("p95")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clipped"),
+        F.round(F.avg(calibrated), 6).alias("mean_calibrated"),
+    )

@@ -154,3 +154,21 @@ def test_curation_pipeline_stage_monotonicity(spark):
     )
     removed = sum(r["n_candidates"] - r["n_unique"] for r in out)
     assert removed >= planted_passing
+
+
+def test_quality_calibration_invariants(spark):
+    """Winsorized min-max calibration: p05 <= p95, the clipped count
+    is bounded by ~10% of the source (interpolated percentiles clip
+    AT MOST the outer tails, ties can only reduce it), and the
+    calibrated mean lies in [0, 1]."""
+    from etl_sh_design_spark.registry_r5b import q_quality_calibration_sources
+
+    out = q_quality_calibration_sources(spark, SF_SMOKE).collect()
+    assert out
+    for r in out:
+        assert r["p05"] <= r["p95"]
+        assert 0.0 <= r["mean_calibrated"] <= 1.0
+        # strict-inequality clipping of [p05, p95] bounds the clipped
+        # fraction by the two 5% tails (plus interpolation slack of
+        # one rank position per side)
+        assert r["n_clipped"] <= 0.1 * r["n_docs"] + 2
