@@ -20,9 +20,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from etl_sh_design_spark.operators.dedup import md5_int64
-
-
 def _dvec(col: str) -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
@@ -59,6 +56,15 @@ def cosine_topk(
     rank boundaries are deterministic (ties broken by cid)."""
     q = queries.select(F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv"))
+    # Scoring is CPU-bound on the corpus side (|corpus| × |queries| ×
+    # dim lambda evals in the corpus tasks). A big table is already
+    # split by spark.sql.files.maxPartitionBytes, but a corpus smaller
+    # than one split arrives as a single partition and serializes the
+    # whole scan onto one core — split it to the cluster width. No-op
+    # at scale (the partition count already exceeds the parallelism).
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)
     scored = (
         c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
         .withColumn(
@@ -71,41 +77,54 @@ def cosine_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def _srp_sign(j: int, d: int) -> int:
+    """±1 plane entry from md5("j:d") — the Python twin of
+    `md5_int64(concat_ws(':', j, d)) % 2 * 2 - 1`, byte-identical
+    because md5 is md5 on both sides."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2) * 2 - 1
+
+
 def srp_signature(
     df: DataFrame,
     n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out: str = "bucket",
+    dim: int | None = None,
 ) -> DataFrame:
     """Signed-random-projection signature: bit j = [sum_d plane(j,d) *
     v_d > 0], plane(j,d) = ±1 from md5(j:d) — deterministic, identical
-    across engines. Returns df + bucket INT column."""
-    dim = F.size(F.col(vec_col))
-    planes = F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("j")
-    exploded = (
-        df.select(F.col(id_col), _dvec(vec_col).alias("dv"))
-        .select(F.col(id_col), F.posexplode("dv").alias("d", "v"), )
-        .select(F.col(id_col), "d", "v", planes)
-        .withColumn(
-            "sign",
-            (md5_int64(F.concat_ws(":", F.col("j").cast("string"), F.col("d").cast("string"))) % 2) * 2 - 1,
+    across engines. Returns df + bucket INT column.
+
+    The plane matrix is tiny (n_planes × dim literals) and fully
+    determined by (j, d), so it is materialized ONCE driver-side and
+    embedded as literal arrays; each row then computes its projections
+    with `zip_with`/`aggregate` inside whole-stage codegen. No explode,
+    no shuffle — the previous posexplode→groupBy×2 formulation moved
+    N·dim·n_planes rows through two exchanges, which is the difference
+    between a map-only pass and a full shuffle of 100 TB × dim.
+    Projections are rounded to 6dp before the sign test so a
+    numerically-near-zero projection can't flip a bit across engines
+    (same guard the aggregating version had)."""
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col)).alias("n")).first()["n"]
+    dv = _dvec(vec_col)
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(_srp_sign(j, d))) for d in range(dim)])
+        proj = F.round(
+            F.aggregate(
+                F.zip_with(dv, plane, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
         )
-    )
-    bits = (
-        exploded.groupBy(id_col, "j")
-        # Round before the sign test: a projection numerically near zero
-        # could otherwise flip a bucket bit depending on partial-agg
-        # order (Spark vs DuckDB sum different float orders).
-        .agg(F.round(F.sum(F.col("sign") * F.col("v")), 6).alias("proj"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.when(F.col("proj") > 0, F.expr("shiftleft(1, j)")).otherwise(0))
-            .cast("int")
-            .alias(out)
-        )
-    )
-    return df.join(bits, id_col)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return df.withColumn(out, bucket.cast("int"))
 
 
 def lsh_bucket_topk(

@@ -610,7 +610,15 @@ _DRIVER_WINDOW_PRIORITY = [
 # dtype-hardened gate (tests/test_driver_contract.py) and were driven
 # at sf0.01 under a vanilla driver-style session this round with 0
 # mismatches, so the marginal driver value of a re-check is far below
-# a first check. After this window, union(r1..r5) = 147/148.
+# a first check. After this window, union(r1..r5) = 147/150: also
+# never driver-checked are the two label-eval queries added after the
+# window was frozen (registry_r5c: knn_label_accuracy,
+# class_separation) — front them in round 6 together with
+# similarity_ann_lsh and similarity_topk, whose implementations were
+# rewritten this round after their last driver check (SRP literal
+# planes; corpus split in cosine_topk). The other two queries those
+# rewrites touch (ann_recall_at_k, bloom_decontamination) are inside
+# this round's window and get driver signal on the new code.
 
 
 def _windowed(d: dict) -> dict:
@@ -641,6 +649,7 @@ def _load_extensions() -> None:
         registry_r2,
         registry_r5,
         registry_r5b,
+        registry_r5c,
         registry_tiling,
         registry_wide,
     )

@@ -834,7 +834,14 @@ def q_bloom_decontamination(spark, sf_dir):
     b1 = pos(bench, 1).select(F.col("word1").alias("word"), F.col("mask1").alias("mask"))
     bloom = b0.unionByName(b1).groupBy("word").agg(F.bit_or("mask").alias("bits"))
 
-    corp = g.filter(F.col("doc_id") >= 10).distinct()
+    # Probe BEFORE the distinct: the bloom probe is a pure map-side
+    # filter (two broadcast word-joins), so running it on the raw gram
+    # stream means the only shuffle in the whole plan is the distinct
+    # over surviving CANDIDATES (sketch-small), not over every corpus
+    # gram — the difference between shuffling ~0.1% and 100% of a
+    # 100 TB gram stream. distinct-then-filter == filter-then-distinct
+    # for a deterministic per-row predicate, so counts are unchanged.
+    corp = g.filter(F.col("doc_id") >= 10)
     probed = pos(pos(corp, 0), 1)
     cand = (
         probed.join(
@@ -850,22 +857,22 @@ def q_bloom_decontamination(spark, sf_dir):
             & (F.col("bits1").bitwiseAND(F.col("mask1")) != 0)
         )
         .select("doc_id", "gram")
+        .distinct()
     )
-    conf = cand.join(F.broadcast(bench), "gram")
-    return (
-        cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
-        .crossJoin(
-            conf.agg(
-                F.count(F.lit(1)).alias("_n_conf"),
-                F.countDistinct("doc_id").alias("n_contaminated"),
-            )
-        )
-        .select(
-            "n_candidate_pairs",
-            (F.col("n_candidate_pairs") - F.col("_n_conf")).alias("n_fp_pairs"),
-            "n_contaminated",
-            F.col("_n_conf").alias("total_shared_grams"),
-        )
+    # One pass over cand: mark confirmed grams with a broadcast left
+    # join (bench grams are distinct -> multiplicity 1) instead of
+    # evaluating the candidate subtree twice through separate
+    # cand.agg / conf.agg branches.
+    marked = cand.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "gram", "left"
+    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        (F.count(F.lit(1)) - F.count("_hit")).alias("n_fp_pairs"),
+        F.countDistinct(F.when(F.col("_hit").isNotNull(), F.col("doc_id"))).alias(
+            "n_contaminated"
+        ),
+        F.count("_hit").alias("total_shared_grams"),
     )
 
 

@@ -365,3 +365,70 @@ def test_mad_outliers_medians_broadcast(spark):
 
     plan = _plan(registry.queries()["mad_outliers_events"](spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_srp_signature_is_map_only(spark):
+    """SRP signatures are pure per-row array math: the plane matrix is
+    a driver-side literal, so the plan has NO exchange and NO explode
+    (the previous posexplode->groupBy x2 formulation shuffled
+    N*dim*n_planes rows twice)."""
+    from etl_sh_design_spark.operators.similarity import srp_signature
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = _plan(srp_signature(e).select("vec_id", "bucket"))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_srp_python_plane_matches_sql_md5(spark):
+    """The driver-side plane literals must be byte-identical to the
+    md5 expression the oracle SQL (and the old exploded path) uses."""
+    from etl_sh_design_spark.operators.dedup import md5_int64
+    from etl_sh_design_spark.operators.similarity import _srp_sign
+
+    probes = [(j, d) for j in range(4) for d in (0, 1, 7, 63)]
+    row = spark.range(1).select(
+        *[
+            ((md5_int64(F.lit(f"{j}:{d}")) % 2) * 2 - 1).alias(f"s_{j}_{d}")
+            for j, d in probes
+        ]
+    ).first()
+    for j, d in probes:
+        assert row[f"s_{j}_{d}"] == _srp_sign(j, d), (j, d)
+
+
+def test_bloom_decon_probes_before_candidate_distinct(spark):
+    """The corpus gram stream must hit the (broadcast) bloom word
+    joins BEFORE the only corpus-keyed exchange — i.e. the candidate
+    distinct consumes the probe output, so only bloom survivors are
+    ever shuffled. In the top-down plan print, the doc_id+gram
+    hash-partitioning therefore appears ABOVE the first broadcast
+    probe join."""
+    from etl_sh_design_spark import registry
+
+    plan = _plan(registry.queries()["bloom_decontamination"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3  # word0, word1, confirm-mark
+    i_distinct = plan.find("hashpartitioning(doc_id")
+    i_probe = plan.find("BroadcastHashJoin [word0")
+    assert i_distinct != -1 and i_probe != -1
+    assert i_distinct < i_probe
+
+
+def test_knn_label_corpus_never_sortmerges(spark):
+    """kNN label eval: the probe side broadcasts into the corpus scan
+    (inside cosine_topk); the vote/label joins are candidate-sized.
+    The corpus must never reach a sort-merge join."""
+    from etl_sh_design_spark import registry
+
+    plan = _plan(registry.queries()["knn_label_accuracy"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+
+
+def test_class_separation_cohesion_join_broadcasts(spark):
+    """The assembled centroid table (L rows) must broadcast onto the
+    vector side for the cohesion pass; rows never shuffle for it."""
+    from etl_sh_design_spark import registry
+
+    plan = _plan(registry.queries()["class_separation"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
