@@ -85,6 +85,7 @@ HEADLINE = [
     "bloom_decontamination",
     "cms_token_frequency",
     "bpe_merge_learn",
+    "knn_label_accuracy",
 ]
 
 

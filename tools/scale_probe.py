@@ -57,6 +57,9 @@ def build_10x_embeddings(spark) -> None:
             emb.select(
                 (F.col("vec_id") * 10 + k).alias("vec_id"),
                 rot.alias("embedding"),
+                # labels survive the copy: L stays fixed while N grows
+                # 10x — the regime the label-eval queries scale in
+                "label",
             )
         )
     out = parts[0]
@@ -171,11 +174,20 @@ def main() -> None:
         ("mad_outliers_events", "events", qs["mad_outliers_events"]),
         ("bpe_compression_curve", "docs", qs["bpe_compression_curve"]),
         ("boilerplate_prefix_clusters", "docs", qs["boilerplate_prefix_clusters"]),
+        # round-5 late rewrites + registry_r5c label-eval pair
+        ("similarity_ann_lsh", "vecs", qs["similarity_ann_lsh"]),
+        ("knn_label_accuracy", "vecs", qs["knn_label_accuracy"]),
+        ("class_separation", "vecs", qs["class_separation"]),
     ]
     if new_only:
-        plan = plan[-9:]
+        plan = plan[-12:]
     if "--r5b-only" in sys.argv:
-        plan = plan[-4:]
+        plan = plan[-7:-3]
+    if "--r5c-only" in sys.argv:
+        plan = [p for p in plan if p[0] in (
+            "similarity_ann_lsh", "knn_label_accuracy", "class_separation",
+            "bloom_decontamination",
+        )]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
         for name, table, fn in plan:
