@@ -234,3 +234,215 @@ def q_class_separation(spark, sf_dir):
         "max_other_sim",
         F.round(F.col("cohesion") - F.col("max_other_sim"), 6).alias("margin"),
     )
+
+
+# --------------------------------------------------------------------
+# distribution drift + filter A/B monitoring
+# --------------------------------------------------------------------
+# The monitoring half of a production pipeline: before a new corpus
+# snapshot replaces the old one, (1) PSI quantifies how much the
+# quality-score DISTRIBUTION moved (the standard population-stability
+# check; complements source_token_kl's vocabulary drift), and (2) a
+# two-proportion z-test says whether each source's quality-gate keep
+# rate differs significantly from the rest of the corpus (the filter
+# regression alarm). Both are single-aggregation plans over scored
+# docs — the monitoring queries must be cheaper than the pipeline they
+# guard.
+
+from etl_sh_design_spark.functions import text  # noqa: E402
+from etl_sh_design_spark.registry_r5b import _scored_docs_sql  # noqa: E402
+
+# v2 corpus derivation — IDENTICAL to corpus_snapshot_diff's fixture
+# (delete doc_id%17==3, edit %11==5, add %13==7 clones) so the drift
+# number describes the same churn the snapshot diff counts.
+_V2_SRC_SQL = """
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 11 = 5 THEN text || ' edited' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 != 3
+  UNION ALL
+  SELECT doc_id + 1000000, source, text || ' new'
+  FROM documents WHERE doc_id % 13 = 7
+"""
+
+
+def _v2_corpus(d):
+    return (
+        d.filter(F.col("doc_id") % 17 != 3)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("doc_id") % 11 == 5, F.concat("text", F.lit(" edited"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 13 == 7).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "source",
+                F.concat("text", F.lit(" new")).alias("text"),
+            )
+        )
+    )
+
+
+@query(
+    "quality_psi_drift",
+    f"""
+WITH v2src AS ({_V2_SRC_SQL}),
+s1 AS ({_scored_docs_sql("documents")}),
+s2 AS ({_scored_docs_sql("v2src")}),
+b1 AS (SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, count(*) AS n
+       FROM s1 GROUP BY 1),
+b2 AS (SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, count(*) AS n
+       FROM s2 GROUP BY 1),
+t1 AS (SELECT sum(n) AS tot FROM b1),
+t2 AS (SELECT sum(n) AS tot FROM b2),
+bins AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+j AS (
+  SELECT b.bin,
+         COALESCE(b1.n, 0) AS n_v1, COALESCE(b2.n, 0) AS n_v2,
+         greatest(COALESCE(b1.n, 0) * 1.0e0 / t1.tot, 1e-6) AS p1,
+         greatest(COALESCE(b2.n, 0) * 1.0e0 / t2.tot, 1e-6) AS p2
+  FROM bins b LEFT JOIN b1 ON b1.bin = b.bin LEFT JOIN b2 ON b2.bin = b.bin,
+       t1, t2
+),
+terms AS (
+  SELECT bin, CAST(n_v1 AS BIGINT) AS n_v1, CAST(n_v2 AS BIGINT) AS n_v2,
+         round(p1, 6) AS p1, round(p2, 6) AS p2,
+         round((p2 - p1) * ln(p2 / p1), 6) AS psi_term
+  FROM j
+),
+tot AS (
+  SELECT round(sum(CAST(round(psi_term * 1e6) AS BIGINT)) / 1e6, 6) AS psi_total
+  FROM terms
+)
+SELECT bin, n_v1, n_v2, p1, p2, psi_term, tot.psi_total
+FROM terms, tot
+""",
+)
+def q_quality_psi_drift(spark, sf_dir):
+    """Population Stability Index of the quality-score distribution
+    between corpus snapshot v1 and the deterministically-derived v2
+    (same churn fixture as corpus_snapshot_diff): 10 fixed-width bins
+    over the score's [0,1] range, psi_term = (p2-p1)·ln(p2/p1) with
+    probabilities floored at 1e-6 (the standard empty-bin guard), and
+    psi_total summed over exact integer micro-terms so it is
+    summation-order-independent. PSI < 0.1 ~ stable, 0.1-0.25 ~
+    moderate shift, > 0.25 ~ retrain/re-audit.
+
+    Scale shape: two scored scans -> two 10-row bin tables; everything
+    after the map-side score is bin-count-sized. The scoring itself is
+    pure codegen (no UDF), so the monitor costs two corpus scans and
+    two KB-sized shuffles no matter the corpus size."""
+    d = _t(spark, sf_dir, "documents")
+
+    def binned(docs):
+        score = text.quality_score("text")
+        return (
+            docs.select(
+                F.least(F.floor(score * 10).cast("int"), F.lit(9)).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    b1, b2 = binned(d), binned(_v2_corpus(d))
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    t1 = b1.agg(F.sum("n").alias("tot1"))
+    t2 = b2.agg(F.sum("n").alias("tot2"))
+    j = (
+        bins.join(F.broadcast(b1.withColumnRenamed("n", "n1")), "bin", "left")
+        .join(F.broadcast(b2.withColumnRenamed("n", "n2")), "bin", "left")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "bin",
+            F.coalesce("n1", F.lit(0)).cast("bigint").alias("n_v1"),
+            F.coalesce("n2", F.lit(0)).cast("bigint").alias("n_v2"),
+            F.greatest(
+                F.coalesce("n1", F.lit(0)) / F.col("tot1"), F.lit(1e-6)
+            ).alias("p1r"),
+            F.greatest(
+                F.coalesce("n2", F.lit(0)) / F.col("tot2"), F.lit(1e-6)
+            ).alias("p2r"),
+        )
+    )
+    terms = j.select(
+        "bin",
+        "n_v1",
+        "n_v2",
+        F.round("p1r", 6).alias("p1"),
+        F.round("p2r", 6).alias("p2"),
+        F.round(
+            (F.col("p2r") - F.col("p1r")) * F.log(F.col("p2r") / F.col("p1r")), 6
+        ).alias("psi_term"),
+    )
+    tot = terms.agg(
+        F.round(
+            F.sum(F.round(F.col("psi_term") * 1e6, 0).cast("bigint")) / 1e6, 6
+        ).alias("psi_total")
+    )
+    return terms.crossJoin(F.broadcast(tot))
+
+
+@query(
+    "keep_rate_ab_test",
+    f"""
+WITH s AS ({_scored_docs_sql("documents")}),
+agg AS (
+  SELECT source, count(*) AS n,
+         sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS k
+  FROM s GROUP BY 1
+),
+tot AS (SELECT sum(n) AS nt, sum(k) AS kt FROM agg)
+SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(k AS BIGINT) AS n_keep,
+       round(k * 1.0e0 / n, 6) AS keep_rate,
+       round((k * 1.0e0 / n - (kt - k) * 1.0e0 / (nt - n))
+             / sqrt((kt * 1.0e0 / nt) * (1.0e0 - kt * 1.0e0 / nt)
+                    * (1.0e0 / n + 1.0e0 / (nt - n))), 6) AS z,
+       CASE WHEN abs(round((k * 1.0e0 / n - (kt - k) * 1.0e0 / (nt - n))
+             / sqrt((kt * 1.0e0 / nt) * (1.0e0 - kt * 1.0e0 / nt)
+                    * (1.0e0 / n + 1.0e0 / (nt - n))), 6)) > 1.96
+            THEN 1 ELSE 0 END AS significant
+FROM agg, tot
+WHERE n < nt
+""",
+)
+def q_keep_rate_ab_test(spark, sf_dir):
+    """Two-proportion z-test of each source's quality-gate keep rate
+    (score >= 0.5) against the rest of the corpus — the alarm a
+    pipeline fires when one ingestion source's filter behavior shifts.
+    z is computed from exact integer counts in a fixed expression
+    order (sqrt is IEEE-exact), so it is bit-deterministic
+    cross-engine; the significance flag compares the 6dp-ROUNDED z to
+    1.96 so both engines make the same call at the boundary.
+
+    Scale shape: one map-side scored scan -> |sources|-row aggregate;
+    the corpus total is a broadcast single row. Nothing downstream of
+    the first aggregation scales with the input."""
+    d = _t(spark, sf_dir, "documents")
+    agg = (
+        d.select(
+            "source", (text.quality_score("text") >= 0.5).cast("int").alias("keep")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("keep").alias("k"))
+    )
+    tot = agg.agg(F.sum("n").alias("nt"), F.sum("k").alias("kt"))
+    j = agg.crossJoin(F.broadcast(tot)).filter(F.col("n") < F.col("nt"))
+    p1 = F.col("k") / F.col("n")
+    p2 = (F.col("kt") - F.col("k")) / (F.col("nt") - F.col("n"))
+    pp = F.col("kt") / F.col("nt")
+    z = F.round(
+        (p1 - p2)
+        / F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / F.col("n") + F.lit(1.0) / (F.col("nt") - F.col("n")))),
+        6,
+    )
+    return j.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("k").cast("bigint").alias("n_keep"),
+        F.round(p1, 6).alias("keep_rate"),
+        z.alias("z"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("significant"),
+    )
