@@ -446,3 +446,105 @@ def q_keep_rate_ab_test(spark, sf_dir):
         z.alias("z"),
         F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------
+# MinHash sketch-quality evaluation (est vs exact Jaccard)
+# --------------------------------------------------------------------
+from etl_sh_design_spark.operators.dedup import word_shingles, word_shingles_sql  # noqa: E402
+from etl_sh_design_spark.operators.dedup import MD5_INT64_SQL  # noqa: E402
+from etl_sh_design_spark.registry_ext import (  # noqa: E402
+    CORPUS_MUTATED_SQL,
+    _corpus_mutated,
+    dedup_lsh_pairs,
+)
+
+_H_SEED_SHINGLE = MD5_INT64_SQL.format(x="CAST(seed AS VARCHAR) || ':' || shingle")
+
+
+@query(
+    "minhash_estimate_error",
+    f"""
+WITH corpus AS ({CORPUS_MUTATED_SQL}),
+sh AS ({word_shingles_sql("corpus")}),
+sig AS (
+  SELECT doc_id, seed, min({_H_SEED_SHINGLE}) AS minh
+  FROM sh CROSS JOIN (SELECT CAST(range AS INT) AS seed FROM range(0, 16))
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+est AS (
+  SELECT id_a, id_b,
+         CAST(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0
+           AS est_j
+  FROM cand
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b AND sb.seed = sa.seed
+  GROUP BY 1, 2
+  HAVING CAST(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0
+         >= 0.5
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT e.id_a, e.id_b, count(*) AS n_common
+  FROM est e
+  JOIN sh a ON a.doc_id = e.id_a
+  JOIN sh b ON b.doc_id = e.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT e.id_a, e.id_b, round(e.est_j, 6) AS est_jaccard,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+         AS exact_jaccard,
+       round(abs(e.est_j
+                 - CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)), 6)
+         AS abs_err
+FROM est e
+JOIN inter USING (id_a, id_b)
+JOIN sizes sa ON sa.doc_id = e.id_a
+JOIN sizes sb ON sb.doc_id = e.id_b
+""",
+)
+def q_minhash_estimate_error(spark, sf_dir):
+    """Sketch-quality audit for the dedup family: for every MinHash-LSH
+    candidate pair (the SHARED memoized sub-plan — this query adds no
+    signature recompute), the exact shingle-set Jaccard and the
+    |estimate − exact| error. The dedup analog of `ann_recall_at_k`:
+    run it before trusting 16 hashes to gate a 100 TB dedup pass.
+
+    Scale shape: the exact side is computed ONLY for candidate pairs —
+    the pair list (already ~0.1% of docs) joins each member's distinct
+    shingles through two hash joins, so the quadratic exact-Jaccard
+    cost is bounded by the candidate set the sketch itself produced,
+    never by the corpus."""
+    pairs = dedup_lsh_pairs(spark, sf_dir).select("id_a", "id_b", "est_jaccard")
+    sh = word_shingles(_corpus_mutated(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = (
+        pairs.join(inter, ["id_a", "id_b"])
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+    )
+    exact = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round(exact, 6).alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+    )
