@@ -548,3 +548,113 @@ def q_minhash_estimate_error(spark, sf_dir):
         F.round(exact, 6).alias("exact_jaccard"),
         F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
     )
+
+
+# --------------------------------------------------------------------
+# LSH recall evaluation (completes the sketch-quality pair)
+# --------------------------------------------------------------------
+from etl_sh_design_spark.operators.dedup import ngram_jaccard_pairs, word_shingles_sql as _wss  # noqa: E402
+
+
+@query(
+    "lsh_recall_eval",
+    f"""
+WITH corpus AS ({CORPUS_MUTATED_SQL}),
+-- exact truth: the hot-capped hashed-shingle Jaccard pairs (same CTE
+-- chain as ngram_jaccard_neardup)
+sh0 AS ({_wss("corpus")}),
+shx AS (SELECT doc_id, {MD5_INT64_SQL.format(x='shingle')} AS shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY 1),
+freq AS (SELECT shingle, count(*) AS freq FROM shx GROUP BY 1),
+cold AS (SELECT shx.doc_id, shx.shingle FROM shx JOIN freq USING (shingle)
+         WHERE freq <= 1000),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM cold a JOIN cold b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+),
+-- LSH candidates (same CTE chain as minhash_lsh_neardup, WITHOUT the
+-- est>=0.5 cut: recall measures what the BANDING surfaces)
+sig AS (
+  SELECT doc_id, seed, min({_H_SEED_SHINGLE}) AS minh
+  FROM sh0 CROSS JOIN (SELECT CAST(range AS INT) AS seed FROM range(0, 16))
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+hit AS (
+  SELECT t.id_a, t.id_b, CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS caught
+  FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+),
+nc AS (SELECT count(*) AS n_candidates FROM cand)
+SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(sum(caught) AS BIGINT) AS n_caught,
+       round(sum(caught) * 1.0e0 / count(*), 6) AS recall,
+       (SELECT CAST(n_candidates AS BIGINT) FROM nc) AS n_candidates
+FROM hit
+""",
+)
+def q_lsh_recall_eval(spark, sf_dir):
+    """Recall of the 4x4 MinHash-LSH banding against the hot-capped
+    exact-Jaccard truth pairs (threshold 0.5) — the companion to
+    `minhash_estimate_error`'s precision view: together they are the
+    accept/reject dashboard for the sketch parameters (k, bands, rows)
+    before a 100 TB dedup pass. Candidates here are the raw BANDED
+    pairs (no est cut): recall isolates what the banding itself loses.
+
+    Scale shape: both pair sets reuse existing bounded machinery (the
+    hot-shingle-capped equi-join and the banded signature join); the
+    comparison itself is a left join between two pair lists — each
+    ~0.1% of docs — plus a 1-row summary."""
+    from etl_sh_design_spark.operators.dedup import minhash_signatures_wide
+
+    exact = ngram_jaccard_pairs(_corpus_mutated(spark, sf_dir), threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    # raw banded candidates, no est cut (dedup_lsh_pairs applies >=0.5)
+    sig = minhash_signatures_wide(_corpus_mutated(spark, sf_dir), k=16, n=3)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                ",", *[F.col("sig")[i].cast("string") for i in range(j * 4, j * 4 + 4)]
+            ).alias("band_key"),
+        )
+        for j in range(4)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "band_key")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    hit = exact.join(cand.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "left")
+    summary = hit.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.count("_c").alias("n_caught"),
+        F.round(F.count("_c") / F.count(F.lit(1)), 6).alias("recall"),
+    )
+    return summary.crossJoin(
+        F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+    )
