@@ -97,6 +97,7 @@ WHITELIST: dict[str, dict[str, str]] = {
     "semantic_dedup": {"NESTED_LOOP": "k-row centroid broadcast"},
     "kmeans_profile": {"NESTED_LOOP": "k-row centroid broadcast"},
     "minhash_estimate_error": {"NESTED_LOOP": "candidate-pair side"},
+    "lsh_recall_eval": {"NESTED_LOOP": "1-row candidate-count crossJoin"},
     "tile_supermodules": {"NESTED_LOOP": "O(100)-row layout tables"},
     "j6_ordinal_join": {"NESTED_LOOP": "bounded theta-join (plan-tested)"},
     "top_bigrams": {"NESTED_LOOP": "post-limit top-k theta-join"},
