@@ -237,3 +237,139 @@ FROM (SELECT o_orderkey, o_orderdate, {part},
     srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
     drows = sorted(tuple(str(x) for x in r) for r in duck.execute(sql).fetchall())
     assert srows == drows, (s, srows[:3], drows[:3])
+
+
+# ----------------------------------------------------------- scalar exprs
+# (name, spark Column factory, duckdb SQL) triples with IDENTICAL
+# semantics — the §2.8 string/array/date surface probed as compositions
+# instead of one-per-function curated queries. Token arrays mirror the
+# registry's empty-filtered split; distinct arrays are sorted before
+# comparison (set semantics, deterministic order).
+_TOKS_SPARK = "filter(split(lower(text), '\\\\s+'), t -> t != '')"
+_TOKS_DUCKF = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+
+_STR_EXPRS = {
+    "len": (lambda: F.length("text"), "length(text)"),
+    "low8": (lambda: F.substring(F.lower("text"), 1, 8), "substr(lower(text), 1, 8)"),
+    "rev12": (
+        lambda: F.reverse(F.substring("text", 1, 12)),
+        "reverse(substr(text, 1, 12))",
+    ),
+    "ntok": (
+        lambda: F.expr(f"size({_TOKS_SPARK})"),
+        f"len({_TOKS_DUCKF})",
+    ),
+    "first_tok": (
+        lambda: F.expr(f"element_at({_TOKS_SPARK}, 1)"),
+        f"({_TOKS_DUCKF})[1]",
+    ),
+    "sorted3": (
+        lambda: F.expr(
+            f"array_join(slice(array_sort(array_distinct({_TOKS_SPARK})), 1, 3), ',')"
+        ),
+        f"array_to_string(list_sort(list_distinct({_TOKS_DUCKF}))[1:3], ',')",
+    ),
+    "has_the": (
+        lambda: F.expr(f"cast(array_contains({_TOKS_SPARK}, 'the') as int)"),
+        f"CAST(list_contains({_TOKS_DUCKF}, 'the') AS INT)",
+    ),
+    "pos_a": (lambda: F.instr("text", "a"), "strpos(text, 'a')"),
+    "lpad8": (
+        lambda: F.lpad(F.substring("text", 1, 5), 8, "*"),
+        "lpad(substr(text, 1, 5), 8, '*')",
+    ),
+    "vowel_gap": (
+        lambda: F.regexp_replace(F.substring("text", 1, 20), "[aeiou]", "_"),
+        "regexp_replace(substr(text, 1, 20), '[aeiou]', '_', 'g')",
+    ),
+}
+
+_DATE_EXPRS = {
+    "yr": (lambda: F.year("o_orderdate"), "year(o_orderdate)"),
+    "mo": (lambda: F.month("o_orderdate"), "month(o_orderdate)"),
+    "dom": (lambda: F.dayofmonth("o_orderdate"), "day(o_orderdate)"),
+    "plus30": (
+        lambda: F.date_add("o_orderdate", 30),
+        # duckdb DATE + INTERVAL widens to TIMESTAMP; spark stays DATE
+        "CAST(o_orderdate + INTERVAL 30 DAY AS DATE)",
+    ),
+    "trunc_m": (
+        lambda: F.trunc("o_orderdate", "month"),
+        "CAST(date_trunc('month', o_orderdate) AS DATE)",
+    ),
+    "lastday": (lambda: F.last_day("o_orderdate"), "last_day(o_orderdate)"),
+    "dd_epoch": (
+        lambda: F.datediff("o_orderdate", F.lit("1995-01-01")),
+        "datediff('day', DATE '1995-01-01', o_orderdate)",
+    ),
+}
+
+scalar_spec = st.fixed_dictionaries(
+    {
+        "str_exprs": st.lists(
+            st.sampled_from(sorted(_STR_EXPRS)), min_size=1, max_size=4, unique=True
+        ),
+        "mod": st.sampled_from([3, 7, 10]),
+        "rem": st.sampled_from([0, 1]),
+    }
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(scalar_spec)
+def test_fuzzed_string_array_exprs_match_duckdb(spark, duck, s):
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        (F.col("doc_id") % s["mod"]) == s["rem"]
+    )
+    cols = [F.col("doc_id")] + [
+        _STR_EXPRS[n][0]().alias(n) for n in s["str_exprs"]
+    ]
+    sdf = d.select(*cols)
+    sel = ", ".join(f"{_STR_EXPRS[n][1]} AS {n}" for n in s["str_exprs"])
+    sql = (
+        f"SELECT doc_id, {sel} FROM documents "
+        f"WHERE doc_id % {s['mod']} = {s['rem']}"
+    )
+    srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+    drows = sorted(tuple(str(x) for x in r) for r in duck.execute(sql).fetchall())
+    assert srows == drows, (s, srows[:2], drows[:2])
+
+
+date_spec = st.fixed_dictionaries(
+    {
+        "date_exprs": st.lists(
+            st.sampled_from(sorted(_DATE_EXPRS)), min_size=1, max_size=4, unique=True
+        ),
+        "prio": st.sampled_from(_JOIN_PRIOS),
+    }
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(date_spec)
+def test_fuzzed_date_exprs_match_duckdb(spark, duck, s):
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+        F.col("o_orderpriority") == s["prio"]
+    )
+    cols = [F.col("o_orderkey")] + [
+        _DATE_EXPRS[n][0]().alias(n) for n in s["date_exprs"]
+    ]
+    sdf = o.select(*cols)
+    sel = ", ".join(f"{_DATE_EXPRS[n][1]} AS {n}" for n in s["date_exprs"])
+    sql = (
+        f"SELECT o_orderkey, {sel} FROM orders "
+        f"WHERE o_orderpriority = '{s['prio']}'"
+    )
+    srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+    drows = sorted(tuple(str(x) for x in r) for r in duck.execute(sql).fetchall())
+    assert srows == drows, (s, srows[:2], drows[:2])
