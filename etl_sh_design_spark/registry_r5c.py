@@ -658,3 +658,190 @@ def q_lsh_recall_eval(spark, sf_dir):
     return summary.crossJoin(
         F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
     )
+
+
+# --------------------------------------------------------------------
+# incremental refresh pipeline (churn -> gate -> index probe, e2e)
+# --------------------------------------------------------------------
+from etl_sh_design_spark.operators.dedup import minhash_signatures_wide  # noqa: E402
+
+
+@query(
+    "incremental_refresh_pipeline",
+    f"""
+WITH v2src AS ({_V2_SRC_SQL}),
+v1h AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+v2h AS (SELECT doc_id, source, text, md5(text) AS h2 FROM v2src),
+requeue AS (
+  SELECT v.doc_id, v.source, v.text
+  FROM v2h v LEFT JOIN v1h ON v1h.doc_id = v.doc_id
+  WHERE v1h.h1 IS NULL OR v1h.h1 <> v.h2
+),
+sreq AS ({_scored_docs_sql("requeue")}),
+gated AS (SELECT doc_id FROM sreq WHERE score >= 0.5 AND n_tok >= 20),
+ginc AS (
+  SELECT r.doc_id + 5000000 AS sig_id, r.doc_id AS orig_id, r.text
+  FROM requeue r JOIN gated g ON g.doc_id = r.doc_id
+),
+corpus AS (
+  SELECT doc_id AS sig_id, text FROM documents
+  UNION ALL
+  SELECT sig_id, text FROM ginc
+),
+sh AS ({word_shingles_sql("corpus", id_col="sig_id")}),
+sig AS (
+  SELECT sig_id, seed,
+         min({MD5_INT64_SQL.format(x="CAST(seed AS VARCHAR) || ':' || shingle")}) AS minh
+  FROM sh CROSS JOIN (SELECT CAST(range AS INT) AS seed FROM range(0, 16))
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT sig_id, CAST(floor(seed / 4) AS BIGINT) AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.sig_id AS inc_sig, b.sig_id AS ex_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.sig_id >= 5000000 AND b.sig_id < 5000000
+),
+candx AS (
+  SELECT c.inc_sig, c.ex_id
+  FROM cand c JOIN ginc g ON g.sig_id = c.inc_sig
+  WHERE g.orig_id <> c.ex_id
+),
+agree AS (
+  SELECT c.inc_sig,
+         sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS n_agree
+  FROM candx c
+  JOIN sig sa ON sa.sig_id = c.inc_sig
+  JOIN sig sb ON sb.sig_id = c.ex_id AND sb.seed = sa.seed
+  GROUP BY c.inc_sig, c.ex_id
+),
+dup AS (SELECT DISTINCT inc_sig FROM agree WHERE n_agree >= 8),
+lab AS (
+  SELECT r.doc_id, r.source,
+         CASE WHEN g.sig_id IS NULL THEN 0 ELSE 1 END AS gated,
+         CASE WHEN d.inc_sig IS NULL THEN 0 ELSE 1 END AS neardup
+  FROM requeue r
+  LEFT JOIN ginc g ON g.orig_id = r.doc_id
+  LEFT JOIN dup d ON d.inc_sig = g.sig_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_requeued,
+       CAST(sum(gated) AS BIGINT) AS n_gated,
+       CAST(sum(neardup) AS BIGINT) AS n_near_dup,
+       CAST(sum(gated) - sum(neardup) AS BIGINT) AS n_accepted
+FROM lab GROUP BY 1
+""",
+)
+def q_incremental_refresh_pipeline(spark, sf_dir):
+    """The incremental half of the curation story, composed end-to-end:
+    snapshot diff (content-hash manifests, same churn fixture as
+    corpus_snapshot_diff) selects ONLY added+changed docs for
+    re-processing; the quality gate scores just that requeue set; the
+    survivors are MinHash-banded and probed against the EXISTING
+    corpus index, with self-matches exempted (an edited doc is
+    trivially a near-dup of its own previous version — the probe must
+    flag collisions with OTHER documents only). Output per source:
+    requeued / gate-passed / near-dup-rejected / accepted.
+
+    Scale shape: the diff runs on manifests (id, hash), never full
+    text; scoring and signatures are computed ONLY for the requeue set
+    (the churn fraction — at 100 TB this is the whole point); the
+    existing side's signatures are the stored LSH index a production
+    deployment keeps between runs (recomputed here because the test
+    corpus is synthetic; the banded probe join is identical either
+    way). Every stage is an already-audited sub-plan: manifest
+    equi-join, map-side gate, banded signature join."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    v2 = _v2_corpus(d)
+    v1h = d.select("doc_id", F.md5("text").alias("h1"))
+    requeue = (
+        v2.withColumn("h2", F.md5("text"))
+        .join(v1h, "doc_id", "left")
+        .filter(F.col("h1").isNull() | (F.col("h1") != F.col("h2")))
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=False)  # 3 consumers: gate, sigs, rollup
+    )
+    gated = requeue.select(
+        "doc_id",
+        text.token_count("text").cast("bigint").alias("n_tok"),
+        text.quality_score("text").alias("score"),
+    ).filter((F.col("score") >= 0.5) & (F.col("n_tok") >= 20)).select("doc_id")
+    ginc = requeue.join(gated, "doc_id").select(
+        (F.col("doc_id") + 5000000).alias("sig_id"),
+        F.col("doc_id").alias("orig_id"),
+        "text",
+    )
+    corpus = d.select(F.col("doc_id").alias("sig_id"), "text").unionByName(
+        ginc.select("sig_id", "text")
+    )
+    # spread the CPU-bound shingle/sig maps across all cores — the
+    # small-file scan arrives as 2 partitions (same discipline as
+    # registry_ext._repartitioned; no-op relative cost at real scale)
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
+    # checkpoint the signatures: four consumers (both band sides, both
+    # agree-join legs) would otherwise each recompute the shingle +
+    # min-hash pass — same discipline as q_incremental_neardup
+    sig = minhash_signatures_wide(corpus, id_col="sig_id", k=16, n=3).localCheckpoint(
+        eager=False
+    )
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                ",", *[F.col("sig")[i].cast("string") for i in range(j * 4, j * 4 + 4)]
+            ).alias("band_key"),
+        )
+        for j in range(4)
+    ]
+    banded = sig.select(
+        "sig_id", "sig", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "sig_id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    inc_b = banded.filter(F.col("sig_id") >= 5000000).select(
+        F.col("sig_id").alias("inc_sig"), F.col("sig").alias("sig_i"), "band", "band_key"
+    )
+    ex_b = banded.filter(F.col("sig_id") < 5000000).select(
+        F.col("sig_id").alias("ex_id"), F.col("sig").alias("sig_e"), "band", "band_key"
+    )
+    orig_map = ginc.select("sig_id", "orig_id")
+    agree = F.aggregate(
+        F.zip_with("sig_i", "sig_e", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    dup = (
+        inc_b.join(ex_b, ["band", "band_key"])
+        .join(
+            F.broadcast(orig_map.withColumnRenamed("sig_id", "inc_sig")), "inc_sig"
+        )
+        .filter(F.col("orig_id") != F.col("ex_id"))
+        .withColumn("n_agree", agree)
+        .filter(F.col("n_agree") >= 8)
+        .select("inc_sig")
+        .distinct()
+    )
+    lab = (
+        requeue.join(
+            ginc.select(F.col("orig_id").alias("doc_id"), "sig_id"), "doc_id", "left"
+        )
+        .join(
+            dup.select(F.col("inc_sig").alias("sig_id"), F.lit(1).alias("_d")),
+            "sig_id",
+            "left",
+        )
+        .select(
+            "source",
+            F.when(F.col("sig_id").isNotNull(), 1).otherwise(0).alias("gated"),
+            F.when(F.col("_d").isNotNull(), 1).otherwise(0).alias("neardup"),
+        )
+    )
+    return lab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_requeued"),
+        F.sum("gated").cast("bigint").alias("n_gated"),
+        F.sum("neardup").cast("bigint").alias("n_near_dup"),
+        (F.sum("gated") - F.sum("neardup")).cast("bigint").alias("n_accepted"),
+    )
