@@ -845,3 +845,100 @@ def q_incremental_refresh_pipeline(spark, sf_dir):
         F.sum("neardup").cast("bigint").alias("n_near_dup"),
         (F.sum("gated") - F.sum("neardup")).cast("bigint").alias("n_accepted"),
     )
+
+
+# --------------------------------------------------------------------
+# Zipf slope (per-source token rank/frequency power-law fit)
+# --------------------------------------------------------------------
+from etl_sh_design_spark.registry_r5 import _TOKS as _R5_TOKS  # noqa: E402
+from etl_sh_design_spark.registry_r5 import _TOKS_DUCK as _R5_TOKS_DUCK  # noqa: E402
+
+_ZIPF_TOP = 100  # tokens per source entering the fit
+
+
+@query(
+    "zipf_slope_sources",
+    f"""
+WITH tok AS (
+  SELECT source, unnest({_R5_TOKS_DUCK}) AS token FROM documents
+),
+freq AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, token ASC) AS rk
+  FROM freq
+),
+pts AS (
+  -- ln(rank), ln(freq) quantized to exact 1e-6 integers so every OLS
+  -- sum is integer arithmetic (order-independent cross-engine);
+  -- magnitudes: |x|,|y| <= ln(1e9)*1e6 ~ 2.1e7, xy <= 4.3e14, and
+  -- n*sxy <= 4.3e16 — all safely inside BIGINT
+  SELECT source,
+         CAST(round(ln(rk) * 1e6) AS BIGINT) AS x,
+         CAST(round(ln(c) * 1e6) AS BIGINT) AS y
+  FROM ranked WHERE rk <= {_ZIPF_TOP}
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY 1
+)
+SELECT source, n AS n_tokens,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
+             6) AS r2
+FROM s
+""",
+)
+def q_zipf_slope_sources(spark, sf_dir):
+    """Zipf's-law fit per source: OLS slope of ln(freq) on ln(rank)
+    over each source's top-100 tokens, with goodness-of-fit r².
+    Natural corpora sit near slope -1; templated/synthetic/spammy
+    sources drift — the corpus-health scalar that complements
+    `source_token_kl` (drift vs the corpus) and `token_frequency_
+    scores` (per-doc rarity).
+
+    Determinism: ranks are fully tie-broken; ln(rank)/ln(freq) are
+    quantized to exact 1e-6 integers so every OLS sum is integer
+    arithmetic (order-independent); slope and r² are computed from
+    those exact sums in double and rounded at 6dp.
+
+    Scale shape: one token-keyed count (map-side combined), one
+    per-source window over the source's vocabulary (bounded by
+    |vocab|, not corpus rows), and a 100-row-per-source fit. The
+    fit input is vocabulary-sized no matter the corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.expr(_R5_TOKS)).alias("token"))
+    freq = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("source").orderBy(F.col("c").desc(), F.col("token").asc())
+    pts = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _ZIPF_TOP)
+        .select(
+            "source",
+            F.round(F.log(F.col("rk")) * 1e6, 0).cast("bigint").alias("x"),
+            F.round(F.log(F.col("c")) * 1e6, 0).cast("bigint").alias("y"),
+        )
+    )
+    s = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.round(num / denx, 6).alias("zipf_slope"),
+        F.round((num * num) / (denx * deny), 6).alias("r2"),
+    )
