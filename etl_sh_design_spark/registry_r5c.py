@@ -942,3 +942,112 @@ def q_zipf_slope_sources(spark, sf_dir):
         F.round(num / denx, 6).alias("zipf_slope"),
         F.round((num * num) / (denx * deny), 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------
+# label-propagation communities (majority-vote LPA, 2 sync rounds)
+# --------------------------------------------------------------------
+# The third iterative-graph pattern beside pagerank (weighted power
+# iteration) and graph.py's connected components (min-label fixpoint):
+# LPA converges on DENSE neighborhoods, not mere reachability — the
+# community structure used to group near-dup clusters, user cohorts,
+# or domain link farms. Synchronous rounds + full tie-breaking
+# ((count DESC, label ASC) per node) make it deterministic and
+# exactly expressible as an unrolled CTE for the oracle.
+_LPA_MOD = 197
+# Thin the dense derived graph deterministically ((src*31+dst)%20==0,
+# avg degree ~4) — LPA on the near-complete 197-node event graph
+# collapses to one community, which exercises nothing; at this density
+# real neighborhood structure survives two rounds.
+_LPA_EDGES_SQL = f"""
+SELECT src, dst FROM (
+  SELECT DISTINCT user_id % {_LPA_MOD} AS src, event_id % {_LPA_MOD} AS dst
+  FROM events WHERE user_id % {_LPA_MOD} <> event_id % {_LPA_MOD}
+) WHERE (src * 31 + dst) % 20 = 0
+"""
+
+_LPA_ROUND_SQL = """
+c{r} AS (
+  SELECT s.src AS node, l.lbl, count(*) AS n
+  FROM sym s JOIN l{p} l ON l.node = s.dst
+  GROUP BY 1, 2
+),
+w{r} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY n DESC, lbl ASC) AS rk
+    FROM c{r}) WHERE rk = 1
+),
+l{r} AS (
+  SELECT l.node, COALESCE(w.lbl, l.lbl) AS lbl
+  FROM l{p} l LEFT JOIN w{r} w ON w.node = l.node
+)"""
+
+
+@query(
+    "lpa_communities",
+    f"""
+WITH edges AS ({_LPA_EDGES_SQL}),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst AS src, src AS dst FROM edges
+),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+l0 AS (SELECT node, node AS lbl FROM nodes),
+{_LPA_ROUND_SQL.format(r=1, p=0)},
+{_LPA_ROUND_SQL.format(r=2, p=1)}
+SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+FROM l2 GROUP BY 1
+""",
+)
+def q_lpa_communities(spark, sf_dir):
+    """Two synchronous label-propagation rounds over the derived event
+    graph: each node adopts its neighbors' MAJORITY label (ties ->
+    smallest label; isolated nodes keep their own), then communities
+    are the surviving labels with their sizes.
+
+    Scale shape per round: one |E|-keyed join of edges against the |V|
+    label table, a map-combined (node, label) count, and a window
+    bounded by each node's DEGREE (never a global window) — the same
+    per-round cost envelope as pagerank, which shares this graph. The
+    label table is localCheckpointed between rounds to cut lineage
+    exactly as pagerank/kmeans do."""
+    e = _t(spark, sf_dir, "events")
+    edges = (
+        e.select(
+            (F.col("user_id") % _LPA_MOD).alias("src"),
+            (F.col("event_id") % _LPA_MOD).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .filter((F.col("src") * 31 + F.col("dst")) % 20 == 0)
+    )
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(2):
+        nb = sym.join(
+            labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+        ).select(F.col("src").alias("node"), "lbl")
+        counts = nb.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("n"))
+        w = W.partitionBy("node").orderBy(F.col("n").desc(), F.col("lbl").asc())
+        winner = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
