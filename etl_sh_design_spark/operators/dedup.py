@@ -198,6 +198,7 @@ def minhash_lsh_pairs(
     band_rows: int = 4,
     n: int = 3,
     min_est_jaccard: float = 0.5,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash LSH near-dup pairs.
 
@@ -218,7 +219,10 @@ def minhash_lsh_pairs(
     (id_a, id_b, est_jaccard) for pairs that already pass the
     threshold — not the two k-element signature arrays for every
     banded candidate."""
-    sig = minhash_signatures_wide(df, id_col, text_col, k, n).cache()
+    # `sig` lets callers thread a shared/memoized signature table in
+    # (one signature pass per session for the whole eval+dedup family)
+    if sig is None:
+        sig = minhash_signatures_wide(df, id_col, text_col, k, n).cache()
 
     n_bands = -(-k // band_rows)  # ceil
     band_structs = [

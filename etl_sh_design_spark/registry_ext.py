@@ -835,6 +835,7 @@ def q_mod_partition_totals(spark, sf_dir):
 # cheap tail.
 _DEDUP_PAIRS_CACHE: dict = {}
 _DEDUP_COMPONENTS_CACHE: dict = {}
+_DEDUP_SIGS_CACHE: dict = {}
 
 
 def _dedup_cache_key(spark, sf_dir):
@@ -854,6 +855,23 @@ def _dedup_cache_get(cache, key):
     return cache.get(key)
 
 
+def dedup_signatures(spark, sf_dir):
+    """Wide MinHash signatures (doc_id, sig[16]) over the mutated
+    corpus — memoized, so the whole dedup + sketch-eval family pays
+    ONE signature pass per session."""
+    from etl_sh_design_spark.operators.dedup import minhash_signatures_wide
+
+    key = _dedup_cache_key(spark, sf_dir)
+    got = _dedup_cache_get(_DEDUP_SIGS_CACHE, key)
+    if got is not None:
+        return got
+    sigs = minhash_signatures_wide(
+        _corpus_mutated(spark, sf_dir), k=16, n=3
+    ).localCheckpoint(eager=False)
+    _DEDUP_SIGS_CACHE[key] = sigs
+    return sigs
+
+
 def dedup_lsh_pairs(spark, sf_dir):
     """(id_a, id_b, est_jaccard) MinHash-LSH pairs over the mutated
     corpus — memoized."""
@@ -861,9 +879,9 @@ def dedup_lsh_pairs(spark, sf_dir):
     got = _dedup_cache_get(_DEDUP_PAIRS_CACHE, key)
     if got is not None:
         return got
-    pairs = minhash_lsh_pairs(_corpus_mutated(spark, sf_dir)).localCheckpoint(
-        eager=False
-    )
+    pairs = minhash_lsh_pairs(
+        _corpus_mutated(spark, sf_dir), sig=dedup_signatures(spark, sf_dir)
+    ).localCheckpoint(eager=False)
     _DEDUP_PAIRS_CACHE[key] = pairs
     return pairs
 

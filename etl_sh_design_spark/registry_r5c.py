@@ -622,13 +622,14 @@ def q_lsh_recall_eval(spark, sf_dir):
     hot-shingle-capped equi-join and the banded signature join); the
     comparison itself is a left join between two pair lists — each
     ~0.1% of docs — plus a 1-row summary."""
-    from etl_sh_design_spark.operators.dedup import minhash_signatures_wide
+    from etl_sh_design_spark.registry_ext import dedup_signatures
 
     exact = ngram_jaccard_pairs(_corpus_mutated(spark, sf_dir), threshold=0.5).select(
         "id_a", "id_b"
     )
-    # raw banded candidates, no est cut (dedup_lsh_pairs applies >=0.5)
-    sig = minhash_signatures_wide(_corpus_mutated(spark, sf_dir), k=16, n=3)
+    # raw banded candidates, no est cut (dedup_lsh_pairs applies >=0.5);
+    # signatures come from the family's memoized table — no recompute
+    sig = dedup_signatures(spark, sf_dir)
     band_structs = [
         F.struct(
             F.lit(j).alias("band"),
