@@ -1052,3 +1052,69 @@ def q_lpa_communities(spark, sf_dir):
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+# --------------------------------------------------------------------
+# join-key skew report (the pre-flight for skew.py's salting)
+# --------------------------------------------------------------------
+@query(
+    "skew_report_events",
+    """
+WITH freq AS (
+  SELECT user_id AS key, count(*) AS c FROM events GROUP BY 1
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(c) AS BIGINT) AS max_freq,
+         CAST(quantile_disc(c, 0.5) AS BIGINT) AS median_freq,
+         CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_freq,
+         CAST(sum(c) AS BIGINT) AS n_rows
+  FROM freq
+),
+top AS (
+  SELECT key, c FROM freq ORDER BY c DESC, key ASC LIMIT 5
+)
+SELECT t.key AS hot_key, CAST(t.c AS BIGINT) AS freq,
+       round(t.c * 1.0e0 / s.n_rows, 6) AS row_share,
+       s.n_keys, s.median_freq, s.p99_freq,
+       round(s.max_freq * 1.0e0 / s.median_freq, 6) AS max_over_median
+FROM top t, stats s
+""",
+)
+def q_skew_report_events(spark, sf_dir):
+    """Join-key skew diagnostic over events.user_id: the 5 hottest
+    keys with their row share, plus distribution stats (median/p99/
+    max-over-median frequency). This is the pre-flight you run before
+    deciding whether a key needs `operators/skew.py`'s salting or can
+    ride AQE's skew-join split — at 100 TB you run it on a sample or
+    a CMS sketch (`cms_token_frequency` is the sketched form of the
+    same question), but the exact form is itself cheap: one
+    map-combined count, a key-count-sized quantile, and a top-5.
+
+    quantile_disc (exact discrete quantile over integer counts) is
+    used on both engines — deterministic, no interpolation."""
+    e = _t(spark, sf_dir, "events")
+    freq = e.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)  # two consumers: stats + top-5
+    stats = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_freq"),
+        F.expr("percentile_approx(c, 0.5, 2147483647)").cast("bigint").alias(
+            "median_freq"
+        ),
+        F.expr("percentile_approx(c, 0.99, 2147483647)").cast("bigint").alias(
+            "p99_freq"
+        ),
+        F.sum("c").cast("bigint").alias("n_rows"),
+    )
+    top = freq.orderBy(F.col("c").desc(), F.col("key").asc()).limit(5)
+    return top.crossJoin(F.broadcast(stats)).select(
+        F.col("key").alias("hot_key"),
+        F.col("c").cast("bigint").alias("freq"),
+        F.round(F.col("c") / F.col("n_rows"), 6).alias("row_share"),
+        "n_keys",
+        "median_freq",
+        "p99_freq",
+        F.round(F.col("max_freq") / F.col("median_freq"), 6).alias("max_over_median"),
+    )

@@ -98,6 +98,7 @@ WHITELIST: dict[str, dict[str, str]] = {
     "kmeans_profile": {"NESTED_LOOP": "k-row centroid broadcast"},
     "minhash_estimate_error": {"NESTED_LOOP": "candidate-pair side"},
     "lsh_recall_eval": {"NESTED_LOOP": "1-row candidate-count crossJoin"},
+    "skew_report_events": {"NESTED_LOOP": "1-row stats crossJoin"},
     "tile_supermodules": {"NESTED_LOOP": "O(100)-row layout tables"},
     "j6_ordinal_join": {"NESTED_LOOP": "bounded theta-join (plan-tested)"},
     "top_bigrams": {"NESTED_LOOP": "post-limit top-k theta-join"},
