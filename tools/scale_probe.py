@@ -178,6 +178,13 @@ def main() -> None:
         ("similarity_ann_lsh", "vecs", qs["similarity_ann_lsh"]),
         ("knn_label_accuracy", "vecs", qs["knn_label_accuracy"]),
         ("class_separation", "vecs", qs["class_separation"]),
+        # registry_r5c monitoring / graph / pipeline batch
+        ("quality_psi_drift", "docs", qs["quality_psi_drift"]),
+        ("keep_rate_ab_test", "docs", qs["keep_rate_ab_test"]),
+        ("zipf_slope_sources", "docs", qs["zipf_slope_sources"]),
+        ("incremental_refresh_pipeline", "docs", qs["incremental_refresh_pipeline"]),
+        ("lpa_communities", "events", qs["lpa_communities"]),
+        ("skew_report_events", "events", qs["skew_report_events"]),
     ]
     if new_only:
         plan = plan[-12:]
@@ -188,6 +195,8 @@ def main() -> None:
             "similarity_ann_lsh", "knn_label_accuracy", "class_separation",
             "bloom_decontamination",
         )]
+    if "--r5c2-only" in sys.argv:
+        plan = plan[-6:]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
         for name, table, fn in plan:
