@@ -1,0 +1,124 @@
+"""Goldens for the late registry_r5c operators on crafted fixtures —
+known-answer tests the cross-engine oracle can't provide (both engines
+could share a bug; these pin the SEMANTICS)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark.registry import queries
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(int(i), t, s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(int(e), int(u)) for e, u in rows], "event_id long, user_id long"
+    ).select(
+        "event_id",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        "user_id",
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_zipf_slope_near_minus_one_on_perfect_zipf(spark, tmp_path):
+    """A corpus whose token frequencies follow freq(rank) = 96/rank
+    exactly must fit slope ~ -1 with r^2 ~ 1."""
+    words = []
+    for i in range(1, 13):  # 12 distinct tokens, freq 96/i
+        words += [f"tok{i:02d}"] * (96 // i)
+    # one doc holding the whole stream (scores/fit don't care)
+    sf = _write_docs(spark, tmp_path, [(17 * 11 * 13, " ".join(words), "s")])
+    out = queries()["zipf_slope_sources"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_tokens"] == 12
+    # floor(96/i) rounds the tail frequencies down slightly, biasing
+    # the fitted slope a few percent past -1
+    assert r["zipf_slope"] == pytest.approx(-1.0, abs=0.05)
+    assert r["r2"] > 0.99
+
+
+def test_lpa_finds_two_triangles(spark, tmp_path):
+    """Two triangles bridged by a single edge must resolve into 2
+    communities after two majority rounds (the bridge can't outvote
+    two in-triangle neighbors). Node ids are chosen to survive the
+    %197 derivation and the (src*31+dst)%20 thinning."""
+    # The query thins DIRECTED edges before symmetrizing, so an edge
+    # (u, v) only needs (u*31+v)%20==0 in the direction the event
+    # carries it. Pick a passing direction per undirected pair.
+    def dir_ok(a, b):
+        return a != b and (a * 31 + b) % 20 == 0
+
+    def edge(a, b):
+        if dir_ok(a, b):
+            return (a, b)
+        if dir_ok(b, a):
+            return (b, a)
+        return None
+
+    tri = []
+    for a in range(1, 197):
+        for b in range(a + 1, 197):
+            if edge(a, b) is None:
+                continue
+            for c in range(b + 1, 197):
+                if edge(a, c) is not None and edge(b, c) is not None:
+                    tri.append((a, b, c))
+    assert len(tri) >= 2, "fixture search failed"
+    t1 = t2 = bridge = None
+    for a_ in tri:
+        for b_ in tri:
+            if set(a_) & set(b_):
+                continue
+            br = next(
+                (e for e in (edge(u, v) for u in a_ for v in b_) if e is not None),
+                None,
+            )
+            if br is not None:
+                t1, t2, bridge = a_, b_, br
+                break
+        if t1 is not None:
+            break
+    assert t1 is not None, "no bridged disjoint triangle pair found"
+    edges = [
+        edge(t1[0], t1[1]), edge(t1[0], t1[2]), edge(t1[1], t1[2]),
+        edge(t2[0], t2[1]), edge(t2[0], t2[2]), edge(t2[1], t2[2]),
+        bridge,
+    ]
+    # events encode edges as (user_id=src, event_id=dst); ids < 197 so
+    # the %197 derivation is the identity
+    sf = _write_events(spark, tmp_path, [(dst, src) for src, dst in edges])
+    out = queries()["lpa_communities"](spark, sf).collect()
+    sizes = sorted(r["n_nodes"] for r in out)
+    assert sum(sizes) == 6
+    assert len(out) == 2, (out, t1, t2, bridge)
+
+
+def test_skew_report_flags_planted_hot_key(spark, tmp_path):
+    """One user with 60 of 100 events: hot_key row 1 is that user with
+    row_share 0.6 and max_over_median reflecting the planted spike."""
+    rows = [(i, 7) for i in range(60)]          # hot user 7
+    rows += [(100 + i, 10 + i) for i in range(40)]  # 40 singleton users
+    sf = _write_events(spark, tmp_path, rows)
+    out = queries()["skew_report_events"](spark, sf).collect()
+    top = max(out, key=lambda r: r["freq"])
+    assert top["hot_key"] == 7
+    assert top["freq"] == 60
+    assert top["row_share"] == pytest.approx(0.6)
+    assert top["median_freq"] == 1
+    assert top["max_over_median"] == pytest.approx(60.0)
+    assert top["n_keys"] == 41
