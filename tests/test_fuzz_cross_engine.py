@@ -373,3 +373,55 @@ def test_fuzzed_date_exprs_match_duckdb(spark, duck, s):
     srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
     drows = sorted(tuple(str(x) for x in r) for r in duck.execute(sql).fetchall())
     assert srows == drows, (s, srows[:2], drows[:2])
+
+
+# ------------------------------------------------------------- set ops
+# Two deterministic projections of customer (overlapping slices) run
+# through a fuzzed set operation; DISTINCT variants sort-compare, ALL
+# variants compare as multisets (sorted lists). Spark's subtract/
+# intersect are DISTINCT semantics — matched to EXCEPT/INTERSECT;
+# exceptAll/intersectAll to the ALL forms.
+setop_spec = st.fixed_dictionaries(
+    {
+        "op": st.sampled_from(
+            ["union", "union_all", "intersect", "except_", "intersect_all", "except_all"]
+        ),
+        "amod": st.sampled_from([2, 3]),
+        "bmod": st.sampled_from([2, 5]),
+        "cols": st.sampled_from(
+            [("c_mktsegment",), ("c_nationkey", "c_mktsegment")]
+        ),
+    }
+)
+
+
+@settings(
+    max_examples=18,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(setop_spec)
+def test_fuzzed_setops_match_duckdb(spark, duck, s):
+    cols = list(s["cols"])
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    a = cust.filter(F.col("c_custkey") % s["amod"] == 0).select(*cols)
+    b = cust.filter(F.col("c_custkey") % s["bmod"] == 1).select(*cols)
+    csel = ", ".join(cols)
+    qa = f"SELECT {csel} FROM customer WHERE c_custkey % {s['amod']} = 0"
+    qb = f"SELECT {csel} FROM customer WHERE c_custkey % {s['bmod']} = 1"
+    if s["op"] == "union":
+        sdf, sql = a.union(b).distinct(), f"({qa}) UNION ({qb})"
+    elif s["op"] == "union_all":
+        sdf, sql = a.unionAll(b), f"({qa}) UNION ALL ({qb})"
+    elif s["op"] == "intersect":
+        sdf, sql = a.intersect(b), f"({qa}) INTERSECT ({qb})"
+    elif s["op"] == "except_":
+        sdf, sql = a.subtract(b), f"({qa}) EXCEPT ({qb})"
+    elif s["op"] == "intersect_all":
+        sdf, sql = a.intersectAll(b), f"({qa}) INTERSECT ALL ({qb})"
+    else:
+        sdf, sql = a.exceptAll(b), f"({qa}) EXCEPT ALL ({qb})"
+    srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+    drows = sorted(tuple(str(x) for x in r) for r in duck.execute(sql).fetchall())
+    assert srows == drows, (s, srows[:3], drows[:3])
