@@ -4,7 +4,10 @@ classes). Usage: python tools/check_one.py NAME [SF_DIR]"""
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
