@@ -34,15 +34,32 @@ FACE_SCHEMA = T.StructType(
 
 def read_face_tsv(spark: SparkSession, path: str) -> DataFrame:
     """S1: tab-separated module centers (header `Module X Y Z`), bad
-    rows captured in _corrupt_record instead of thrown away silently."""
-    return (
+    rows captured in _corrupt_record instead of thrown away silently.
+
+    The reference's shipped `data/Face N.txt` files carry TRAILING
+    EMPTY COLUMNS (the header line ends in tabs); a fixed 4-column
+    schema under PERMISSIVE marks every such row corrupt. Layout files
+    are dimension-sized by contract, so the header is sniffed
+    driver-side and the schema padded with throwaway string columns
+    that are dropped after the parse — corrupt capture still applies
+    to the data columns."""
+    n_extra = 0
+    try:
+        with open(path) as fh:
+            n_extra = max(0, len(fh.readline().rstrip("\n").split("\t")) - 4)
+    except OSError:
+        pass  # glob/dir/remote path: assume the exact 4-column shape
+    pads = [T.StructField(f"_pad{i}", T.StringType()) for i in range(n_extra)]
+    schema = T.StructType(FACE_SCHEMA.fields[:-1] + pads + [FACE_SCHEMA.fields[-1]])
+    df = (
         spark.read.option("sep", "\t")
         .option("header", True)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .schema(FACE_SCHEMA)
+        .schema(schema)
         .csv(path)
     )
+    return df.drop(*[f"_pad{i}" for i in range(n_extra)])
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -59,11 +76,24 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def read_yaml_layout(spark: SparkSession, path: str) -> DataFrame:
     """S3: nested YAML layout database -> (layout, disk, face, x, y)
-    rows. Dimension-sized; loaded driver-side then parallelized."""
+    rows. Dimension-sized; loaded driver-side then parallelized.
+
+    The reference's shipped `layouts/database_*.yaml` serialize centers
+    with `!!python/tuple` tags (python yaml.dump of tuples), which the
+    safe loader rejects. A SafeLoader subclass adds ONLY a tuple
+    constructor — still no arbitrary-object construction."""
     import yaml
 
+    class _LayoutLoader(yaml.SafeLoader):
+        pass
+
+    _LayoutLoader.add_constructor(
+        "tag:yaml.org,2002:python/tuple",
+        lambda loader, node: tuple(loader.construct_sequence(node)),
+    )
+
     with open(path) as fh:
-        data = yaml.safe_load(fh)
+        data = yaml.load(fh, Loader=_LayoutLoader)
     rows = []
     for layout, disks in data.items():
         for disk, faces in disks.items():
