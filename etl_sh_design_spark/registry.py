@@ -610,13 +610,13 @@ _DRIVER_WINDOW_PRIORITY = [
 # dtype-hardened gate (tests/test_driver_contract.py) and were driven
 # at sf0.01 under a vanilla driver-style session this round with 0
 # mismatches, so the marginal driver value of a re-check is far below
-# a first check. After this window, union(r1..r5) = 147/158: also
-# never driver-checked are the ten registry_r5c queries added after
+# a first check. After this window, union(r1..r5) = 147/159: also
+# never driver-checked are the eleven registry_r5c queries added after
 # the window was frozen (knn_label_accuracy, class_separation,
 # quality_psi_drift, keep_rate_ab_test, minhash_estimate_error,
 # lsh_recall_eval, incremental_refresh_pipeline, zipf_slope_sources,
-# lpa_communities, skew_report_events) — front them in round 6
-# together with
+# lpa_communities, skew_report_events, real_face_physics) — front
+# them in round 6 together with
 # similarity_ann_lsh and similarity_topk, whose implementations were
 # rewritten this round after their last driver check (SRP literal
 # planes; corpus split in cosine_topk). The other two queries those

@@ -1118,3 +1118,80 @@ def q_skew_report_events(spark, sf_dir):
         "p99_freq",
         F.round(F.col("max_freq") / F.col("median_freq"), 6).alias("max_over_median"),
     )
+
+
+# --------------------------------------------------------------------
+# physics rollup over the reference's REAL shipped module centers
+# --------------------------------------------------------------------
+from etl_sh_design_spark.functions import physics  # noqa: E402
+
+_FACE_READ_DUCK = """
+  SELECT {face} AS face,
+         try_cast(m AS BIGINT) AS module,
+         try_cast(x AS DOUBLE) AS x, try_cast(y AS DOUBLE) AS y
+  FROM read_csv('/root/reference/data/Face {face}.txt', delim='\t',
+    header=false, skip=1,
+    columns={{'m':'VARCHAR','x':'VARCHAR','y':'VARCHAR','z':'VARCHAR',
+              'p1':'VARCHAR','p2':'VARCHAR','p3':'VARCHAR'}})
+  WHERE try_cast(m AS BIGINT) IS NOT NULL AND try_cast(x AS DOUBLE) IS NOT NULL
+    AND try_cast(y AS DOUBLE) IS NOT NULL AND try_cast(z AS DOUBLE) IS NOT NULL
+"""
+
+
+@query(
+    "real_face_physics",
+    f"""
+WITH faces AS (
+  {" UNION ALL ".join(_FACE_READ_DUCK.format(face=i) for i in (1, 2, 3, 4))}
+),
+rr AS (SELECT face, module, sqrt(x * x + y * y) AS r FROM faces),
+cur AS (
+  SELECT face, r,
+         round({physics.CURRENT_SQL.format(r='r')}, 6) AS cur_ma
+  FROM rr
+)
+SELECT face, CAST(count(*) AS BIGINT) AS n_modules,
+       round(min(r), 6) AS r_min, round(max(r), 6) AS r_max,
+       round(sum(CAST(round(cur_ma * 1e6) AS BIGINT)) / 1e6, 6)
+         AS total_current_ma
+FROM cur GROUP BY 1
+""",
+)
+def q_real_face_physics(spark, sf_dir):
+    """The P8-P10 physics chain over the reference repo's OWN shipped
+    module-center files (`data/Face 1-4.txt`), quarantining the real
+    `#REF!` spreadsheet-error row via the S1 PERMISSIVE scan: per
+    face, module count, radius envelope, and the summed leakage
+    current (exact integer micro-mA sum, order-independent). This is
+    the parity query that runs the engine's operators on the
+    reference's actual data, not a synthetic twin of it.
+
+    Scale shape: layout files are dimension-sized; the whole query is
+    one scan + a 4-group aggregate. (The oracle reads the same files
+    through DuckDB's CSV reader with try_cast quarantine semantics —
+    identical clean sets, proven in tests/test_reference_parity.py.)"""
+    from etl_sh_design_spark.sources.io import read_face_tsv, split_corrupt
+
+    parts = []
+    for i in (1, 2, 3, 4):
+        clean, _ = split_corrupt(
+            read_face_tsv(spark, f"/root/reference/data/Face {i}.txt")
+        )
+        parts.append(clean.select(F.lit(i).alias("face"), "module", "x", "y"))
+    faces = parts[0]
+    for p in parts[1:]:
+        faces = faces.unionByName(p)
+    r = F.sqrt(F.col("x") ** 2 + F.col("y") ** 2)
+    cur = faces.select(
+        "face",
+        r.alias("r"),
+        F.round(physics.sensor_current(physics.irradiation(r)), 6).alias("cur_ma"),
+    )
+    return cur.groupBy("face").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_modules"),
+        F.round(F.min("r"), 6).alias("r_min"),
+        F.round(F.max("r"), 6).alias("r_max"),
+        F.round(
+            F.sum(F.round(F.col("cur_ma") * 1e6, 0).cast("bigint")) / 1e6, 6
+        ).alias("total_current_ma"),
+    )
