@@ -110,7 +110,16 @@ def srp_signature(
     numerically-near-zero projection can't flip a bit across engines
     (same guard the aggregating version had)."""
     if dim is None:
-        dim = df.select(F.size(F.col(vec_col)).alias("n")).first()["n"]
+        # Eager one-row probe at plan-construction time; fixed-dim
+        # contract — every row must carry exactly `dim` entries (rows
+        # of a different length project against a truncated/null plane,
+        # so callers with mixed widths must pass `dim` explicitly).
+        first = df.select(F.size(F.col(vec_col)).alias("n")).first()
+        if first is None or first["n"] is None or first["n"] <= 0:
+            # Empty input (or null/empty first vector): nothing to
+            # bucket — return the stable schema with bucket 0.
+            return df.withColumn(out, F.lit(0).cast("int"))
+        dim = first["n"]
     dv = _dvec(vec_col)
     bucket = F.lit(0)
     for j in range(n_planes):

@@ -1091,8 +1091,15 @@ def q_skew_report_events(spark, sf_dir):
     same question), but the exact form is itself cheap: one
     map-combined count, a key-count-sized quantile, and a top-5.
 
-    quantile_disc (exact discrete quantile over integer counts) is
-    used on both engines — deterministic, no interpolation."""
+    Quantile contract (pinned, exact — not a sketch): the discrete
+    inverted-CDF quantile, i.e. the element at 1-based rank
+    ceil(p * n) of the ascending-sorted counts. DuckDB's
+    quantile_disc implements exactly this convention (verified on
+    boundary cases incl. p99 between two distinct values); Spark
+    computes the SAME rank expression over a sorted collect_list of
+    the key-count-sized freq table (bounded: |distinct keys| values
+    on one reducer — audit-query contract, same class as the YAML
+    dim sink)."""
     e = _t(spark, sf_dir, "events")
     freq = e.groupBy(F.col("user_id").alias("key")).agg(
         F.count(F.lit(1)).alias("c")
@@ -1100,13 +1107,18 @@ def q_skew_report_events(spark, sf_dir):
     stats = freq.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.max("c").cast("bigint").alias("max_freq"),
-        F.expr("percentile_approx(c, 0.5, 2147483647)").cast("bigint").alias(
-            "median_freq"
-        ),
-        F.expr("percentile_approx(c, 0.99, 2147483647)").cast("bigint").alias(
-            "p99_freq"
-        ),
+        F.sort_array(F.collect_list("c")).alias("_cs"),
         F.sum("c").cast("bigint").alias("n_rows"),
+    ).select(
+        "n_keys",
+        "max_freq",
+        F.element_at("_cs", F.ceil(F.lit(0.5) * F.col("n_keys")).cast("int"))
+        .cast("bigint")
+        .alias("median_freq"),
+        F.element_at("_cs", F.ceil(F.lit(0.99) * F.col("n_keys")).cast("int"))
+        .cast("bigint")
+        .alias("p99_freq"),
+        "n_rows",
     )
     top = freq.orderBy(F.col("c").desc(), F.col("key").asc()).limit(5)
     return top.crossJoin(F.broadcast(stats)).select(
@@ -1123,22 +1135,45 @@ def q_skew_report_events(spark, sf_dir):
 # --------------------------------------------------------------------
 # physics rollup over the reference's REAL shipped module centers
 # --------------------------------------------------------------------
-from etl_sh_design_spark.functions import physics  # noqa: E402
+import os  # noqa: E402
 
-_FACE_READ_DUCK = """
-  SELECT {face} AS face,
+from etl_sh_design_spark.functions import physics  # noqa: E402
+from etl_sh_design_spark.sources.io import reference_dir  # noqa: E402
+
+_REF_DIR = reference_dir()
+
+_FACE_READ_DUCK = f"""
+  SELECT {{face}} AS face,
          try_cast(m AS BIGINT) AS module,
          try_cast(x AS DOUBLE) AS x, try_cast(y AS DOUBLE) AS y
-  FROM read_csv('/root/reference/data/Face {face}.txt', delim='\t',
+  FROM read_csv('{_REF_DIR}/data/Face {{face}}.txt', delim='\t',
     header=false, skip=1,
-    columns={{'m':'VARCHAR','x':'VARCHAR','y':'VARCHAR','z':'VARCHAR',
-              'p1':'VARCHAR','p2':'VARCHAR','p3':'VARCHAR'}})
+    columns={{{{'m':'VARCHAR','x':'VARCHAR','y':'VARCHAR','z':'VARCHAR',
+              'p1':'VARCHAR','p2':'VARCHAR','p3':'VARCHAR'}}}})
   WHERE try_cast(m AS BIGINT) IS NOT NULL AND try_cast(x AS DOUBLE) IS NOT NULL
     AND try_cast(y AS DOUBLE) IS NOT NULL AND try_cast(z AS DOUBLE) IS NOT NULL
 """
 
+# The reference-artifact parity queries only register when the
+# reference checkout is actually present (env SPARK_GRAFT_REF_DIR,
+# default /root/reference) — mirroring the pytest skipif, so the
+# registry imports and replays cleanly in any environment.
+_HAVE_REF_FACES = all(
+    os.path.isfile(os.path.join(_REF_DIR, "data", f"Face {i}.txt"))
+    for i in (1, 2, 3, 4)
+)
 
-@query(
+
+def _query_if(cond, name, sql):
+    """Register under @query only when `cond`; otherwise leave the
+    function unregistered (rows-only absent, per VERDICT r5 item 1)."""
+    if cond:
+        return query(name, sql)
+    return lambda fn: fn
+
+
+@_query_if(
+    _HAVE_REF_FACES,
     "real_face_physics",
     f"""
 WITH faces AS (
@@ -1175,7 +1210,7 @@ def q_real_face_physics(spark, sf_dir):
     parts = []
     for i in (1, 2, 3, 4):
         clean, _ = split_corrupt(
-            read_face_tsv(spark, f"/root/reference/data/Face {i}.txt")
+            read_face_tsv(spark, os.path.join(_REF_DIR, "data", f"Face {i}.txt"))
         )
         parts.append(clean.select(F.lit(i).alias("face"), "module", "x", "y"))
     faces = parts[0]

@@ -21,6 +21,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def reference_dir() -> str:
+    """Root of the read-only reference checkout used by the parity
+    queries/tests (env SPARK_GRAFT_REF_DIR, default /root/reference).
+    Callers must tolerate the directory being absent."""
+    return os.environ.get("SPARK_GRAFT_REF_DIR", "/root/reference")
+
+
 FACE_SCHEMA = T.StructType(
     [
         T.StructField("module", T.IntegerType()),
@@ -44,11 +51,21 @@ def read_face_tsv(spark: SparkSession, path: str) -> DataFrame:
     that are dropped after the parse — corrupt capture still applies
     to the data columns."""
     n_extra = 0
+    local = path[len("file://") :] if path.startswith("file://") else path
     try:
-        with open(path) as fh:
+        with open(local) as fh:
             n_extra = max(0, len(fh.readline().rstrip("\n").split("\t")) - 4)
     except OSError:
-        pass  # glob/dir/remote path: assume the exact 4-column shape
+        # Glob/dir/remote path: assume the exact 4-column shape. Padded
+        # files read this way would mark every row corrupt, so leave a
+        # diagnosable trace instead of failing silently.
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "read_face_tsv: header sniff unavailable for %s; "
+            "assuming 4 columns (padded files would scan all-corrupt)",
+            path,
+        )
     pads = [T.StructField(f"_pad{i}", T.StringType()) for i in range(n_extra)]
     schema = T.StructType(FACE_SCHEMA.fields[:-1] + pads + [FACE_SCHEMA.fields[-1]])
     df = (

