@@ -543,85 +543,78 @@ def q_mirror_union(spark, sf_dir):
 # local gate (tests/test_driver_contract.py replays ALL queries vs
 # DuckDB with a dtype-class parity check matching the driver's hasher).
 _DRIVER_WINDOW_PRIORITY = [
-    # --- never driver-checked (23) ---
-    "mc_sanity_probe",
-    "occupancy_per_etroc",
-    "ann_recall_at_k",
-    "dedup_size_histogram",
-    "approx_stats",
-    "domain_mixture_sample",
-    "training_shard_manifest",
-    "vocab_coverage",
-    "padding_waste",
-    "doc_chunks",
-    "json_props_rollup",
-    "grouping_sets_revenue",
-    "rank_distribution_orders",
-    "nullsafe_join_customers",
-    "regression_stats",
-    "cube_qty_marginals",
-    "window_frames_orders",
-    "ntile_acctbal",
-    "stratified_sample_customers",
-    "q8_market_share",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    # --- round-4 hash-reds, oracle dtype fixed this round (2) ---
-    "bv_totals",
-    "sequence_packing",
-    # --- first driver check for the round-5 additions (25 of 26;
-    # --- hll_distinct_sketch is deferred — it is the one rows-only
-    # --- query of the batch, so its driver signal is weakest, and it
-    # --- is golden-tested against exact distinct counts locally) ---
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q12_priority_latency",
-    "q20_part_suppliers",
-    "q21_waiting_suppliers",
-    "token_frequency_scores",
-    "pq_ann_topk",
-    "incremental_neardup",
-    "ivfpq_ann_topk",
-    "pagerank_hubs",
-    "weighted_sample_docs",
-    "source_token_kl",
-    "span_trim_audit",
-    "semantic_dedup",
-    "quantile_sketch_events",
-    "bloom_decontamination",
-    "cms_token_frequency",
-    "bpe_merge_learn",
-    "token_budget_selection",
-    "mad_outliers_events",
-    "bpe_compression_curve",
-    "boilerplate_prefix_clusters",
-    "corpus_snapshot_diff",
-    "curation_pipeline_e2e",
-    "quality_calibration_sources",
+    # --- round-6 additions: first driver signal for new queries ---
+    "real_acceptance_profile",
+    "tile_slots_polygon",
+    # --- never driver-checked (the 12 left after r5's window; union
+    # --- of CORRECTNESS_r01-r05 covers the other 147) ---
+    "knn_label_accuracy",
+    "class_separation",
+    "quality_psi_drift",
+    "keep_rate_ab_test",
+    "minhash_estimate_error",
+    "lsh_recall_eval",
+    "incremental_refresh_pipeline",
+    "zipf_slope_sources",
+    "lpa_communities",
+    "skew_report_events",
+    "real_face_physics",
+    "hll_distinct_sketch",
+    # --- re-checks: queries REWRITTEN after their last driver green
+    # --- (r5 rewrites: SRP literal planes, cosine_topk corpus split,
+    # --- j9 shared scan, kmeans checkpoint, q10 join order; r6
+    # --- rewrite: skew_report exact quantile is above; plus the
+    # --- r4-rewritten dedup/similarity family whose last green
+    # --- precedes those rewrites) ---
+    "similarity_ann_lsh",
+    "similarity_topk",
+    "j9_run_comparison",
+    "kmeans_profile",
+    "q10_returned_revenue",
+    "minhash_lsh_neardup",
+    "ngram_jaccard_neardup",
+    "simhash_neardup",
+    "simhash_docs",
+    "embedding_neardup",
+    "dedup_exact",
+    "dedup_clusters",
+    "similarity_ann_ivf",
+    # --- oldest driver signal (last green r1-r3); refresh toward
+    # --- union(r1..r6) = all registered queries driver-confirmed ---
+    "acceptance_profile",
+    "sensor_physics",
+    "sensor_corners",
+    "module_rollup",
+    "occupancy_summary",
+    "bandwidth_totals",
+    "bv_zone_counts",
+    "bv_greedy_groups",
+    "ring_classification",
+    "hit_count_histogram",
+    "efficiency_returns",
+    "histogram_price",
+    "histogram2d_qty_disc",
+    "profile_disc_by_qty",
+    "mod_partition_totals",
+    "partition_flavors",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_decode_stub",
+    "fingerprint_docs",
+    "lang_id_confusion",
+    "text_quality",
+    "bpe_token_counts",
+    "gaps_islands_events",
 ]
-# Re-check debt consciously deferred to round 6 in favor of first-time
-# signal for the round-5 additions: the r4-rewritten dedup/similarity
-# family (minhash/ngram/simhash/embedding/ANN — last driver check
-# precedes the r4 rewrite) and the three queries rewritten this round
-# after their r4 green (j9_run_comparison shared scan, kmeans_profile
-# checkpoint, q10_returned_revenue join order), plus hll_distinct_sketch
-# (rows-only). All of these are replayed every session by the local
-# dtype-hardened gate (tests/test_driver_contract.py) and were driven
-# at sf0.01 under a vanilla driver-style session this round with 0
-# mismatches, so the marginal driver value of a re-check is far below
-# a first check. After this window, union(r1..r5) = 147/159: also
-# never driver-checked are the eleven registry_r5c queries added after
-# the window was frozen (knn_label_accuracy, class_separation,
-# quality_psi_drift, keep_rate_ab_test, minhash_estimate_error,
-# lsh_recall_eval, incremental_refresh_pipeline, zipf_slope_sources,
-# lpa_communities, skew_report_events, real_face_physics) — front
-# them in round 6 together with
-# similarity_ann_lsh and similarity_topk, whose implementations were
-# rewritten this round after their last driver check (SRP literal
-# planes; corpus split in cosine_topk). The other two queries those
-# rewrites touch (ann_recall_at_k, bloom_decontamination) are inside
-# this round's window and get driver signal on the new code.
+# Round-6 window rationale: 2 new queries first (their only chance at
+# first-round signal), then the 12 never-driver-checked stragglers
+# (incl. rows-only hll_distinct_sketch), then every query whose
+# implementation was rewritten AFTER its last driver green, then the
+# queries with the OLDEST driver signal (r1-r3). After this window,
+# union(r1..r6) driver-confirms every registered query at least once
+# and nothing green predates the code it tested. Everything else is
+# replayed each session by the local dtype-hardened gate
+# (tests/test_driver_contract.py).
 
 
 def _windowed(d: dict) -> dict:
