@@ -177,6 +177,212 @@ def hit_count_histogram(spark: SparkSession, n_rays: int) -> DataFrame:
     )
 
 
+# =====================================================================
+# Real-layout acceptance: the reference's signature study run over its
+# OWN exported YAML layout database (geometric_acceptance.ipynb cells
+# 43-72), not the synthetic sensor grid. Same MC rays, same P14
+# projection, same binned J1/J2 containment plan — only the sensor
+# corner table comes from the real data.
+# =====================================================================
+
+# Sensor(42.5, 22) with deadspace 0.5 is the sensor every fromCenters
+# layout uses (geometric_acceptance.ipynb cells 45/51; ETL.py:76-120):
+# active-area half-extents = half-size minus deadspace.
+REAL_ACTIVE_HALF_X = 42.5 / 2 - 0.5  # 20.75 mm
+REAL_ACTIVE_HALF_Y = 22.0 / 2 - 0.5  # 10.5 mm
+# The study bins eta as "40,1.659,2.950" (cell 63); rays outside the
+# binned range are excluded from the profile on both engines.
+REAL_ETA_BINS = BinSpec(40, datagen.ETA_LO, 2.950)
+# (disk, face) -> layer in D1-D4 construction order (cells 45/51:
+# disk1/front, disk1/back, disk2/front, disk2/back at the z positions
+# of datagen.LAYER_Z_MM / dee_geometry.py:46-52).
+REAL_FACE_LAYERS = [
+    ("disk1", "front", 1),
+    ("disk1", "back", 2),
+    ("disk2", "front", 3),
+    ("disk2", "back", 4),
+]
+
+
+def real_layout_sensor_rows(yaml_path: str, layout: str) -> list[tuple]:
+    """(layer, x, y) tuples for every sensor center of `layout` in the
+    YAML database, in D1-D4 face order. Driver-side and memoized (the
+    layout database is dimension-sized by contract)."""
+    from etl_sh_design_spark.sources.io import load_yaml_layout_rows
+
+    by_face = {(d, f): lyr for d, f, lyr in REAL_FACE_LAYERS}
+    out = []
+    for lo, disk, face, x, y in load_yaml_layout_rows(yaml_path):
+        if lo == layout and (disk, face) in by_face:
+            out.append((by_face[(disk, face)], x, y))
+    return out
+
+
+def real_layout_sensors(
+    spark: SparkSession, yaml_path: str, layout: str = "new"
+) -> DataFrame:
+    """The hot corner table (layer, x, y, ax1, ax2, ay1, ay2) derived
+    from the REAL layout database via the P3/P4 inset — same schema the
+    synthetic `datagen.sensors` feeds the containment join."""
+    centers = spark.createDataFrame(
+        real_layout_sensor_rows(yaml_path, layout), "layer INT, x DOUBLE, y DOUBLE"
+    )
+    return centers.select(
+        "layer",
+        "x",
+        "y",
+        (F.col("x") - REAL_ACTIVE_HALF_X).alias("ax1"),
+        (F.col("x") + REAL_ACTIVE_HALF_X).alias("ax2"),
+        (F.col("y") - REAL_ACTIVE_HALF_Y).alias("ay1"),
+        (F.col("y") + REAL_ACTIVE_HALF_Y).alias("ay2"),
+    )
+
+
+def real_ray_hits(
+    spark: SparkSession,
+    n_rays: int,
+    yaml_path: str,
+    layout: str = "new",
+    strategy: str = "binned",
+) -> DataFrame:
+    """Per-ray hit counts (event_id, eta, n) over the REAL layout —
+    the flagship `ray_hits` plan with the real corner table swapped in
+    and rays restricted to the study's eta window."""
+    rays = datagen.rays(spark, n_rays).filter(
+        F.col("eta") < F.lit(REAL_ETA_BINS.hi)
+    )
+    sensors = real_layout_sensors(spark, yaml_path, layout)
+    proj = (
+        rays.crossJoin(F.broadcast(datagen.layers(spark)))
+        .withColumn("px", F.col("z_mm") * F.col("tanth") * F.col("cphi"))
+        .withColumn("py", F.col("z_mm") * F.col("tanth") * F.col("sphi"))
+        .select("event_id", "layer", "px", "py")
+    )
+    if strategy == "binned":
+        # cell >= the 41.5mm max active extent -> <=2 cells per axis
+        hits = binned_containment_join(proj, sensors, cell=50.0, extra_keys=["layer"])
+    else:
+        hits = proj.join(
+            F.broadcast(sensors),
+            (proj["layer"] == sensors["layer"])
+            & (sensors["ax1"] < proj["px"])
+            & (proj["px"] < sensors["ax2"])
+            & (sensors["ay1"] < proj["py"])
+            & (proj["py"] < sensors["ay2"]),
+            "inner",
+        ).drop(sensors["layer"])
+    n_per_event = hits.groupBy("event_id").agg(F.countDistinct("layer").alias("n"))
+    return (
+        rays.select("event_id", "eta")
+        .join(n_per_event, "event_id", "left")
+        .fillna({"n": 0})
+    )
+
+
+def real_hit_count_histogram(
+    spark: SparkSession, n_rays: int, yaml_path: str, layout: str = "new"
+) -> DataFrame:
+    """Hist1D(nHits) over a REAL layout — the stored-output twin of
+    geometric_acceptance.ipynb cell 62 (`Hist1D(nHits['TDR'],
+    "5,-0.5,4.5")`)."""
+    return (
+        real_ray_hits(spark, n_rays, yaml_path, layout)
+        .groupBy(F.col("n").cast("bigint").alias("n"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def real_acceptance_profile(
+    spark: SparkSession,
+    n_rays: int,
+    yaml_path: str,
+    layout: str = "new",
+    strategy: str = "binned",
+) -> DataFrame:
+    """Efficiency + mean hit count + mean time resolution per eta bin
+    over the REAL exported layout. Identical plan to the flagship
+    (rays never shuffle; the sensor dimension broadcasts; the only
+    wide exchange is the bins-sized final agg) — only the rect side
+    and the bin spec differ."""
+    per_ray = real_ray_hits(spark, n_rays, yaml_path, layout, strategy)
+    return (
+        per_ray.groupBy(REAL_ETA_BINS.bin_of("eta").alias("eta_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rays"),
+            F.round(F.avg((F.col("n") > 0).cast("double")), 6).alias("eff"),
+            F.round(F.avg(F.col("n").cast("double")), 6).alias("mean_n"),
+            F.round(
+                F.avg(F.when(F.col("n") > 0, T_COEFF / F.sqrt(F.col("n")))), 6
+            ).alias("mean_t"),
+        )
+    )
+
+
+def _real_hits_cte(n_rays: int, yaml_path: str, layout: str) -> str:
+    """Shared CTE prefix for the real-layout oracles: the real centers
+    are flattened driver-side into a VALUES CTE (DuckDB has no YAML
+    reader); corners are derived with the SAME literal arithmetic so
+    the doubles are bit-identical."""
+    rows = real_layout_sensor_rows(yaml_path, layout)
+    values = ",".join(f"({lyr},{x!r},{y!r})" for lyr, x, y in rows)
+    return f"""
+WITH layers AS ({datagen.LAYERS_SQL}),
+sensors AS (
+  SELECT layer,
+         x - {REAL_ACTIVE_HALF_X!r} AS ax1, x + {REAL_ACTIVE_HALF_X!r} AS ax2,
+         y - {REAL_ACTIVE_HALF_Y!r} AS ay1, y + {REAL_ACTIVE_HALF_Y!r} AS ay2
+  FROM (VALUES {values}) AS c(layer, x, y)
+),
+rays AS (SELECT * FROM ({datagen.rays_sql(n_rays)}) WHERE eta < {REAL_ETA_BINS.hi!r}),
+proj AS (
+  SELECT r.event_id, l.layer,
+         l.z_mm * r.tanth * r.cphi AS px,
+         l.z_mm * r.tanth * r.sphi AS py
+  FROM rays r CROSS JOIN layers l
+),
+hits AS (
+  SELECT p.event_id, count(DISTINCT p.layer) AS n
+  FROM proj p
+  JOIN sensors s
+    ON s.layer = p.layer
+   AND s.ax1 < p.px AND p.px < s.ax2
+   AND s.ay1 < p.py AND p.py < s.ay2
+  GROUP BY p.event_id
+),
+per_ray AS (
+  SELECT r.event_id, r.eta, coalesce(h.n, 0) AS n
+  FROM rays r LEFT JOIN hits h USING (event_id)
+)
+"""
+
+
+def real_acceptance_profile_sql(
+    n_rays: int, yaml_path: str, layout: str = "new"
+) -> str:
+    b = REAL_ETA_BINS
+    return (
+        _real_hits_cte(n_rays, yaml_path, layout)
+        + f"""
+SELECT {b.bin_sql('eta')} AS eta_bin,
+       count(*) AS n_rays,
+       round(avg(CASE WHEN n > 0 THEN 1.0 ELSE 0.0 END), 6) AS eff,
+       round(avg(CAST(n AS DOUBLE)), 6) AS mean_n,
+       round(avg(CASE WHEN n > 0 THEN {T_COEFF} / sqrt(n) END), 6) AS mean_t
+FROM per_ray
+GROUP BY 1
+"""
+    )
+
+
+def real_hit_count_histogram_sql(
+    n_rays: int, yaml_path: str, layout: str = "new"
+) -> str:
+    return (
+        _real_hits_cte(n_rays, yaml_path, layout)
+        + "SELECT CAST(n AS BIGINT) AS n, count(*) AS cnt FROM per_ray GROUP BY 1"
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 def _hits_cte(n_rays: int) -> str:
     return f"""

@@ -545,6 +545,7 @@ def q_mirror_union(spark, sf_dir):
 _DRIVER_WINDOW_PRIORITY = [
     # --- round-6 additions: first driver signal for new queries ---
     "real_acceptance_profile",
+    "real_tdr_hit_histogram",
     "tile_slots_polygon",
     # --- never driver-checked (the 12 left after r5's window; union
     # --- of CORRECTNESS_r01-r05 covers the other 147) ---
@@ -646,6 +647,7 @@ def _load_extensions() -> None:
         registry_r5,
         registry_r5b,
         registry_r5c,
+        registry_r6,
         registry_tiling,
         registry_wide,
     )

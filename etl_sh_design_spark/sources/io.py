@@ -91,14 +91,20 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return clean, bad
 
 
-def read_yaml_layout(spark: SparkSession, path: str) -> DataFrame:
-    """S3: nested YAML layout database -> (layout, disk, face, x, y)
-    rows. Dimension-sized; loaded driver-side then parallelized.
+def load_yaml_layout_rows(path: str) -> list[tuple[str, str, str, float, float]]:
+    """Driver-side flatten of a nested YAML layout database to
+    (layout, disk, face, x, y) tuples, memoized per path (the parse is
+    ~1 s for the reference's shipped files and several consumers — the
+    Spark scan AND the DuckDB-oracle VALUES builder — need the same
+    rows).
 
     The reference's shipped `layouts/database_*.yaml` serialize centers
     with `!!python/tuple` tags (python yaml.dump of tuples), which the
     safe loader rejects. A SafeLoader subclass adds ONLY a tuple
     constructor — still no arbitrary-object construction."""
+    cached = _YAML_ROWS_CACHE.get(path)
+    if cached is not None:
+        return cached
     import yaml
 
     class _LayoutLoader(yaml.SafeLoader):
@@ -117,8 +123,19 @@ def read_yaml_layout(spark: SparkSession, path: str) -> DataFrame:
             for face, centers in faces.items():
                 for x, y in centers:
                     rows.append((str(layout), str(disk), str(face), float(x), float(y)))
+    _YAML_ROWS_CACHE[path] = rows
+    return rows
+
+
+_YAML_ROWS_CACHE: dict[str, list] = {}
+
+
+def read_yaml_layout(spark: SparkSession, path: str) -> DataFrame:
+    """S3: nested YAML layout database -> (layout, disk, face, x, y)
+    rows. Dimension-sized; loaded driver-side then parallelized."""
     return spark.createDataFrame(
-        rows, "layout STRING, disk STRING, face STRING, x DOUBLE, y DOUBLE"
+        load_yaml_layout_rows(path),
+        "layout STRING, disk STRING, face STRING, x DOUBLE, y DOUBLE",
     )
 
 

@@ -361,3 +361,30 @@ def test_partition_matches_reference_algorithm():
         assert sorted(best_partition(n), reverse=True) == sorted(
             ref.getPartition(n), reverse=True
         ), n
+
+
+def test_real_tdr_hit_histogram_matches_notebook_stored_output(spark):
+    """Reference-derived golden: the registered TDR hit-count
+    histogram must reproduce geometric_acceptance.ipynb cell 62's
+    COMMITTED output — Hist1D(nHits['TDR'], "5,-0.5,4.5") =
+    [10409, 13775, 72538, 3218, 60] at 1e5 unseeded rays — to MC
+    precision with our seeded 20k-ray generator (binomial sigma at
+    20k is ~0.002; tolerance 0.01 absorbs both MCs)."""
+    import os
+
+    from etl_sh_design_spark.plans import acceptance
+
+    yml = "/root/reference/layouts/database_TDR.yaml"
+    if not os.path.exists(yml):
+        pytest.skip("reference checkout not available")
+    out = {
+        r["n"]: r["cnt"]
+        for r in acceptance.real_hit_count_histogram(spark, 20_000, yml, "TDR").collect()
+    }
+    total = sum(out.values())
+    ref_frac = {0: 0.10409, 1: 0.13775, 2: 0.72538, 3: 0.03218, 4: 0.00060}
+    for n, frac in ref_frac.items():
+        got = out.get(n, 0) / total
+        assert abs(got - frac) < 0.01, (n, got, frac)
+    # and the headline acceptance number: 1 - P(n=0) ~ 0.896
+    assert abs((1 - out.get(0, 0) / total) - 0.8959) < 0.01

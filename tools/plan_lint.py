@@ -57,6 +57,12 @@ WHITELIST: dict[str, dict[str, str]] = {
     "hit_count_histogram": {
         "NESTED_LOOP": "4-row layers dim cross join (same sub-plan)",
     },
+    "real_acceptance_profile": {
+        "NESTED_LOOP": "4-row layers dim cross join (same sub-plan)",
+    },
+    "real_tdr_hit_histogram": {
+        "NESTED_LOOP": "4-row layers dim cross join (same sub-plan)",
+    },
     "efficiency_returns": {
         "NESTED_LOOP": "scalar total broadcast join (1-row side)",
     },
