@@ -50,9 +50,9 @@ BLOCKED_SQL = (
 )
 
 
-def slots(spark: SparkSession) -> DataFrame:
-    """U4 + P18 + J3 + W6: the slot table with availability state."""
-    grid = (
+def _slot_grid(spark: SparkSession) -> DataFrame:
+    """U4: the raw slot grid (iy, ix, x1, x2, y1, y2)."""
+    return (
         spark.range(N_ROWS * N_COLS)
         .withColumn("iy", (F.col("id") / N_COLS).cast("int"))
         .withColumn("ix", (F.col("id") % N_COLS).cast("int"))
@@ -61,6 +61,11 @@ def slots(spark: SparkSession) -> DataFrame:
         .withColumn("y1", (F.col("iy").cast("double") - N_ROWS / 2.0) * SLOT_H)
         .withColumn("y2", F.col("y1") + SLOT_H)
     )
+
+
+def _with_availability(n_blocked: DataFrame) -> DataFrame:
+    """P18 radial classification + W6 neighbor rule over a slot table
+    carrying `n_overlaps` (blocked-region hit count)."""
     rmax = F.sqrt(
         F.greatest(F.col("x1") ** 2, F.col("x2") ** 2)
         + F.greatest(F.col("y1") ** 2, F.col("y2") ** 2)
@@ -70,22 +75,6 @@ def slots(spark: SparkSession) -> DataFrame:
         + F.least(F.col("y1") ** 2, F.col("y2") ** 2)
     )
     rcen = F.sqrt(((F.col("x1") + F.col("x2")) / 2) ** 2 + ((F.col("y1") + F.col("y2")) / 2) ** 2)
-
-    blocked = F.broadcast(
-        slots_blocked_table(spark)
-    )
-    overlap = (
-        (F.col("x1") < F.col("bx2"))
-        & (F.col("bx1") < F.col("x2"))
-        & (F.col("y1") < F.col("by2"))
-        & (F.col("by1") < F.col("y2"))
-    )
-    n_blocked = (
-        grid.join(blocked, overlap, "left")
-        .groupBy("iy", "ix", "x1", "x2", "y1", "y2")
-        .agg(F.count("kind").alias("n_overlaps"))
-    )
-
     state = (
         F.when((rmax >= R_OUTER) | (F.col("n_overlaps") > 0), "no")
         .when(rmin > R_INNER, "yes")
@@ -101,9 +90,198 @@ def slots(spark: SparkSession) -> DataFrame:
     ).select("iy", "ix", "x1", "x2", "y1", "y2", "state", "available")
 
 
+def slots(spark: SparkSession) -> DataFrame:
+    """U4 + P18 + J3 + W6: the slot table with availability state."""
+    grid = _slot_grid(spark)
+    blocked = F.broadcast(
+        slots_blocked_table(spark)
+    )
+    overlap = (
+        (F.col("x1") < F.col("bx2"))
+        & (F.col("bx1") < F.col("x2"))
+        & (F.col("y1") < F.col("by2"))
+        & (F.col("by1") < F.col("y2"))
+    )
+    n_blocked = (
+        grid.join(blocked, overlap, "left")
+        .groupBy("iy", "ix", "x1", "x2", "y1", "y2")
+        .agg(F.count("kind").alias("n_overlaps"))
+    )
+    return _with_availability(n_blocked)
+
+
 def slots_blocked_table(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         BLOCKED, "kind STRING, bx1 DOUBLE, bx2 DOUBLE, by1 DOUBLE, by2 DOUBLE"
+    )
+
+
+# =====================================================================
+# REAL blocked geometry: the reference's actual 'updated'-layout
+# nose / feedthrough / attachment shapes (dee_geometry.py:60-132 and
+# the __main__ 'updated' branch, :240-260), built as driver-side
+# vertex lists with pure math — no shapely dependency. The polygon
+# path (J3/U1) runs the exact rect-polygon overlap via
+# operators/polygon.py; the bbox path is its SQL-expressible
+# axis-aligned over-approximation (every polygon-blocked slot is
+# bbox-blocked, never the reverse — golden-pinned).
+# =====================================================================
+
+import math  # noqa: E402
+
+ETL_OUTER = 1185.0  # dee_geometry.py:155
+NOSE_R = 302.0      # minimum-size nose, dee_geometry.py:209
+FEEDTHROUGH_X = 1120.0  # dee_geometry.py:158
+
+
+def _rot_cw_translate(pts, angle_deg, dist):
+    """shapely `translate(rotate(poly, -angle, origin=(0,0)),
+    sin(a)*dist, cos(a)*dist)` in pure math: clockwise rotation by
+    `angle_deg` about the origin, then a radial shift of `dist` along
+    the angle direction (0 deg = +y, 90 deg = +x)."""
+    th = math.radians(angle_deg)
+    c, s = math.cos(th), math.sin(th)
+    dx, dy = s * dist, c * dist
+    return [(x * c + y * s + dx, -x * s + y * c + dy) for x, y in pts]
+
+
+def _make_inner_attachment(angle, height, width, taper, inner):
+    """dee_geometry.py:60-76: tapered quad hanging inward from the
+    inner ring, rotated/translated to `angle`."""
+    t = math.tan(math.radians(taper))
+    pts = [
+        (-width / 2, -height),
+        (-width / 2 + height * t, 0),
+        (width / 2 - height * t, 0),
+        (width / 2, -height),
+    ]
+    return _rot_cw_translate(pts, angle, inner + height)
+
+
+def _make_outer_attachment(angle, height=107.5, width=68.0, segments=24):
+    """dee_geometry.py:78-93: rect with a semicircular cap (the
+    shapely union of the rect and a buffer at its inner end),
+    discretized: top edge + sides + the inward-pointing semicircle."""
+    r = width / 2
+    pts = [(-r, 0.0), (-r, -height)]
+    # lower semicircle around (0, -height), from 180deg to 360deg
+    for i in range(1, segments):
+        a = math.pi + math.pi * i / segments
+        pts.append((r * math.cos(a), -height + r * math.sin(a)))
+    pts += [(r, -height), (r, 0.0)]
+    return _rot_cw_translate(pts, angle, ETL_OUTER)
+
+
+def _circle_polygon(radius, segments):
+    return [
+        (radius * math.cos(2 * math.pi * i / segments),
+         radius * math.sin(2 * math.pi * i / segments))
+        for i in range(segments)
+    ]
+
+
+def reference_blocked_polygons(circle_segments: int = 64) -> dict[str, list]:
+    """The 'updated' dee layout's blocked shapes as vertex lists:
+    nose circle, feedthrough band, 4 inner attachments (taper 0, at
+    0/90/180/270 deg per dee_geometry.py:246-260), 8 outer
+    attachments (rect+cap, at +-2.5/68/112/177.5 deg,
+    dee_geometry.py:241)."""
+    polys: dict[str, list] = {"nose": _circle_polygon(NOSE_R, circle_segments)}
+    yft = math.sqrt(ETL_OUTER**2 - FEEDTHROUGH_X**2)
+    polys["feedthrough"] = [
+        (FEEDTHROUGH_X, yft), (ETL_OUTER, yft),
+        (ETL_OUTER, -yft), (FEEDTHROUGH_X, -yft),
+    ]
+    for a in (0, 180):
+        polys[f"inner_att_{a}"] = _make_inner_attachment(
+            a, height=796.0 / 2 - NOSE_R, width=170.0, taper=0.0, inner=NOSE_R
+        )
+    for a in (90, 270):
+        polys[f"inner_att_{a}"] = _make_inner_attachment(
+            a, height=395.0 - NOSE_R, width=110.0, taper=0.0, inner=NOSE_R
+        )
+    for a in (2.5, 68.0, 112.0, 177.5, -2.5, -68.0, -112.0, -177.5):
+        polys[f"outer_att_{str(a).replace('-', 'm').replace('.', '_')}"] = (
+            _make_outer_attachment(a)
+        )
+    return polys
+
+
+def polygon_bboxes(polys: dict[str, list]) -> list[tuple]:
+    """(kind, bx1, bx2, by1, by2) axis-aligned bounding boxes — the
+    rectangle over-approximation and the SQL-expressible oracle twin
+    of the polygon path."""
+    return [
+        (
+            name,
+            min(x for x, _ in verts),
+            max(x for x, _ in verts),
+            min(y for _, y in verts),
+            max(y for _, y in verts),
+        )
+        for name, verts in polys.items()
+    ]
+
+
+def slots_real(
+    spark: SparkSession, geometry: str = "polygon", circle_segments: int = 64
+) -> DataFrame:
+    """The slot table classified against the REAL 'updated' blocked
+    geometry. geometry='polygon' runs the exact vectorized
+    rect-polygon overlap (Arrow-batched, map-only — one pass per
+    shape, no shuffle); geometry='bbox' uses the bounding-box
+    over-approximation (pure codegen, SQL-expressible). Everything
+    downstream (radial states, neighbor rule) is shared with the
+    stand-in path."""
+    grid = _slot_grid(spark)
+    polys = reference_blocked_polygons(circle_segments)
+    if geometry == "polygon":
+        from etl_sh_design_spark.operators.polygon import rects_overlap_polygon
+
+        tagged = grid
+        names = []
+        for name, verts in polys.items():
+            tagged = rects_overlap_polygon(tagged, verts, out=f"_ov_{name}")
+            names.append(f"_ov_{name}")
+        n_overlaps = None
+        for n in names:
+            c = F.col(n).cast("int")
+            n_overlaps = c if n_overlaps is None else n_overlaps + c
+        n_blocked = tagged.withColumn("n_overlaps", n_overlaps).drop(*names)
+    elif geometry == "bbox":
+        bb = F.broadcast(
+            spark.createDataFrame(
+                polygon_bboxes(polys),
+                "kind STRING, bx1 DOUBLE, bx2 DOUBLE, by1 DOUBLE, by2 DOUBLE",
+            )
+        )
+        overlap = (
+            (F.col("x1") < F.col("bx2"))
+            & (F.col("bx1") < F.col("x2"))
+            & (F.col("y1") < F.col("by2"))
+            & (F.col("by1") < F.col("y2"))
+        )
+        n_blocked = (
+            grid.join(bb, overlap, "left")
+            .groupBy("iy", "ix", "x1", "x2", "y1", "y2")
+            .agg(F.count("kind").alias("n_overlaps"))
+        )
+    else:
+        raise ValueError(f"unknown geometry {geometry!r}")
+    return _with_availability(n_blocked)
+
+
+def real_bbox_blocked_sql() -> str:
+    """VALUES table of the real-geometry bounding boxes (oracle twin
+    of slots_real(geometry='bbox'))."""
+    rows = polygon_bboxes(reference_blocked_polygons())
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{k}', {a!r}::DOUBLE, {b!r}::DOUBLE, {c!r}::DOUBLE, {d!r}::DOUBLE)"
+            for k, a, b, c, d in rows
+        )
+        + ") AS blocked(kind, bx1, bx2, by1, by2)"
     )
 
 
@@ -190,7 +368,10 @@ def flavor_counts(spark: SparkSession) -> DataFrame:
 
 
 # ------------------------------------------------------------- oracle SQL
-def _slots_sql() -> str:
+def _slots_sql(blocked_sql: str | None = None) -> str:
+    """Slot-table CTE chain; `blocked_sql` overrides the blocked-region
+    VALUES table (default: the BLOCKED stand-in rectangles)."""
+    BLOCKED_SQL_ = blocked_sql if blocked_sql is not None else BLOCKED_SQL
     return f"""
 grid AS (
   SELECT iy, ix,
@@ -201,7 +382,7 @@ grid AS (
   FROM (SELECT CAST(floor(id / {N_COLS}) AS INT) AS iy, CAST(id % {N_COLS} AS INT) AS ix
         FROM (SELECT CAST(range AS BIGINT) AS id FROM range(0, {N_ROWS * N_COLS})))
 ),
-blocked AS ({BLOCKED_SQL}),
+blocked AS ({BLOCKED_SQL_}),
 novl AS (
   SELECT g.iy, g.ix, g.x1, g.x2, g.y1, g.y2, count(b.kind) AS n_overlaps
   FROM grid g LEFT JOIN blocked b

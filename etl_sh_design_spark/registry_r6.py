@@ -20,8 +20,8 @@ from __future__ import annotations
 
 import os
 
-from etl_sh_design_spark.plans import acceptance
-from etl_sh_design_spark.registry import N_RAYS
+from etl_sh_design_spark.plans import acceptance, tiling
+from etl_sh_design_spark.registry import N_RAYS, query
 from etl_sh_design_spark.registry_r5c import _query_if
 from etl_sh_design_spark.sources.io import reference_dir
 
@@ -68,3 +68,39 @@ def q_real_tdr_hit_histogram(spark, sf_dir):
     (golden-pinned in tests/test_golden_invariants.py); this registered
     form is the exact cross-engine check at the same ray count."""
     return acceptance.real_hit_count_histogram(spark, N_RAYS, _TDR_YAML, "TDR")
+
+
+# --------------------------------------------------------------------
+# tiling against the REAL blocked geometry (J3/U1 fidelity closure)
+# --------------------------------------------------------------------
+
+@query(
+    "tile_slots_real_bbox",
+    "WITH "
+    + tiling._slots_sql(tiling.real_bbox_blocked_sql())
+    + " SELECT iy, ix, state, coalesce(available, FALSE) AS available FROM slots",
+)
+def q_tile_slots_real_bbox(spark, sf_dir):
+    """Slot availability against the bounding boxes of the
+    reference's REAL 'updated'-layout blocked shapes (nose circle,
+    feedthrough band, 12 attachments — dee_geometry.py:60-132) —
+    the SQL-expressible over-approximation of the exact polygon path
+    (`tile_slots_polygon`). Broadcast dimension join + per-row window;
+    scales with |slots|."""
+    return tiling.slots_real(spark, geometry="bbox").select(
+        "iy", "ix", "state", "available"
+    )
+
+
+@query("tile_slots_polygon")  # rows-only: pandas-UDF polygon test, not SQL
+def q_tile_slots_polygon(spark, sf_dir):
+    """Slot availability against the EXACT real blocked polygons via
+    the vectorized rect-polygon overlap (Liang-Barsky + ray cast,
+    Arrow-batched, map-only). Not SQL-expressible -> rows-only driver
+    check; exactness is pinned by goldens instead: the polygon-blocked
+    set is a strict subset of the bbox-blocked set, and the known
+    corner-cut slots (circle/taper/cap geometry the boxes overstate)
+    are enumerated in tests/test_polygon_tiling.py."""
+    return tiling.slots_real(spark, geometry="polygon").select(
+        "iy", "ix", "state", "available"
+    )

@@ -1,0 +1,131 @@
+"""J3/U1 fidelity closure: the tiling pipeline against the
+reference's REAL 'updated'-layout blocked geometry
+(dee_geometry.py:60-132), exact polygons vs their bounding-box
+over-approximation.
+
+The quantified approximation (golden below): of the 594 slots, the
+bbox path blocks 26 that the exact polygon path keeps — the corners
+of the nose circle's bounding square (the square [-302,302]^2 covers
+annulus area the circle doesn't, rows 5-16 / ix 3-7) and the inner
+corners of two outer-attachment caps at the disk rim ((2,22) and
+(19,22), where the semicircular cap curves away from its box). No
+slot is ever polygon-blocked but bbox-free — the bbox is a strict
+over-approximation, which is what makes it a safe SQL oracle twin.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etl_sh_design_spark.plans import tiling
+
+# the exact slot set the bbox over-approximation wrongly blocks
+BBOX_ONLY_BLOCKED = {
+    (2, 22), (5, 3), (5, 4), (5, 5), (5, 6), (5, 7),
+    (6, 5), (6, 6), (6, 7), (7, 6), (7, 7), (8, 7),
+    (9, 7), (12, 7), (13, 7), (14, 6), (14, 7),
+    (15, 5), (15, 6), (15, 7), (16, 3), (16, 4),
+    (16, 5), (16, 6), (16, 7), (19, 22),
+}
+
+
+@pytest.fixture(scope="module")
+def slot_states(spark):
+    poly = {
+        (r["iy"], r["ix"]): (r["state"], r["available"])
+        for r in tiling.slots_real(spark, "polygon").collect()
+    }
+    bbox = {
+        (r["iy"], r["ix"]): (r["state"], r["available"])
+        for r in tiling.slots_real(spark, "bbox").collect()
+    }
+    return poly, bbox
+
+
+def test_bbox_is_strict_over_approximation(slot_states):
+    """Every polygon-blocked slot is bbox-blocked; never the reverse."""
+    poly, bbox = slot_states
+    assert len(poly) == len(bbox) == tiling.N_ROWS * tiling.N_COLS
+    violations = [
+        k for k in poly if poly[k][0] == "no" and bbox[k][0] != "no"
+    ]
+    assert violations == []
+
+
+def test_quantified_approximation_is_pinned(slot_states):
+    """The bbox stand-in over-blocks EXACTLY the 26 known corner-cut
+    slots (nose-circle square corners + two outer-attachment caps)."""
+    poly, bbox = slot_states
+    diff = {k for k in poly if poly[k] != bbox[k]}
+    assert diff == BBOX_ONLY_BLOCKED
+    for k in diff:
+        assert bbox[k][0] == "no" and poly[k][0] in ("yes", "maybe"), (k, poly[k])
+
+
+def test_polygon_diffs_are_geometrically_explained(slot_states):
+    """Each over-blocked slot really is outside every exact polygon:
+    re-check with a dense point grid against the nose circle and the
+    attachment shapes (driver-side math, independent of the UDF)."""
+    poly, _ = slot_states
+    polys = tiling.reference_blocked_polygons()
+
+    def point_in_poly(x, y, verts):
+        inside = False
+        n = len(verts)
+        for i in range(n):
+            x0, y0 = verts[i]
+            x1, y1 = verts[(i + 1) % n]
+            if (y0 > y) != (y1 > y):
+                xi = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+                if x < xi:
+                    inside = not inside
+        return inside
+
+    for iy, ix in BBOX_ONLY_BLOCKED:
+        x1 = ix * tiling.SLOT_W
+        y1 = (iy - tiling.N_ROWS / 2.0) * tiling.SLOT_H
+        # sample the slot interior; no sample point may fall inside any
+        # exact polygon (the slot is genuinely free)
+        for fx in (0.05, 0.5, 0.95):
+            for fy in (0.05, 0.5, 0.95):
+                px = x1 + fx * tiling.SLOT_W
+                py = y1 + fy * tiling.SLOT_H
+                for name, verts in polys.items():
+                    assert not point_in_poly(px, py, verts), (iy, ix, name)
+
+
+def test_inner_attachment_vertex_math():
+    """_make_inner_attachment at angle=90 (the +x horizontal wedge of
+    the 'updated' layout) lands at hand-computed coordinates:
+    width 110, height 93, inner 302 -> x in [302, 395], y in
+    [-55, 55]."""
+    v = tiling._make_inner_attachment(
+        90, height=395.0 - 302.0, width=110.0, taper=0.0, inner=302.0
+    )
+    xs = sorted(round(x, 9) for x, _ in v)
+    ys = sorted(round(y, 9) for _, y in v)
+    assert xs == [302.0, 302.0, 395.0, 395.0]
+    assert ys == [-55.0, -55.0, 55.0, 55.0]
+
+
+def test_outer_attachment_cap_extends_inward():
+    """The outer attachment at angle=0 hangs from the rim toward the
+    center: top edge at r=1185, rect bottom at 1077.5, cap tip at
+    1077.5 - 34 = 1043.5."""
+    v = tiling._make_outer_attachment(0)
+    ys = [y for _, y in v]
+    assert math.isclose(max(ys), 1185.0)
+    assert math.isclose(min(ys), 1185.0 - 107.5 - 34.0)
+
+
+def test_runs_downstream_works_on_polygon_slots(spark):
+    """The exact-geometry slot table feeds the same W5/W6 run logic."""
+    from etl_sh_design_spark.operators.partition import partition_lookup
+
+    runs = tiling.runs_two_pass_from(
+        tiling.slots_real(spark, "polygon"), partition_lookup(spark)
+    ).collect()
+    assert len(runs) > 0
+    assert all(r["n_slots"] >= 1 for r in runs)

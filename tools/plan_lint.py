@@ -121,6 +121,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "a5_slot_state_counts": {"NESTED_LOOP": "slot x blocked-rect overlap (layout-bounded)"},
     "tile_slots": {"NESTED_LOOP": "slot x blocked-rect overlap (layout-bounded)"},
     "tile_runs": {"NESTED_LOOP": "slot x blocked-rect overlap (layout-bounded)"},
+    "tile_slots_real_bbox": {
+        "NESTED_LOOP": "slot x real-geometry bbox overlap (14-row dim)"
+    },
     "tile_flavor_counts": {"NESTED_LOOP": "slot x blocked-rect overlap (layout-bounded)"},
     # J8: zones dim table is O(10) rows
     "bv_zone_counts": {"NESTED_LOOP": "zone range-lookup dim (O(10) rows)"},
