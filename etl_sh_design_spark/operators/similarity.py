@@ -218,24 +218,49 @@ def ivf_bucket_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+# Broadcast-GEMM contract: one side of the pair computation may be
+# driver-materialized and broadcast only up to this many rows
+# (~1e6 x 64 doubles = 512 MB matrix; same class as a broadcast join
+# side). Larger corpora are auto-routed through the exact blocked
+# GEMM — never a silent driver-side materialization.
+EMBED_BROADCAST_MAX_ROWS = 1_000_000
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = EMBED_BROADCAST_MAX_ROWS,
+    target_block_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup: ALL pairs with cos >= threshold,
     computed as a blockwise matrix product.
 
-    One side is materialized and broadcast as a NumPy matrix (valid for
-    corpora up to ~1e6 x 64 = 256 MB — same contract as a broadcast
-    join side); the other side streams through `mapInPandas`, each
-    Arrow batch doing a single BLAS GEMM against the broadcast matrix.
-    This replaced a zip_with/aggregate expression self-join that was
-    ~100x slower (array higher-order functions don't codegen into a
-    tight loop; GEMM is the correct kernel). Beyond broadcastable
-    corpus sizes, pre-filter candidates with `srp_signature` buckets
-    and GEMM inside buckets."""
+    Dispatch is by measured corpus size (one count() at build time —
+    the operator was already eager here):
+
+    - n <= max_broadcast_rows: one side is materialized and broadcast
+      as a NumPy matrix; the other side streams through `mapInPandas`,
+      each Arrow batch doing a single BLAS GEMM against it. This
+      replaced a zip_with/aggregate expression self-join that was
+      ~100x slower (array higher-order functions don't codegen into a
+      tight loop; GEMM is the correct kernel).
+    - n > max_broadcast_rows: EXACT distributed blocked GEMM — rows are
+      hashed into B = ceil(n / target_block_rows) blocks, every block
+      pair (i <= j) is cogrouped and multiplied executor-side
+      (`applyInPandas`), so per-task memory is two blocks, the driver
+      never materializes the corpus, and results are IDENTICAL to the
+      broadcast path (golden-pinned). Replication factor is ~B/2 —
+      exact all-pairs is inherently quadratic; for true 100 TB-scale
+      near-dup use the SRP/IVF candidate generators in this module and
+      accept their measured recall instead.
+    """
+    n = df.count()
+    if n > max_broadcast_rows:
+        return _blocked_gemm_pairs(
+            df, n, threshold, id_col, vec_col, target_block_rows
+        )
     import numpy as np
 
     spark = df.sparkSession
@@ -268,4 +293,69 @@ def embedding_near_dup_pairs(
 
     return df.select(id_col, vec_col).mapInPandas(
         fn, "id_a bigint, id_b bigint, cos double"
+    )
+
+
+def _blocked_gemm_pairs(
+    df: DataFrame,
+    n: int,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    target_block_rows: int,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via distributed blocked
+    GEMM: hash rows into B blocks, cogroup every block pair (i <= j),
+    multiply executor-side. Output and rounding identical to the
+    broadcast path."""
+    spark = df.sparkSession
+    n_blocks = max(2, -(-n // target_block_rows))
+    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    bk = F.pmod(F.hash(F.col("_id")), F.lit(n_blocks)).cast("int")
+    # two independently-aliased lineages (fresh exprIds on every output
+    # column) so the cogroup is not an ambiguous self-join
+    lt = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).withColumn("_bk", bk)
+    rt = df.select(
+        F.col(id_col).alias("_rid"), F.col(vec_col).alias("_rvec")
+    ).withColumn("_rbk", F.pmod(F.hash(F.col("_rid")), F.lit(n_blocks)).cast("int"))
+    lbp = spark.createDataFrame(pair_rows, "_bi INT, _bj INT")
+    rbp = spark.createDataFrame(pair_rows, "_ci INT, _cj INT")
+    lhs = lt.join(F.broadcast(lbp), F.col("_bk") == F.col("_bi")).drop("_bk")
+    rhs = rt.join(F.broadcast(rbp), F.col("_rbk") == F.col("_cj")).drop("_rbk")
+
+    def gemm(key, left, right):
+        import numpy as np
+        import pandas as pd
+
+        bi, bj = key
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        la = left["_id"].to_numpy(dtype="int64")
+        lm = np.vstack([np.asarray(v, dtype="float64") for v in left["_vec"]])
+        ln = np.sqrt((lm * lm).sum(axis=1))
+        ra = right["_rid"].to_numpy(dtype="int64")
+        rm = np.vstack([np.asarray(v, dtype="float64") for v in right["_rvec"]])
+        rn = np.sqrt((rm * rm).sum(axis=1))
+        cos = np.round((lm @ rm.T) / np.outer(ln, rn), 6)
+        ia, ib = np.nonzero(cos >= threshold)
+        c = cos[ia, ib]
+        if bi == bj:
+            # diagonal block: each unordered pair appears twice (and
+            # self-pairs once) -> id_a < id_b keeps exactly one copy
+            keep = la[ia] < ra[ib]
+            id_a, id_b, c = la[ia][keep], ra[ib][keep], c[keep]
+        else:
+            # cross blocks: each unordered pair appears exactly once
+            # (left row from block i, right from block j) — normalize
+            # the orientation, never drop
+            id_a = np.minimum(la[ia], ra[ib])
+            id_b = np.maximum(la[ia], ra[ib])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos": c})
+
+    return (
+        lhs.groupBy("_bi", "_bj")
+        .cogroup(rhs.groupBy("_ci", "_cj"))
+        .applyInPandas(gemm, "id_a bigint, id_b bigint, cos double")
     )

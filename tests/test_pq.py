@@ -112,3 +112,36 @@ def test_ivfpq_candidates_stay_in_cell(spark):
     for q, rows in by_q.items():
         assert sorted(r["rk"] for r in rows) == list(range(1, len(rows) + 1))
         assert len({r["neighbor_id"] for r in rows}) == len(rows)
+
+
+def test_blocked_gemm_equals_broadcast_path(spark):
+    """Auto-dispatch closure (VERDICT r5 #5): forcing the distributed
+    blocked-GEMM path (max_broadcast_rows below the corpus size) must
+    give EXACTLY the broadcast path's pairs — same ids, same 6dp
+    cosines — on the sf0.001 embeddings."""
+    from pyspark.sql import functions as F
+
+    from etl_sh_design_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # plant near-dups: slightly-perturbed copies under shifted ids
+    # (the registry_ext.embedding_neardup recipe)
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * F.lit(1.001)).alias("embedding"),
+    )
+    df = e.unionByName(pert)
+    base = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_dup_pairs(df, threshold=0.99).collect()
+    }
+    forced = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.99, max_broadcast_rows=10, target_block_rows=37
+        ).collect()
+    }
+    assert base == forced
+    assert len(base) > 0
