@@ -11,6 +11,11 @@ stay compact: `queries` carries the HEADLINE subset (one per operator
 family); the full per-query timing map for all registry queries is
 written to BENCH_FULL.json in the repo root (and a summary line goes to
 stderr). `value` remains the wall-clock total across ALL queries.
+
+Determinism: headline queries run $SPARK_GRAFT_BENCH_RUNS (default 2)
+times and report the BEST warm time; per-query spread lands in
+BENCH_FULL.json and `median_spread_pct` in the JSON line, so host
+contention reads as spread instead of a phantom regression.
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 # Keep this list ~25 entries so the emitted JSON line stays < ~1.5 KB.
 HEADLINE = [
     "acceptance_profile",  # flagship MC containment-join pipeline
+    "real_acceptance_profile",  # same plan over the reference's real YAML layout
     "hit_count_histogram",
     "sensor_physics",
     "q1_pricing_summary",
@@ -141,16 +147,31 @@ def main() -> None:
     except Exception as exc:
         timings["dedup_family_shared_subplan"] = -1.0
         print(f"bench: dedup shared sub-plan FAILED: {exc}", file=sys.stderr)
+    # Determinism (round-4 verdict task 7): headline queries run
+    # N_RUNS times back-to-back and report the BEST (warm) time, with
+    # the per-query spread recorded in BENCH_FULL.json — same-host
+    # contention then shows up as spread, not as a phantom
+    # round-over-round regression. Non-headline queries run once (the
+    # full registry twice would blow the driver's bench budget).
+    n_runs_headline = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    spreads: dict[str, float] = {}
+    headline_set = set(HEADLINE)
     for name in sorted(queries):
         fn = queries[name]
-        t0 = time.perf_counter()
+        runs = n_runs_headline if name in headline_set else 1
+        samples: list[float] = []
         try:
-            df = fn(spark, SF_DIR)
-            # noop sink: forces every output column to be computed
-            # (df.count() would let Catalyst prune unused projections
-            # and under-measure map-only queries)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                # noop sink: forces every output column to be computed
+                # (df.count() would let Catalyst prune unused
+                # projections and under-measure map-only queries)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(round(time.perf_counter() - t0, 3))
+            timings[name] = min(samples)
+            if len(samples) > 1:
+                spreads[name] = round(max(samples) - min(samples), 3)
         except Exception as exc:  # keep the bench alive; flag the query
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
@@ -162,6 +183,13 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     headline = {k: timings[k] for k in HEADLINE if k in timings}
+    rel = [
+        spreads[k] / timings[k]
+        for k in spreads
+        if timings.get(k, 0) > 0.05  # spread% on sub-50ms queries is noise
+    ]
+    rel.sort()
+    median_spread_pct = round(100 * rel[len(rel) // 2], 1) if rel else 0.0
 
     full = {
         "metric": "engine_all_queries_wall_clock",
@@ -169,6 +197,9 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "queries": timings,
+        "spread": spreads,
+        "runs_headline": n_runs_headline,
+        "median_spread_pct": median_spread_pct,
         "sf": sf,
     }
     try:
@@ -185,6 +216,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": headline,
+                "median_spread_pct": median_spread_pct,
                 "sf": sf,
             },
             separators=(",", ":"),
