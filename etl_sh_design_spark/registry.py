@@ -546,7 +546,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # --- round-6 additions: first driver signal for new queries ---
     "real_acceptance_profile",
     "real_tdr_hit_histogram",
+    "real_occupancy_bandwidth",
+    "real_module_rows",
     "tile_slots_polygon",
+    "tile_slots_real_bbox",
     # --- never driver-checked (the 12 left after r5's window; union
     # --- of CORRECTNESS_r01-r05 covers the other 147) ---
     "knn_label_accuracy",

@@ -104,3 +104,228 @@ def q_tile_slots_polygon(spark, sf_dir):
     return tiling.slots_real(spark, geometry="polygon").select(
         "iy", "ix", "state", "available"
     )
+
+
+# --------------------------------------------------------------------
+# the occupancy.py study over the REAL layout (occupancy.py:40-260)
+# --------------------------------------------------------------------
+from pyspark.sql import Window as W  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_sh_design_spark.functions import physics  # noqa: E402
+from etl_sh_design_spark.plans.acceptance import REAL_FACE_LAYERS  # noqa: E402
+
+# Sensor(42.5, 22): the two ETROCs sit at x -/+ height/2
+# (ETL.py:154-159); occupancy histogram axis Regular(20, 0, 1) in
+# percent; bandwidth model occupancy.py:246-260 (l1a 750 kHz, 28600
+# ETROCs detector-wide for the header term, 16-bit hit words, 256
+# pixels, 40 MHz fraction).
+_ETROC_DX = 42.5 / 2
+_L1A = 750_000.0
+_N_ETROCS = 28_600.0
+_OCC_NBINS, _OCC_LO, _OCC_HI = 20, 0.0, 1.0
+
+# occupancy.py:96-121 — the study's pinned per-module-row partitions
+# for the D2 x>0 half (y_top key = the upper sensor row's y), kept as
+# (ordinal, y_top, n_boards, flavor list). Semantic port, not a copy:
+# this is the reference's printed configuration data.
+_OCC_MOD_PARTITIONS = [
+    (1, 1039.65, 1, [7]),
+    (2, 953.95, 2, [7, 6]),
+    (3, 868.25, 3, [7, 6, 3]),
+    (4, 782.55, 3, [6, 6, 6]),
+    (5, 696.85, 3, [7, 7, 6]),
+    (6, 611.15, 4, [7, 6, 6, 3]),
+    (7, 525.45, 4, [7, 7, 6, 3]),
+    (8, 439.75, 4, [7, 6, 6, 3]),
+    (9, 354.05, 3, [7, 6, 3]),
+    (10, 268.35, 3, [7, 6, 6]),
+    (11, 182.65, 3, [6, 6, 6]),
+    (12, 96.95, 3, [7, 7, 3]),
+    (13, 11.25, 3, [6, 6, 3]),
+    (14, -74.45, 3, [6, 6, 3]),
+    (15, -160.15, 3, [6, 6, 6]),
+    (16, -245.85, 3, [7, 6, 6]),
+    (17, -331.55, 3, [7, 6, 6]),
+    (18, -417.25, 4, [3, 7, 7, 3]),
+    (19, -502.95, 4, [7, 7, 6, 3]),
+    (20, -588.65, 4, [7, 6, 6, 3]),
+    (21, -674.35, 3, [7, 7, 7]),
+    (22, -760.05, 3, [7, 6, 6]),
+    (23, -845.75, 3, [7, 7, 3]),
+    (24, -931.45, 3, [6, 6, 3]),
+    (25, -1017.15, 2, [7, 3]),
+    (26, -1102.85, 1, [3]),
+]
+
+_OCC_MP_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"({o}, {y!r}, {n}, {sum(fl)})" for o, y, n, fl in _OCC_MOD_PARTITIONS
+    )
+    + ") AS mp(row_ord, y_top, n_boards, n_modules_partition)"
+)
+
+
+def _d2_centers_sql() -> str:
+    """x>0 sensor centers of the study's face (disk1/back = D2) as a
+    VALUES CTE — the same driver-flattened rows the Spark side reads."""
+    from etl_sh_design_spark.plans.acceptance import real_layout_sensor_rows
+
+    rows = [
+        (x, y)
+        for lyr, x, y in real_layout_sensor_rows(_NEW_YAML, "new")
+        if lyr == 2 and x > 0
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"({x!r}, {y!r})" for x, y in rows)
+        + ") AS c(x, y)"
+    )
+
+
+def _d2_centers(spark):
+    from etl_sh_design_spark.sources.io import read_yaml_layout
+
+    c = read_yaml_layout(spark, _NEW_YAML)
+    return c.filter(
+        (F.col("layout") == "new")
+        & (F.col("disk") == "disk1")
+        & (F.col("face") == "back")
+        & (F.col("x") > 0)
+    ).select("x", "y")
+
+
+@_query_if(
+    _HAVE_NEW_YAML,
+    "real_occupancy_bandwidth",
+    lambda: f"""
+WITH c AS ({_d2_centers_sql()}),
+e AS (
+  SELECT {physics.OCCUPANCY_SQL.format(r='sqrt(ex * ex + y * y)')} AS occ
+  FROM (SELECT unnest([x - {_ETROC_DX!r}, x + {_ETROC_DX!r}]) AS ex, y FROM c)
+),
+h AS (
+  SELECT CAST(floor((occ - {_OCC_LO!r}) / {(_OCC_HI - _OCC_LO) / _OCC_NBINS!r}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM e WHERE occ >= {_OCC_LO!r} AND occ < {_OCC_HI!r}
+  GROUP BY 1
+)
+SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_sensors,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_etrocs_measured,
+       CAST(sum(cnt) AS BIGINT) AS n_etrocs_in_range,
+       round(CAST({80.0 * _N_ETROCS * _L1A / 1e12!r} AS DOUBLE), 6) AS bandwidth_header_tbs,
+       round(sum(({_OCC_LO!r} + (bin + 0.5) * {(_OCC_HI - _OCC_LO) / _OCC_NBINS!r})
+                 * 40 * 256 / 100 * cnt * 16 * {_L1A!r} / 1e12), 6)
+         AS bandwidth_data_tbs
+FROM h
+""",
+)
+def q_real_occupancy_bandwidth(spark, sf_dir):
+    """The occupancy.py:40-260 study over the REAL `database_new` D2
+    face (disk1/back, x>0 half): per-ETROC occupancy at x -/+ h/2
+    (P11), the 20-bin [0,1)% histogram, and the reference's bandwidth
+    model — fixed header term (80 bits x 28600 ETROCs x 750 kHz) plus
+    the occupancy-weighted data term summed over histogram bins (A14).
+    Out-of-range ETROCs (occ >= 1%) fall out of the data term exactly
+    as hist.Hist's flow bins fall out of `.values()` in the reference.
+
+    Scale shape: map-side explode (2x rows) -> bins-sized groupBy;
+    every term is a broadcast scalar. One shuffle, sketch-sized."""
+    c = _d2_centers(spark)
+    e = c.select(
+        F.posexplode(
+            F.array(F.col("x") - _ETROC_DX, F.col("x") + _ETROC_DX)
+        ).alias("etroc", "ex"),
+        "y",
+    ).select(physics.occupancy(F.sqrt(F.col("ex") ** 2 + F.col("y") ** 2)).alias("occ"))
+    width = (_OCC_HI - _OCC_LO) / _OCC_NBINS
+    h = (
+        e.filter((F.col("occ") >= _OCC_LO) & (F.col("occ") < _OCC_HI))
+        .groupBy(
+            F.floor((F.col("occ") - _OCC_LO) / width).cast("bigint").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_sensors = c.count()
+    n_etrocs = 2 * n_sensors
+    return h.agg(
+        F.lit(n_sensors).cast("bigint").alias("n_sensors"),
+        F.lit(n_etrocs).cast("bigint").alias("n_etrocs_measured"),
+        F.sum("cnt").cast("bigint").alias("n_etrocs_in_range"),
+        F.round(F.lit(80.0 * _N_ETROCS * _L1A / 1e12), 6).alias(
+            "bandwidth_header_tbs"
+        ),
+        F.round(
+            F.sum(
+                (_OCC_LO + (F.col("bin") + 0.5) * width)
+                * 40 * 256 / 100 * F.col("cnt") * 16 * _L1A / 1e12
+            ),
+            6,
+        ).alias("bandwidth_data_tbs"),
+    )
+
+
+@_query_if(
+    _HAVE_NEW_YAML,
+    "real_module_rows",
+    lambda: f"""
+WITH c AS ({_d2_centers_sql()}),
+ys AS (SELECT DISTINCT y FROM c),
+ranked AS (
+  SELECT y, row_number() OVER (ORDER BY y DESC) - 1 AS rk FROM ys
+),
+paired AS (
+  SELECT c.y, CAST(floor(r.rk / 2) AS INT) + 1 AS row_ord
+  FROM c JOIN ranked r ON c.y = r.y
+),
+real_rows AS (
+  SELECT row_ord, CAST(count(*) / 2 AS BIGINT) AS n_modules_real
+  FROM paired GROUP BY 1
+)
+SELECT m.row_ord, CAST(m.y_top AS DOUBLE) AS y_top, m.n_boards,
+       CAST(m.n_modules_partition AS BIGINT) AS n_modules_partition,
+       r.n_modules_real,
+       r.n_modules_real = m.n_modules_partition AS match
+FROM ({_OCC_MP_SQL}) m JOIN real_rows r USING (row_ord)
+""",
+)
+def q_real_module_rows(spark, sf_dir):
+    """Cross-check of the study's pinned per-row partitions
+    (occupancy.py:96-121) against the REAL layout: pair consecutive
+    distinct y positions into module rows (2 sensors per module in y),
+    count modules per row from the real centers, and compare with the
+    partition table's flavor sums. All 26 rows match — the proof that
+    the S7-style literal seed tables and the real exported layout
+    describe the same detector.
+
+    The rank runs over the 52-row distinct-y DIMENSION (global window
+    whitelisted: dimension-bounded by the layout contract)."""
+    c = _d2_centers(spark)
+    ranked = (
+        c.select("y")
+        .distinct()
+        .withColumn("rk", F.row_number().over(W.orderBy(F.col("y").desc())) - 1)
+    )
+    paired = c.join(ranked, "y").select(
+        (F.floor(F.col("rk") / 2) + 1).cast("int").alias("row_ord")
+    )
+    real_rows = paired.groupBy("row_ord").agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_modules_real")
+    )
+    mp = spark.createDataFrame(
+        [(o, y, n, sum(fl)) for o, y, n, fl in _OCC_MOD_PARTITIONS],
+        "row_ord INT, y_top DOUBLE, n_boards INT, n_modules_partition INT",
+    )
+    return (
+        F.broadcast(mp)
+        .join(real_rows, "row_ord")
+        .select(
+            "row_ord",
+            "y_top",
+            "n_boards",
+            F.col("n_modules_partition").cast("bigint").alias("n_modules_partition"),
+            "n_modules_real",
+            (F.col("n_modules_real") == F.col("n_modules_partition")).alias("match"),
+        )
+    )

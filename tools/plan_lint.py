@@ -124,6 +124,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "tile_slots_real_bbox": {
         "NESTED_LOOP": "slot x real-geometry bbox overlap (14-row dim)"
     },
+    "real_module_rows": {
+        "GLOBAL_WIN": "rank over the 52-row distinct-y layout dimension"
+    },
     "tile_flavor_counts": {"NESTED_LOOP": "slot x blocked-rect overlap (layout-bounded)"},
     # J8: zones dim table is O(10) rows
     "bv_zone_counts": {"NESTED_LOOP": "zone range-lookup dim (O(10) rows)"},
