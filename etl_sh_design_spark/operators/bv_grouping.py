@@ -28,8 +28,9 @@ GROUP_SCHEMA = (
     "sum_current double, r_min double, r_max double"
 )
 
-# one breakdown curve per vendor (5 fC rows of datagen.bv_curves)
-CURVES = {"FBK": (445.77, -2340.9), "HPK": (423.54, -2261.2)}
+# one breakdown curve per vendor (the 5 fC production rows of
+# datagen.bv_curves: fbk_w13_5fc / hpk_split4_5fc, sensors.py:15,29)
+CURVES = {"FBK": (435.93, -2251.2), "HPK": (526.14, -2792.0)}
 
 
 def modules_from_sensors(sensors: DataFrame) -> DataFrame:

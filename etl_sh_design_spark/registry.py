@@ -583,6 +583,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_exact",
     "dedup_clusters",
     "similarity_ann_ivf",
+    # r6 BV-coefficient fidelity fix touches the whole BV family —
+    # re-check the two members not already below
+    "bv_totals",
+    "bv_config_search",
     # --- oldest driver signal (last green r1-r3); refresh toward
     # --- union(r1..r6) = all registered queries driver-confirmed ---
     "acceptance_profile",

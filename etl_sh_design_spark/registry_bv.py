@@ -88,15 +88,15 @@ GROUP BY 1, 2
 """
 
 # CURVES constants from operators/bv_grouping.py (5 fC rows of
-# datagen.bv_curves): FBK (445.77, -2340.9), HPK (423.54, -2261.2).
+# datagen.bv_curves): FBK w13 5fC (435.93, -2251.2), HPK split4 5fC (526.14, -2792.0).
 _GREEDY_SCAN_SQL = f"""
 WITH RECURSIVE mods AS ({_MODULES_SQL}),
 m AS MATERIALIZED (
   SELECT layer, vendor, module_id, r_min, r_max, current,
          row_number() OVER (PARTITION BY layer, vendor
                             ORDER BY r_max DESC, module_id ASC) AS rn,
-         CASE WHEN vendor = 'FBK' THEN 445.77e0 ELSE 423.54e0 END AS ca,
-         CASE WHEN vendor = 'FBK' THEN -2340.9e0 ELSE -2261.2e0 END AS cb
+         CASE WHEN vendor = 'FBK' THEN 435.93e0 ELSE 526.14e0 END AS ca,
+         CASE WHEN vendor = 'FBK' THEN -2251.2e0 ELSE -2792.0e0 END AS cb
   FROM mods
 ),
 scan AS (

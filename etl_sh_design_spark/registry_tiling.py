@@ -122,8 +122,8 @@ segs AS (
 segv AS (
   SELECT *,
          (s_micro <= 5000000) AND (seg_rmin >
-            (CASE WHEN vendor0 = 'FBK' THEN 445.77e0 ELSE 423.54e0 END) * ln(seg_rmax)
-            + (CASE WHEN vendor0 = 'FBK' THEN -2340.9e0 ELSE -2261.2e0 END)) AS ok
+            (CASE WHEN vendor0 = 'FBK' THEN 435.93e0 ELSE 526.14e0 END) * ln(seg_rmax)
+            + (CASE WHEN vendor0 = 'FBK' THEN -2251.2e0 ELSE -2792.0e0 END)) AS ok
   FROM segs
 ),
 meval AS (
