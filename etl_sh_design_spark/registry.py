@@ -548,6 +548,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "real_tdr_hit_histogram",
     "real_occupancy_bandwidth",
     "real_module_rows",
+    "real_bv_study",
     "tile_slots_polygon",
     "tile_slots_real_bbox",
     # --- never driver-checked (the 12 left after r5's window; union

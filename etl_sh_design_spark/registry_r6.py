@@ -266,6 +266,250 @@ def q_real_occupancy_bandwidth(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------
+# the bias_voltage.py study over the REAL layout (bias_voltage.py:18-175)
+# --------------------------------------------------------------------
+
+# Sensor active-corner half-extents (Sensor(42.5, 22), deadspace 0.5)
+_AHX, _AHY = 42.5 / 2 - 0.5, 22.0 / 2 - 0.5
+
+# The study's 8 single-sensor configurations (bias_voltage.py:118-128)
+# = the w13/split4 rows of datagen.bv_curves (sensors.py:12-35).
+_BV_CONFIGS = [
+    ("FBK_w13_2p5fC", 499.43, -2618.8),
+    ("FBK_w13_5fC", 435.93, -2251.2),
+    ("FBK_w13_10fC", 363.91, -1834.6),
+    ("FBK_w13_15fC", 333.15, -1664.5),
+    ("HPK_split4_2p5fC", 578.03, -3103.6),
+    ("HPK_split4_5fC", 526.14, -2792.0),
+    ("HPK_split4_10fC", 481.91, -2544.6),
+    ("HPK_split4_15fC", 446.32, -2338.6),
+]
+
+
+def _sm_slices():
+    """(row_ord, sm_idx, start, n_mod) — each supermodule's module
+    slice within its x-sorted row, from the study's partition table
+    (bias_voltage.py:105-115 slicing loop)."""
+    out = []
+    for o, _y, _n, flavors in _OCC_MOD_PARTITIONS:
+        start = 0
+        for j, f in enumerate(flavors):
+            out.append((o, j, start, f))
+            start += f
+    return out
+
+
+def _real_modules(spark):
+    """(row_ord, mod_idx, r_min, r_max) for the D2 x>0 modules: pair
+    consecutive distinct-y sensor rows into modules (2 sensors/module),
+    active-corner radius extremes per module
+    (ETL.py:43-52 get_sensors_r_min_max over setActiveArea corners)."""
+    c = _d2_centers(spark)
+    ranked = (
+        c.select("y")
+        .distinct()
+        .withColumn("rk", F.row_number().over(W.orderBy(F.col("y").desc())) - 1)
+    )
+    sens = c.join(ranked, "y").select(
+        (F.floor(F.col("rk") / 2) + 1).cast("int").alias("row_ord"),
+        "x",
+        F.sqrt(
+            F.least((F.col("x") - _AHX) ** 2, (F.col("x") + _AHX) ** 2)
+            + F.least((F.col("y") - _AHY) ** 2, (F.col("y") + _AHY) ** 2)
+        ).alias("rmin_s"),
+        F.sqrt(
+            F.greatest((F.col("x") - _AHX) ** 2, (F.col("x") + _AHX) ** 2)
+            + F.greatest((F.col("y") - _AHY) ** 2, (F.col("y") + _AHY) ** 2)
+        ).alias("rmax_s"),
+    )
+    mods = sens.groupBy("row_ord", "x").agg(
+        F.min("rmin_s").alias("r_min"), F.max("rmax_s").alias("r_max")
+    )
+    wrow = W.partitionBy("row_ord").orderBy("x")
+    return mods.withColumn("mod_idx", F.row_number().over(wrow) - 1).select(
+        "row_ord", "mod_idx", "r_min", "r_max"
+    )
+
+
+def _real_bv_sql() -> str:
+    configs = ", ".join(f"('{n}', {a!r}, {b!r})" for n, a, b in _BV_CONFIGS)
+    slices = ", ".join(f"({o}, {j}, {s}, {n})" for o, j, s, n in _sm_slices())
+    return f"""
+WITH c AS ({_d2_centers_sql()}),
+ranked AS (
+  SELECT y, row_number() OVER (ORDER BY y DESC) - 1 AS rk
+  FROM (SELECT DISTINCT y FROM c)
+),
+sens AS (
+  SELECT CAST(floor(r.rk / 2) AS INT) + 1 AS row_ord, c.x,
+         sqrt(least((c.x - {_AHX!r}) * (c.x - {_AHX!r}), (c.x + {_AHX!r}) * (c.x + {_AHX!r}))
+              + least((c.y - {_AHY!r}) * (c.y - {_AHY!r}), (c.y + {_AHY!r}) * (c.y + {_AHY!r}))) AS rmin_s,
+         sqrt(greatest((c.x - {_AHX!r}) * (c.x - {_AHX!r}), (c.x + {_AHX!r}) * (c.x + {_AHX!r}))
+              + greatest((c.y - {_AHY!r}) * (c.y - {_AHY!r}), (c.y + {_AHY!r}) * (c.y + {_AHY!r}))) AS rmax_s
+  FROM c JOIN ranked r ON c.y = r.y
+),
+mods AS (
+  SELECT row_ord, x, min(rmin_s) AS r_min, max(rmax_s) AS r_max,
+         row_number() OVER (PARTITION BY row_ord ORDER BY x) - 1 AS mod_idx
+  FROM (SELECT row_ord, x, min(rmin_s) AS rmin_s, max(rmax_s) AS rmax_s
+        FROM sens GROUP BY 1, 2)
+  GROUP BY row_ord, x, rmin_s, rmax_s
+),
+slices AS (SELECT * FROM (VALUES {slices}) AS s(row_ord, sm_idx, start, n_mod)),
+cfg AS (SELECT * FROM (VALUES {configs}) AS f(config, a, b)),
+smm AS (
+  SELECT s.row_ord, s.sm_idx, s.n_mod, m.mod_idx - s.start AS p,
+         m.r_min, m.r_max
+  FROM slices s JOIN mods m
+    ON m.row_ord = s.row_ord AND m.mod_idx >= s.start AND m.mod_idx < s.start + s.n_mod
+),
+masks AS (
+  SELECT row_ord, sm_idx, n_mod,
+         unnest(range(0, CAST(1 AS BIGINT) << (n_mod - 1))) AS mask
+  FROM (SELECT DISTINCT row_ord, sm_idx, n_mod FROM smm)
+),
+segd AS (
+  SELECT f.config, f.a, f.b, k.row_ord, k.sm_idx, k.mask,
+         bit_count(CAST(k.mask AS BIGINT) & ((CAST(1 AS BIGINT) << m.p) - 1)) AS seg_id,
+         m.p, m.r_min, m.r_max
+  FROM masks k
+  JOIN smm m ON m.row_ord = k.row_ord AND m.sm_idx = k.sm_idx
+  CROSS JOIN cfg f
+),
+segs AS (
+  SELECT config, a, b, row_ord, sm_idx, mask, seg_id, count(*) AS n_in_seg,
+         least(arg_min(r_min, p), arg_max(r_min, p)) AS e_rmin,
+         greatest(arg_min(r_max, p), arg_max(r_max, p)) AS e_rmax
+  FROM segd GROUP BY 1, 2, 3, 4, 5, 6, 7
+),
+meval AS (
+  SELECT config, row_ord, sm_idx, mask,
+         bool_and(n_in_seg = 1 OR e_rmin > a * ln(e_rmax) + b) AS valid,
+         count(*) AS n_segs
+  FROM segs GROUP BY 1, 2, 3, 4
+),
+minseg AS (
+  SELECT config, row_ord, sm_idx, min(n_segs) AS n_segs
+  FROM meval WHERE valid GROUP BY 1, 2, 3
+),
+prob AS (
+  SELECT f.config, count(*) AS n_problematic
+  FROM (SELECT DISTINCT row_ord, sm_idx, p, r_min, r_max FROM smm) m
+  CROSS JOIN cfg f
+  WHERE m.r_min <= f.a * ln(m.r_max) + f.b
+  GROUP BY 1
+)
+SELECT s.config,
+       CAST(count(*) AS BIGINT) AS n_sms,
+       CAST(sum(s.n_segs) AS BIGINT) AS bv_channels,
+       CAST(sum(s.n_segs + 1) AS BIGINT) AS bv_leads,
+       CAST(coalesce(any_value(p.n_problematic), 0) AS BIGINT) AS n_problematic
+FROM minseg s LEFT JOIN prob p ON s.config = p.config
+GROUP BY s.config
+"""
+
+
+@_query_if(_HAVE_NEW_YAML, "real_bv_study", _real_bv_sql)
+def q_real_bv_study(spark, sf_dir):
+    """The bias_voltage.py study over the REAL layout: build the D2
+    x>0 modules and the study's supermodules (partition-table slices
+    over x-sorted module rows), then for each of the 8 single-sensor
+    configurations find each SM's minimum consecutive-split BV
+    grouping and report the study's printed totals — `BV leads
+    needed` = sum(segments + 1), `BV channels needed` = sum(segments)
+    — plus the problematic-module count.
+
+    Semantics are the reference's exactly (ETL.py:423-493): a
+    multi-module segment is valid iff the ENDPOINT modules' active
+    corners satisfy r_min > curve(r_max) (the pair check in
+    find_BV_config — interior modules are not re-checked), single
+    segments are always accepted (problematic ones flagged), and the
+    all-singles split guarantees a solution.
+
+    Spark-first shape: ZERO UDFs — the <=2^6 split masks per SM are
+    ENUMERATED as rows (147 SMs x <=64 masks x <=7 positions x 8
+    configs ~ 0.5M codegen rows), validity/minimum reduced by
+    aggregation. Every stage is a narrow transform or a
+    dimension-sized shuffle; the same shape would run on a
+    billion-module layout by keying the masks join on (row, sm)."""
+    mods = _real_modules(spark)
+    slices = spark.createDataFrame(
+        _sm_slices(), "row_ord INT, sm_idx INT, start INT, n_mod INT"
+    )
+    cfg = spark.createDataFrame(_BV_CONFIGS, "config STRING, a DOUBLE, b DOUBLE")
+    smm = (
+        mods.join(
+            F.broadcast(slices),
+            (mods.row_ord == slices.row_ord)
+            & (mods.mod_idx >= slices.start)
+            & (mods.mod_idx < slices.start + slices.n_mod),
+        )
+        .select(
+            slices.row_ord,
+            "sm_idx",
+            "n_mod",
+            (F.col("mod_idx") - F.col("start")).alias("p"),
+            "r_min",
+            "r_max",
+        )
+    )
+    meta = smm.select("row_ord", "sm_idx", "n_mod").distinct()
+    masks = (
+        meta.crossJoin(F.broadcast(spark.range(64).select(F.col("id").alias("mask"))))
+        .filter(F.col("mask") < F.expr("shiftleft(1, n_mod - 1)"))
+        .select("row_ord", "sm_idx", "mask")
+    )
+    segd = masks.join(smm, ["row_ord", "sm_idx"]).crossJoin(F.broadcast(cfg))
+    seg_id = F.bit_count(F.col("mask").bitwiseAND(F.expr("shiftleft(1, p) - 1")))
+    segs = (
+        segd.withColumn("seg_id", seg_id)
+        .groupBy("config", "a", "b", "row_ord", "sm_idx", "mask", "seg_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_seg"),
+            F.least(F.min_by("r_min", "p"), F.max_by("r_min", "p")).alias("e_rmin"),
+            F.greatest(F.min_by("r_max", "p"), F.max_by("r_max", "p")).alias("e_rmax"),
+        )
+    )
+    ok = (F.col("n_in_seg") == 1) | (
+        F.col("e_rmin") > F.col("a") * F.log(F.col("e_rmax")) + F.col("b")
+    )
+    meval = segs.groupBy("config", "row_ord", "sm_idx", "mask").agg(
+        F.min(ok.cast("int")).alias("valid"), F.count(F.lit(1)).alias("n_segs")
+    )
+    minseg = (
+        meval.filter(F.col("valid") == 1)
+        .groupBy("config", "row_ord", "sm_idx")
+        .agg(F.min("n_segs").alias("n_segs"))
+    )
+    prob = (
+        smm.select("row_ord", "sm_idx", "p", "r_min", "r_max")
+        .distinct()
+        .crossJoin(F.broadcast(cfg))
+        .filter(F.col("r_min") <= F.col("a") * F.log(F.col("r_max")) + F.col("b"))
+        .groupBy("config")
+        .agg(F.count(F.lit(1)).alias("n_problematic"))
+    )
+    return (
+        minseg.groupBy("config")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sms"),
+            F.sum("n_segs").cast("bigint").alias("bv_channels"),
+            F.sum(F.col("n_segs") + 1).cast("bigint").alias("bv_leads"),
+        )
+        .join(prob, "config", "left")
+        .select(
+            "config",
+            "n_sms",
+            "bv_channels",
+            "bv_leads",
+            F.coalesce(F.col("n_problematic"), F.lit(0)).cast("bigint").alias(
+                "n_problematic"
+            ),
+        )
+    )
+
+
 @_query_if(
     _HAVE_NEW_YAML,
     "real_module_rows",

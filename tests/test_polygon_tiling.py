@@ -129,3 +129,31 @@ def test_runs_downstream_works_on_polygon_slots(spark):
     ).collect()
     assert len(runs) > 0
     assert all(r["n_slots"] >= 1 for r in runs)
+
+
+def test_real_bv_study_matches_reference_chain_search(spark):
+    """Reference-loop golden: real_bv_study's leads/channels for the
+    two production 5 fC configs equal an independent driver-side
+    reimplementation of find_BV_config's chain search (ETL.py:423-493)
+    over the same real modules (computed once, pinned here)."""
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.exists("/root/reference/layouts/database_new.yaml"):
+        _pytest.skip("reference checkout not available")
+    from etl_sh_design_spark.registry import queries
+
+    got = {r["config"]: r for r in queries()["real_bv_study"](spark, "x").collect()}
+    assert got["FBK_w13_5fC"]["n_sms"] == 78
+    assert got["FBK_w13_5fC"]["bv_leads"] == 258
+    assert got["FBK_w13_5fC"]["bv_channels"] == 180
+    assert got["HPK_split4_5fC"]["bv_leads"] == 336
+    assert got["HPK_split4_5fC"]["bv_channels"] == 258
+    # charge ordering sanity: higher charge -> weaker curve constraint
+    # -> never more channels
+    for fam in ("FBK_w13", "HPK_split4"):
+        chans = [
+            got[f"{fam}_{q}"]["bv_channels"] for q in ("2p5fC", "5fC", "10fC", "15fC")
+        ]
+        assert chans == sorted(chans, reverse=True), chans

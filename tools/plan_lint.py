@@ -127,6 +127,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "real_module_rows": {
         "GLOBAL_WIN": "rank over the 52-row distinct-y layout dimension"
     },
+    "real_bv_study": {
+        "GLOBAL_WIN": "rank over the 52-row distinct-y layout dimension",
+        "NESTED_LOOP": "64-row mask dim + range slice join (layout-bounded)",
+    },
     "tile_flavor_counts": {"NESTED_LOOP": "slot x blocked-rect overlap (layout-bounded)"},
     # J8: zones dim table is O(10) rows
     "bv_zone_counts": {"NESTED_LOOP": "zone range-lookup dim (O(10) rows)"},
