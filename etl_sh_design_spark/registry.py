@@ -549,6 +549,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "real_occupancy_bandwidth",
     "real_module_rows",
     "real_bv_study",
+    "real_partition_flavors",
     "tile_slots_polygon",
     "tile_slots_real_bbox",
     # --- never driver-checked (the 12 left after r5's window; union

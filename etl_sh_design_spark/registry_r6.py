@@ -267,6 +267,61 @@ def q_real_occupancy_bandwidth(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# layout_print.ipynb cell 16/18: readout-board flavor tally from the
+# REAL layout via the U2 partition DP
+# --------------------------------------------------------------------
+from etl_sh_design_spark.operators.partition import (  # noqa: E402
+    PARTITION_LOOKUP_SQL,
+    partition_lookup,
+)
+
+
+@_query_if(
+    _HAVE_NEW_YAML,
+    "real_partition_flavors",
+    lambda: f"""
+WITH c AS ({_d2_centers_sql()}),
+ranked AS (
+  SELECT y, row_number() OVER (ORDER BY y DESC) - 1 AS rk
+  FROM (SELECT DISTINCT y FROM c)
+),
+rows_ AS (
+  SELECT CAST(floor(r.rk / 2) AS INT) + 1 AS row_ord,
+         CAST(count(*) / 2 AS INT) AS n_modules
+  FROM c JOIN ranked r ON c.y = r.y
+  GROUP BY 1
+),
+pl AS ({PARTITION_LOOKUP_SQL})
+SELECT CAST(p.flavor AS INT) AS flavor,
+       CAST(count(*) AS BIGINT) AS n_boards,
+       CAST(sum(p.flavor) AS BIGINT) AS n_modules_covered
+FROM rows_ w JOIN pl p ON p.n = w.n_modules
+GROUP BY 1
+""",
+)
+def q_real_partition_flavors(spark, sf_dir):
+    """layout_print.ipynb cells 16-18 over the REAL layout: per-row
+    module counts from the exported D2 x>0 centers, fed through the
+    reference's getPartition DP (U2 — pinned equal to the reference's
+    partition.py in tests/test_golden_invariants.py), tallying readout
+    boards per flavor. Broadcast lookup join over a 26-row dimension."""
+    mods = _real_modules(spark)
+    rows_ = mods.groupBy("row_ord").agg(
+        F.count(F.lit(1)).cast("int").alias("n_modules")
+    )
+    pl = F.broadcast(partition_lookup(spark))
+    return (
+        rows_.join(pl, rows_.n_modules == pl.n)
+        .groupBy("flavor")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_boards"),
+            F.sum("flavor").cast("bigint").alias("n_modules_covered"),
+        )
+        .select(F.col("flavor").cast("int").alias("flavor"), "n_boards", "n_modules_covered")
+    )
+
+
+# --------------------------------------------------------------------
 # the bias_voltage.py study over the REAL layout (bias_voltage.py:18-175)
 # --------------------------------------------------------------------
 

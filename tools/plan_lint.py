@@ -127,6 +127,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "real_module_rows": {
         "GLOBAL_WIN": "rank over the 52-row distinct-y layout dimension"
     },
+    "real_partition_flavors": {
+        "GLOBAL_WIN": "rank over the 52-row distinct-y layout dimension"
+    },
     "real_bv_study": {
         "GLOBAL_WIN": "rank over the 52-row distinct-y layout dimension",
         "NESTED_LOOP": "64-row mask dim + range slice join (layout-bounded)",
