@@ -603,18 +603,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "hit_count_histogram",
     "efficiency_returns",
     "histogram_price",
-    "histogram2d_qty_disc",
-    "profile_disc_by_qty",
     "mod_partition_totals",
-    "partition_flavors",
     "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_decode_stub",
     "fingerprint_docs",
-    "lang_id_confusion",
-    "text_quality",
-    "bpe_token_counts",
-    "gaps_islands_events",
 ]
 # Round-6 window rationale: 2 new queries first (their only chance at
 # first-round signal), then the 12 never-driver-checked stragglers
