@@ -34,6 +34,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 HEADLINE = [
     "acceptance_profile",  # flagship MC containment-join pipeline
     "real_acceptance_profile",  # same plan over the reference's real YAML layout
+    "real_bv_study",  # mask-enumeration BV grouping over the real layout
     "hit_count_histogram",
     "sensor_physics",
     "q1_pricing_summary",
