@@ -93,6 +93,9 @@ HEADLINE = [
     "cms_token_frequency",
     "bpe_merge_learn",
     "knn_label_accuracy",
+    "lsh_recall_eval",
+    "lang_id_confusion",
+    "lpa_communities",
 ]
 
 
