@@ -265,6 +265,8 @@ def embedding_near_dup_pairs(
 
     spark = df.sparkSession
     pdf = df.select(id_col, vec_col).toPandas()
+    if len(pdf) == 0:  # empty corpus: stable empty result, no vstack
+        return spark.createDataFrame([], "id_a bigint, id_b bigint, cos double")
     ids_all = pdf[id_col].to_numpy(dtype="int64")
     m_all = np.vstack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
     norms_all = np.sqrt((m_all * m_all).sum(axis=1))

@@ -605,7 +605,8 @@ hit AS (
 nc AS (SELECT count(*) AS n_candidates FROM cand)
 SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
        CAST(sum(caught) AS BIGINT) AS n_caught,
-       round(sum(caught) * 1.0e0 / count(*), 6) AS recall,
+       CASE WHEN count(*) = 0 THEN NULL
+            ELSE round(sum(caught) * 1.0e0 / count(*), 6) END AS recall,
        (SELECT CAST(n_candidates AS BIGINT) FROM nc) AS n_candidates
 FROM hit
 """,
@@ -654,7 +655,8 @@ def q_lsh_recall_eval(spark, sf_dir):
     summary = hit.agg(
         F.count(F.lit(1)).alias("n_true_pairs"),
         F.count("_c").alias("n_caught"),
-        F.round(F.count("_c") / F.count(F.lit(1)), 6).alias("recall"),
+        # try_divide: empty truth set -> NULL recall, not an ANSI error
+        F.round(F.try_divide(F.count("_c"), F.count(F.lit(1))), 6).alias("recall"),
     )
     return summary.crossJoin(
         F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
@@ -1112,10 +1114,12 @@ def q_skew_report_events(spark, sf_dir):
     ).select(
         "n_keys",
         "max_freq",
-        F.element_at("_cs", F.ceil(F.lit(0.5) * F.col("n_keys")).cast("int"))
+        # F.get is 0-based and returns NULL out-of-range (no ANSI
+        # error on an empty events table, where n_keys = 0)
+        F.get("_cs", F.ceil(F.lit(0.5) * F.col("n_keys")).cast("int") - 1)
         .cast("bigint")
         .alias("median_freq"),
-        F.element_at("_cs", F.ceil(F.lit(0.99) * F.col("n_keys")).cast("int"))
+        F.get("_cs", F.ceil(F.lit(0.99) * F.col("n_keys")).cast("int") - 1)
         .cast("bigint")
         .alias("p99_freq"),
         "n_rows",
