@@ -180,30 +180,53 @@ def _circle_polygon(radius, segments):
     ]
 
 
-def reference_blocked_polygons(circle_segments: int = 64) -> dict[str, list]:
-    """The 'updated' dee layout's blocked shapes as vertex lists:
-    nose circle, feedthrough band, 4 inner attachments (taper 0, at
-    0/90/180/270 deg per dee_geometry.py:246-260), 8 outer
-    attachments (rect+cap, at +-2.5/68/112/177.5 deg,
-    dee_geometry.py:241)."""
+_OUTER_ATT_ANGLES = (2.5, 68.0, 112.0, 177.5, -2.5, -68.0, -112.0, -177.5)
+
+
+def reference_blocked_polygons(
+    circle_segments: int = 64, layout: str = "updated"
+) -> dict[str, list]:
+    """A dee layout's blocked shapes as vertex lists (the reference's
+    `--dee_layout` variants, dee_geometry.py:209-260):
+
+    - 'updated': nose circle, feedthrough band, 4 taper-0 inner
+      attachments at 0/90/180/270 deg (dee_geometry.py:246-260), 8
+      outer attachments (rect+cap at +-2.5/68/112/177.5 deg).
+    - 'baseline': the TAMALES baseline — 6 default tapered inner
+      attachments at +-30/90/150 deg (height 84, width 88.5,
+      taper 5.4, hung from r=336; dee_geometry.py:233-237), same 8
+      outer attachments, nose circle, feedthrough band.
+    - 'plain': no attachments at all (annulus + feedthrough only).
+    """
     polys: dict[str, list] = {"nose": _circle_polygon(NOSE_R, circle_segments)}
     yft = math.sqrt(ETL_OUTER**2 - FEEDTHROUGH_X**2)
     polys["feedthrough"] = [
         (FEEDTHROUGH_X, yft), (ETL_OUTER, yft),
         (ETL_OUTER, -yft), (FEEDTHROUGH_X, -yft),
     ]
-    for a in (0, 180):
-        polys[f"inner_att_{a}"] = _make_inner_attachment(
-            a, height=796.0 / 2 - NOSE_R, width=170.0, taper=0.0, inner=NOSE_R
-        )
-    for a in (90, 270):
-        polys[f"inner_att_{a}"] = _make_inner_attachment(
-            a, height=395.0 - NOSE_R, width=110.0, taper=0.0, inner=NOSE_R
-        )
-    for a in (2.5, 68.0, 112.0, 177.5, -2.5, -68.0, -112.0, -177.5):
-        polys[f"outer_att_{str(a).replace('-', 'm').replace('.', '_')}"] = (
-            _make_outer_attachment(a)
-        )
+    if layout == "updated":
+        for a in (0, 180):
+            polys[f"inner_att_{a}"] = _make_inner_attachment(
+                a, height=796.0 / 2 - NOSE_R, width=170.0, taper=0.0, inner=NOSE_R
+            )
+        for a in (90, 270):
+            polys[f"inner_att_{a}"] = _make_inner_attachment(
+                a, height=395.0 - NOSE_R, width=110.0, taper=0.0, inner=NOSE_R
+            )
+    elif layout == "baseline":
+        for a in (30, 90, 150, -30, -90, -150):
+            polys[f"inner_att_{a}"] = _make_inner_attachment(
+                a, height=84.0, width=88.5, taper=5.4, inner=336.0
+            )
+    elif layout == "plain":
+        pass
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    if layout != "plain":
+        for a in _OUTER_ATT_ANGLES:
+            polys[f"outer_att_{str(a).replace('-', 'm').replace('.', '_')}"] = (
+                _make_outer_attachment(a)
+            )
     return polys
 
 
@@ -224,7 +247,10 @@ def polygon_bboxes(polys: dict[str, list]) -> list[tuple]:
 
 
 def slots_real(
-    spark: SparkSession, geometry: str = "polygon", circle_segments: int = 64
+    spark: SparkSession,
+    geometry: str = "polygon",
+    circle_segments: int = 64,
+    layout: str = "updated",
 ) -> DataFrame:
     """The slot table classified against the REAL 'updated' blocked
     geometry. geometry='polygon' runs the exact vectorized
@@ -234,7 +260,7 @@ def slots_real(
     downstream (radial states, neighbor rule) is shared with the
     stand-in path."""
     grid = _slot_grid(spark)
-    polys = reference_blocked_polygons(circle_segments)
+    polys = reference_blocked_polygons(circle_segments, layout)
     if geometry == "polygon":
         from etl_sh_design_spark.operators.polygon import rects_overlap_polygon
 

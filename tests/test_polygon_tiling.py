@@ -157,3 +157,39 @@ def test_real_bv_study_matches_reference_chain_search(spark):
             got[f"{fam}_{q}"]["bv_channels"] for q in ("2p5fC", "5fC", "10fC", "15fC")
         ]
         assert chans == sorted(chans, reverse=True), chans
+
+
+def test_layout_variants_change_only_attachment_slots(spark):
+    """--dee_layout variant support (dee_geometry.py:209-260): the
+    three layouts share nose/feedthrough blocking, so 'plain' (no
+    attachments) must block a SUBSET of both attachment layouts, and
+    the measured variant state counts are pinned."""
+    from collections import Counter
+
+    states = {}
+    for lay in ("updated", "baseline", "plain"):
+        states[lay] = {
+            (r["iy"], r["ix"]): r["state"]
+            for r in tiling.slots_real(spark, "polygon", layout=lay).collect()
+        }
+    assert Counter(states["updated"].values()) == {"yes": 448, "no": 138, "maybe": 8}
+    assert Counter(states["baseline"].values()) == {"yes": 446, "no": 142, "maybe": 6}
+    assert Counter(states["plain"].values()) == {"yes": 474, "no": 112, "maybe": 8}
+    # plain blocks a subset: any slot 'no' under plain is 'no' under both
+    for k, st in states["plain"].items():
+        if st == "no":
+            assert states["updated"][k] == "no" and states["baseline"][k] == "no", k
+
+
+def test_baseline_inner_attachment_taper_math():
+    """The tapered baseline attachment (taper 5.4 deg) narrows toward
+    its outer edge: at angle 0 the top edge (y = 336+84 = 420) spans
+    width - 2*84*tan(5.4deg) while the bottom edge spans the full
+    88.5."""
+    v = tiling._make_inner_attachment(0, height=84.0, width=88.5, taper=5.4, inner=336.0)
+    ys = [round(y, 6) for _, y in v]
+    assert set(ys) == {336.0, 420.0}
+    top = sorted(x for x, y in v if round(y, 6) == 420.0)
+    bot = sorted(x for x, y in v if round(y, 6) == 336.0)
+    assert math.isclose(bot[1] - bot[0], 88.5)
+    assert math.isclose(top[1] - top[0], 88.5 - 2 * 84.0 * math.tan(math.radians(5.4)))
