@@ -259,8 +259,14 @@ def real_ray_hits(
         .select("event_id", "layer", "px", "py")
     )
     if strategy == "binned":
-        # cell >= the 41.5mm max active extent -> <=2 cells per axis
-        hits = binned_containment_join(proj, sensors, cell=50.0, extra_keys=["layer"])
+        # cell >= the 41.5mm max active extent -> <=2 cells per axis.
+        # The corner table is dimension-sized by the layout contract
+        # but createDataFrame-sourced (no stats) — pin the broadcast
+        # so the 4x-rays proj side never shuffles (138->19 MB at 1e6
+        # rays, see binned_containment_join docstring).
+        hits = binned_containment_join(
+            proj, sensors, cell=50.0, extra_keys=["layer"], broadcast_rects=True
+        )
     else:
         hits = proj.join(
             F.broadcast(sensors),
