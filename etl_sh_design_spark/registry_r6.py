@@ -387,6 +387,47 @@ def _real_modules(spark):
     )
 
 
+def bv_min_segments(smm, cfg):
+    """Minimum consecutive-split BV segmentation per (supermodule,
+    config) via pure-DataFrame mask enumeration (ETL.py:423-493
+    find_BV_config semantics: endpoint-corner validity, singles always
+    accepted).
+
+    smm: (row_ord, sm_idx, n_mod, p, r_min, r_max) — one row per
+    module position p (0-based, x-ordered) per supermodule, n_mod <= 7.
+    cfg: (config, a, b) breakdown curves.
+    Returns (config, row_ord, sm_idx, n_segs)."""
+    spark = smm.sparkSession
+    meta = smm.select("row_ord", "sm_idx", "n_mod").distinct()
+    masks = (
+        meta.crossJoin(F.broadcast(spark.range(64).select(F.col("id").alias("mask"))))
+        .filter(F.col("mask") < F.expr("shiftleft(1, n_mod - 1)"))
+        .select("row_ord", "sm_idx", "mask")
+    )
+    segd = masks.join(smm, ["row_ord", "sm_idx"]).crossJoin(F.broadcast(cfg))
+    seg_id = F.bit_count(F.col("mask").bitwiseAND(F.expr("shiftleft(1, p) - 1")))
+    segs = (
+        segd.withColumn("seg_id", seg_id)
+        .groupBy("config", "a", "b", "row_ord", "sm_idx", "mask", "seg_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_seg"),
+            F.least(F.min_by("r_min", "p"), F.max_by("r_min", "p")).alias("e_rmin"),
+            F.greatest(F.min_by("r_max", "p"), F.max_by("r_max", "p")).alias("e_rmax"),
+        )
+    )
+    ok = (F.col("n_in_seg") == 1) | (
+        F.col("e_rmin") > F.col("a") * F.log(F.col("e_rmax")) + F.col("b")
+    )
+    meval = segs.groupBy("config", "row_ord", "sm_idx", "mask").agg(
+        F.min(ok.cast("int")).alias("valid"), F.count(F.lit(1)).alias("n_segs")
+    )
+    return (
+        meval.filter(F.col("valid") == 1)
+        .groupBy("config", "row_ord", "sm_idx")
+        .agg(F.min("n_segs").alias("n_segs"))
+    )
+
+
 def _real_bv_sql() -> str:
     configs = ", ".join(f"('{n}', {a!r}, {b!r})" for n, a, b in _BV_CONFIGS)
     slices = ", ".join(f"({o}, {j}, {s}, {n})" for o, j, s, n in _sm_slices())
@@ -509,34 +550,7 @@ def q_real_bv_study(spark, sf_dir):
             "r_max",
         )
     )
-    meta = smm.select("row_ord", "sm_idx", "n_mod").distinct()
-    masks = (
-        meta.crossJoin(F.broadcast(spark.range(64).select(F.col("id").alias("mask"))))
-        .filter(F.col("mask") < F.expr("shiftleft(1, n_mod - 1)"))
-        .select("row_ord", "sm_idx", "mask")
-    )
-    segd = masks.join(smm, ["row_ord", "sm_idx"]).crossJoin(F.broadcast(cfg))
-    seg_id = F.bit_count(F.col("mask").bitwiseAND(F.expr("shiftleft(1, p) - 1")))
-    segs = (
-        segd.withColumn("seg_id", seg_id)
-        .groupBy("config", "a", "b", "row_ord", "sm_idx", "mask", "seg_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_in_seg"),
-            F.least(F.min_by("r_min", "p"), F.max_by("r_min", "p")).alias("e_rmin"),
-            F.greatest(F.min_by("r_max", "p"), F.max_by("r_max", "p")).alias("e_rmax"),
-        )
-    )
-    ok = (F.col("n_in_seg") == 1) | (
-        F.col("e_rmin") > F.col("a") * F.log(F.col("e_rmax")) + F.col("b")
-    )
-    meval = segs.groupBy("config", "row_ord", "sm_idx", "mask").agg(
-        F.min(ok.cast("int")).alias("valid"), F.count(F.lit(1)).alias("n_segs")
-    )
-    minseg = (
-        meval.filter(F.col("valid") == 1)
-        .groupBy("config", "row_ord", "sm_idx")
-        .agg(F.min("n_segs").alias("n_segs"))
-    )
+    minseg = bv_min_segments(smm, cfg)
     prob = (
         smm.select("row_ord", "sm_idx", "p", "r_min", "r_max")
         .distinct()

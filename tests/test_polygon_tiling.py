@@ -193,3 +193,61 @@ def test_baseline_inner_attachment_taper_math():
     bot = sorted(x for x, y in v if round(y, 6) == 336.0)
     assert math.isclose(bot[1] - bot[0], 88.5)
     assert math.isclose(top[1] - top[0], 88.5 - 2 * 84.0 * math.tan(math.radians(5.4)))
+
+
+def test_bv_min_segments_property_random_modules(spark):
+    """Property check of the DataFrame mask-enumeration against a
+    brute-force python reference on seeded random supermodules:
+    random radii + random SM sizes (1..7), endpoint-validity
+    semantics, min segments must agree exactly."""
+    import math
+    import random
+
+    rng = random.Random(20260814)
+    rows = []
+    for sm in range(12):
+        n = rng.randint(1, 7)
+        for p in range(n):
+            r0 = rng.uniform(300, 1100)
+            rows.append((0, sm, n, p, r0, r0 + rng.uniform(5, 120)))
+    cfgs = [("c1", 435.93, -2251.2), ("c2", 526.14, -2792.0)]
+
+    def brute(mods, a, b):
+        n = len(mods)
+        best = n
+        for mask in range(1 << (n - 1)) if n > 1 else [0]:
+            segs, start = [], 0
+            for i in range(n - 1):
+                if mask & (1 << i):
+                    segs.append((start, i))
+                    start = i + 1
+            segs.append((start, n - 1))
+            okall = True
+            for s, e in segs:
+                if s == e:
+                    continue
+                mi = min(mods[s][0], mods[e][0])
+                ma = max(mods[s][1], mods[e][1])
+                if not mi > a * math.log(ma) + b:
+                    okall = False
+                    break
+            if okall:
+                best = min(best, len(segs))
+        return best
+
+    from etl_sh_design_spark.registry_r6 import bv_min_segments
+
+    smm = spark.createDataFrame(
+        rows, "row_ord INT, sm_idx INT, n_mod INT, p INT, r_min DOUBLE, r_max DOUBLE"
+    )
+    cfg = spark.createDataFrame(cfgs, "config STRING, a DOUBLE, b DOUBLE")
+    got = {
+        (r["config"], r["sm_idx"]): r["n_segs"]
+        for r in bv_min_segments(smm, cfg).collect()
+    }
+    by_sm = {}
+    for _, sm, n, p, rmin, rmax in rows:
+        by_sm.setdefault(sm, []).append((rmin, rmax))
+    for cname, a, b in cfgs:
+        for sm, mods in by_sm.items():
+            assert got[(cname, sm)] == brute(mods, a, b), (cname, sm)
