@@ -342,14 +342,18 @@ _BV_CONFIGS = [
 ]
 
 
-def _sm_slices():
+def _sm_slices(modify_partitions: bool = False):
     """(row_ord, sm_idx, start, n_mod) — each supermodule's module
     slice within its x-sorted row, from the study's partition table
-    (bias_voltage.py:105-115 slicing loop)."""
+    (bias_voltage.py:105-115 slicing loop). `modify_partitions=True`
+    reverses each row's flavor order — the reference's 'forced short
+    RBs at the center' toggle (occupancy.py:127,
+    layout_print.ipynb cell 16)."""
     out = []
     for o, _y, _n, flavors in _OCC_MOD_PARTITIONS:
+        fl = list(reversed(flavors)) if modify_partitions else flavors
         start = 0
-        for j, f in enumerate(flavors):
+        for j, f in enumerate(fl):
             out.append((o, j, start, f))
             start += f
     return out
@@ -384,6 +388,33 @@ def _real_modules(spark):
     wrow = W.partitionBy("row_ord").orderBy("x")
     return mods.withColumn("mod_idx", F.row_number().over(wrow) - 1).select(
         "row_ord", "mod_idx", "r_min", "r_max"
+    )
+
+
+def real_sm_modules(spark, modify_partitions: bool = False):
+    """(row_ord, sm_idx, n_mod, p, r_min, r_max): the study's
+    supermodule-sliced real modules (p = 0-based x-ordered position
+    within the SM)."""
+    mods = _real_modules(spark)
+    slices = spark.createDataFrame(
+        _sm_slices(modify_partitions),
+        "row_ord INT, sm_idx INT, start INT, n_mod INT",
+    )
+    return (
+        mods.join(
+            F.broadcast(slices),
+            (mods.row_ord == slices.row_ord)
+            & (mods.mod_idx >= slices.start)
+            & (mods.mod_idx < slices.start + slices.n_mod),
+        )
+        .select(
+            slices.row_ord,
+            "sm_idx",
+            "n_mod",
+            (F.col("mod_idx") - F.col("start")).alias("p"),
+            "r_min",
+            "r_max",
+        )
     )
 
 
@@ -529,27 +560,8 @@ def q_real_bv_study(spark, sf_dir):
     aggregation. Every stage is a narrow transform or a
     dimension-sized shuffle; the same shape would run on a
     billion-module layout by keying the masks join on (row, sm)."""
-    mods = _real_modules(spark)
-    slices = spark.createDataFrame(
-        _sm_slices(), "row_ord INT, sm_idx INT, start INT, n_mod INT"
-    )
+    smm = real_sm_modules(spark)
     cfg = spark.createDataFrame(_BV_CONFIGS, "config STRING, a DOUBLE, b DOUBLE")
-    smm = (
-        mods.join(
-            F.broadcast(slices),
-            (mods.row_ord == slices.row_ord)
-            & (mods.mod_idx >= slices.start)
-            & (mods.mod_idx < slices.start + slices.n_mod),
-        )
-        .select(
-            slices.row_ord,
-            "sm_idx",
-            "n_mod",
-            (F.col("mod_idx") - F.col("start")).alias("p"),
-            "r_min",
-            "r_max",
-        )
-    )
     minseg = bv_min_segments(smm, cfg)
     prob = (
         smm.select("row_ord", "sm_idx", "p", "r_min", "r_max")

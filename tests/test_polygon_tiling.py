@@ -251,3 +251,34 @@ def test_bv_min_segments_property_random_modules(spark):
     for cname, a, b in cfgs:
         for sm, mods in by_sm.items():
             assert got[(cname, sm)] == brute(mods, a, b), (cname, sm)
+
+
+def test_modify_partitions_toggle_changes_bv_channels(spark):
+    """The reference's modify_partitions toggle (forced short RBs at
+    the center, occupancy.py:127) reverses each row's flavor slices;
+    pinned effect on the real layout: FBK 5 fC channels 180 -> 176
+    (same 78 SMs)."""
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.exists("/root/reference/layouts/database_new.yaml"):
+        _pytest.skip("reference checkout not available")
+    from pyspark.sql import functions as F
+
+    from etl_sh_design_spark import registry_r6
+
+    cfg = spark.createDataFrame(
+        [("FBK_w13_5fC", 435.93, -2251.2)], "config STRING, a DOUBLE, b DOUBLE"
+    )
+    out = {}
+    for mp in (False, True):
+        smm = registry_r6.real_sm_modules(spark, modify_partitions=mp)
+        r = (
+            registry_r6.bv_min_segments(smm, cfg)
+            .agg(F.sum("n_segs").alias("ch"), F.count(F.lit(1)).alias("sms"))
+            .first()
+        )
+        out[mp] = (r["ch"], r["sms"])
+    assert out[False] == (180, 78)
+    assert out[True] == (176, 78)
