@@ -605,7 +605,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "histogram_price",
     "mod_partition_totals",
     "multimodal_features",
-    "fingerprint_docs",
+    "embedding_neardup_blocked",
 ]
 # Round-6 window rationale: 2 new queries first (their only chance at
 # first-round signal), then the 12 never-driver-checked stragglers

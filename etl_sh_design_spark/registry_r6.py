@@ -654,3 +654,39 @@ def q_real_module_rows(spark, sf_dir):
             (F.col("n_modules_real") == F.col("n_modules_partition")).alias("match"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# distributed blocked-GEMM path under driver check
+# --------------------------------------------------------------------
+from etl_sh_design_spark.registry import ORACLE as _ORACLE_ALL  # noqa: E402
+
+
+@query("embedding_neardup_blocked", _ORACLE_ALL["embedding_neardup"])
+def q_embedding_neardup_blocked(spark, sf_dir):
+    """`embedding_neardup` with the EXACT distributed blocked-GEMM
+    path forced (max_broadcast_rows below the corpus size): same
+    oracle, same rows — the driver-checked proof that the cogrouped
+    block-pair decomposition is bit-identical to the broadcast path,
+    on top of the local golden. Dispatch normally picks this path
+    automatically past 1e6 rows (operators/similarity.py)."""
+    from pyspark.sql import functions as F
+
+    from etl_sh_design_spark.operators.similarity import embedding_near_dup_pairs
+    from etl_sh_design_spark.registry import _t
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1 + 0.01 * ((i % 2) * 2 - 1))
+        ).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(
+        e.unionByName(pert),
+        threshold=0.99,
+        max_broadcast_rows=100,
+        target_block_rows=400,
+    )
