@@ -194,6 +194,16 @@ def main() -> None:
     ]
     rel.sort()
     median_spread_pct = round(100 * rel[len(rel) // 2], 1) if rel else 0.0
+    # compact per-query spread for the stdout line: only entries noisy
+    # enough to matter (>0.5 s or >50% of the reported best), capped so
+    # the driver-retained line stays small; the full map is in
+    # BENCH_FULL.json
+    noisy = {
+        k: v
+        for k, v in spreads.items()
+        if v > 0.5 or (timings.get(k, 0) > 0.05 and v / timings[k] > 0.5)
+    }
+    noisy = dict(sorted(noisy.items(), key=lambda kv: -kv[1])[:15])
 
     full = {
         "metric": "engine_all_queries_wall_clock",
@@ -221,6 +231,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": headline,
                 "median_spread_pct": median_spread_pct,
+                "spread_noisy": noisy,
                 "sf": sf,
             },
             separators=(",", ":"),
