@@ -173,3 +173,30 @@ def test_registry_skips_reference_queries_when_ref_dir_absent(tmp_path):
         "assert len(q) > 100"
     )
     subprocess.run([sys.executable, "-c", code], env=env, check=True, cwd="/root/repo")
+
+
+def test_registry_honors_relocated_reference_dir(tmp_path):
+    """SPARK_GRAFT_REF_DIR pointing at a COPY of the reference (not
+    /root/reference) must register all reference-gated queries with
+    paths under the override — the positive twin of the skip test."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    src = "/root/reference"
+    if not os.path.isdir(os.path.join(src, "layouts")):
+        pytest.skip("reference checkout not available")
+    dst = tmp_path / "refcopy"
+    dst.mkdir()
+    shutil.copytree(os.path.join(src, "layouts"), dst / "layouts")
+    shutil.copytree(os.path.join(src, "data"), dst / "data")
+    env = dict(os.environ, SPARK_GRAFT_REF_DIR=str(dst))
+    code = (
+        "from etl_sh_design_spark import registry;"
+        "q = registry.queries(); o = registry.oracle_sql();"
+        "assert 'real_face_physics' in q and 'real_acceptance_profile' in q;"
+        f"assert '{dst}' in o['real_face_physics'], o['real_face_physics'][:200];"
+        "assert '/root/reference' not in o['real_face_physics']"
+    )
+    subprocess.run([sys.executable, "-c", code], env=env, check=True, cwd="/root/repo")
