@@ -604,8 +604,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "efficiency_returns",
     "histogram_price",
     "mod_partition_totals",
-    "multimodal_features",
     "embedding_neardup_blocked",
+    "real_export_centers_check",
 ]
 # Round-6 window rationale: 2 new queries first (their only chance at
 # first-round signal), then the 12 never-driver-checked stragglers
