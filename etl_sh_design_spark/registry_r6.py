@@ -799,3 +799,113 @@ def q_real_export_centers_check(spark, sf_dir):
             "multiset_match"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# hash-stratified kNN panel (closes the r5 verdict's "watch" note)
+# --------------------------------------------------------------------
+from etl_sh_design_spark.operators.dedup import MD5_INT64_SQL, md5_int64  # noqa: E402
+from etl_sh_design_spark.operators.similarity import cosine_topk  # noqa: E402
+from etl_sh_design_spark.registry import _t  # noqa: E402
+from etl_sh_design_spark.registry_r5c import _VE  # noqa: E402
+
+_PANEL = 500
+
+
+@query(
+    "knn_label_accuracy_stratified",
+    f"""
+WITH panel AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, {MD5_INT64_SQL.format(x="CAST(vec_id AS VARCHAR)")} AS h
+    FROM embeddings
+  ) ORDER BY h, vec_id LIMIT {_PANEL}
+),
+ve AS ({_VE}),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ve GROUP BY 1),
+dots AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.v * c.v) AS dot
+  FROM ve q JOIN panel p ON p.vec_id = q.vec_id
+  JOIN ve c ON q.d = c.d AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
+),
+topk AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+    FROM scored) WHERE rk <= 3
+),
+lab AS (SELECT vec_id, label FROM embeddings),
+votes AS (
+  SELECT t.qid, ql.label AS qlabel, cl.label AS clabel, count(*) AS n
+  FROM topk t
+  JOIN lab ql ON ql.vec_id = t.qid
+  JOIN lab cl ON cl.vec_id = t.cid
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT qid, qlabel, clabel AS plabel FROM (
+    SELECT qid, qlabel, clabel,
+           row_number() OVER (PARTITION BY qid ORDER BY n DESC, clabel ASC) AS vr
+    FROM votes) WHERE vr = 1
+)
+SELECT qlabel AS label, count(*) AS n_probes,
+       CAST(sum(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(sum(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) * 1.0e0 / count(*), 6)
+         AS accuracy
+FROM pred GROUP BY 1
+""",
+)
+def q_knn_label_accuracy_stratified(spark, sf_dir):
+    """`knn_label_accuracy` with the HASH-STRATIFIED probe panel the
+    r5 verdict's watch note asked for: the 500 vectors with the
+    SMALLEST md5(vec_id) values — an unbiased deterministic sample of
+    the whole corpus (no id-prefix bias), still hard-capped at 500
+    probes at ANY corpus size (the exact-scoring work stays linear in
+    N; the panel is an order-statistic of a uniform hash, selected by
+    TakeOrderedAndProject — no global sort exchange). md5 is
+    bit-identical across engines, so the panel — and hence the hash —
+    is oracle-stable."""
+    e = _t(spark, sf_dir, "embeddings")
+    panel = (
+        e.select("vec_id", md5_int64(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_PANEL)
+        .select("vec_id")
+    )
+    probes = e.join(F.broadcast(panel), "vec_id")
+    topk = cosine_topk(probes, e, k=3).select("qid", "cid")
+    lab = e.select("vec_id", "label")
+    votes = (
+        topk.join(
+            lab.select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")),
+            "qid",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("cid"), F.col("label").alias("clabel")),
+            "cid",
+        )
+        .groupBy("qid", "qlabel", "clabel")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("n").desc(), F.col("clabel").asc())
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select("qid", "qlabel", F.col("clabel").alias("plabel"))
+    )
+    return pred.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("plabel") == F.col("qlabel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum(F.when(F.col("plabel") == F.col("qlabel"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )

@@ -82,6 +82,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "ann_recall_at_k": {"NESTED_LOOP": "10-probe brute side"},
     "similarity_topk": {"NESTED_LOOP": "10-probe brute side"},
     "knn_label_accuracy": {"NESTED_LOOP": "<=500-probe panel side"},
+    "knn_label_accuracy_stratified": {
+        "NESTED_LOOP": "<=500-probe hash-stratified panel side"
+    },
     "class_separation": {"NESTED_LOOP": "L-row centroid x centroid"},
     "quality_psi_drift": {"NESTED_LOOP": "1-row totals crossJoins"},
     "keep_rate_ab_test": {"NESTED_LOOP": "1-row totals crossJoin"},
