@@ -602,7 +602,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ring_classification",
     "hit_count_histogram",
     "efficiency_returns",
-    "histogram_price",
+    "knn_label_accuracy_stratified",
     "mod_partition_totals",
     "embedding_neardup_blocked",
     "real_export_centers_check",
