@@ -389,6 +389,143 @@ def real_hit_count_histogram_sql(
     )
 
 
+# =====================================================================
+# ONE-PASS multi-variant acceptance: geometric_acceptance.ipynb cell 60
+# probes 4 detector variants PER RAY in a single pass. The efficient
+# Spark shape is one ray scan joined against a variant-TAGGED union of
+# corner tables — the ray side is projected once and never re-scanned
+# per variant; only the dimension-sized corner union grows with the
+# variant count.
+# =====================================================================
+
+
+def multi_variant_ray_hits(
+    spark: SparkSession,
+    n_rays: int,
+    variants: dict[str, DataFrame],
+) -> DataFrame:
+    """Per (variant, event) hit counts from a SINGLE ray scan.
+
+    Each variant's corner table (layer, ax1, ax2, ay1, ay2) is tagged
+    and unioned; the binned containment join then matches every ray
+    projection against every variant's rectangles in ONE equi-join on
+    (layer, cell). Returns (variant, event_id, eta, n>0 rows only) —
+    misses are reconstructed arithmetically in the profile (zero rows
+    never materialize, so the plan does NOT blow up rays x variants)."""
+    rays = datagen.rays(spark, n_rays).filter(F.col("eta") < F.lit(REAL_ETA_BINS.hi))
+    tagged = None
+    for name, corners in variants.items():
+        t = corners.select(
+            F.lit(name).alias("variant"), "layer", "ax1", "ax2", "ay1", "ay2"
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    proj = (
+        rays.crossJoin(F.broadcast(datagen.layers(spark)))
+        .withColumn("px", F.col("z_mm") * F.col("tanth") * F.col("cphi"))
+        .withColumn("py", F.col("z_mm") * F.col("tanth") * F.col("sphi"))
+        .select("event_id", "eta", "layer", "px", "py")
+    )
+    hits = binned_containment_join(
+        proj, tagged, cell=50.0, extra_keys=["layer"], broadcast_rects=True
+    )
+    return hits.groupBy("variant", "event_id").agg(
+        F.first("eta").alias("eta"), F.countDistinct("layer").alias("n")
+    )
+
+
+def multi_variant_acceptance(
+    spark: SparkSession,
+    n_rays: int,
+    variants: dict[str, DataFrame],
+) -> DataFrame:
+    """(variant, eta_bin, n_rays, eff, mean_n, mean_t) for every
+    variant from one ray scan. Per-bin ray totals are computed ONCE
+    from the ray table (they are variant-independent); per-variant
+    numerators come from the hit rows alone, so zero-hit rays are never
+    materialized per variant:
+
+        eff    = n_hit_events / n_rays_bin
+        mean_n = sum(n) / n_rays_bin          (misses contribute 0)
+        mean_t = avg(45/sqrt(n)) over hit events (misses excluded,
+                 matching the single-variant profile's CASE WHEN n>0)
+    """
+    per_hit = multi_variant_ray_hits(spark, n_rays, variants)
+    rays = datagen.rays(spark, n_rays).filter(F.col("eta") < F.lit(REAL_ETA_BINS.hi))
+    bin_col = REAL_ETA_BINS.bin_of("eta").alias("eta_bin")
+    bin_tot = rays.groupBy(bin_col).agg(F.count(F.lit(1)).alias("n_rays"))
+    vdim = per_hit.sparkSession.createDataFrame(
+        [(v,) for v in variants], "variant STRING"
+    )
+    grid = bin_tot.crossJoin(F.broadcast(vdim))
+    hit_agg = per_hit.groupBy("variant", REAL_ETA_BINS.bin_of("eta").alias("eta_bin")).agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum("n").alias("sum_n"),
+        F.sum(T_COEFF / F.sqrt(F.col("n"))).alias("sum_t"),
+    )
+    return (
+        grid.join(hit_agg, ["variant", "eta_bin"], "left")
+        .select(
+            "variant",
+            "eta_bin",
+            "n_rays",
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_rays"), 6).alias("eff"),
+            F.round(F.coalesce(F.col("sum_n"), F.lit(0)) / F.col("n_rays"), 6).alias("mean_n"),
+            F.round(F.col("sum_t") / F.col("n_hit"), 6).alias("mean_t"),
+        )
+    )
+
+
+def multi_variant_acceptance_sql(
+    n_rays: int, variant_corner_sql: dict[str, str]
+) -> str:
+    """DuckDB twin: each variant contributes a corner SELECT (layer,
+    ax1, ax2, ay1, ay2); the union is tagged identically."""
+    union = " UNION ALL ".join(
+        f"SELECT '{name}' AS variant, * FROM ({sql})"
+        for name, sql in variant_corner_sql.items()
+    )
+    b = REAL_ETA_BINS
+    return f"""
+WITH layers AS ({datagen.LAYERS_SQL}),
+corners AS ({union}),
+rays AS (SELECT * FROM ({datagen.rays_sql(n_rays)}) WHERE eta < {b.hi!r}),
+proj AS (
+  SELECT r.event_id, r.eta, l.layer,
+         l.z_mm * r.tanth * r.cphi AS px,
+         l.z_mm * r.tanth * r.sphi AS py
+  FROM rays r CROSS JOIN layers l
+),
+per_hit AS (
+  SELECT c.variant, p.event_id, first(p.eta) AS eta,
+         count(DISTINCT p.layer) AS n
+  FROM proj p
+  JOIN corners c
+    ON c.layer = p.layer
+   AND c.ax1 < p.px AND p.px < c.ax2
+   AND c.ay1 < p.py AND p.py < c.ay2
+  GROUP BY 1, 2
+),
+bin_tot AS (
+  SELECT {b.bin_sql('eta')} AS eta_bin, count(*) AS n_rays
+  FROM rays GROUP BY 1
+),
+vdim AS (SELECT DISTINCT variant FROM corners),
+hit_agg AS (
+  SELECT variant, {b.bin_sql('eta')} AS eta_bin,
+         count(*) AS n_hit, sum(n) AS sum_n,
+         sum({T_COEFF} / sqrt(n)) AS sum_t
+  FROM per_hit GROUP BY 1, 2
+)
+SELECT v.variant, t.eta_bin, t.n_rays,
+       round(coalesce(h.n_hit, 0) / CAST(t.n_rays AS DOUBLE), 6) AS eff,
+       round(coalesce(h.sum_n, 0) / CAST(t.n_rays AS DOUBLE), 6) AS mean_n,
+       round(h.sum_t / h.n_hit, 6) AS mean_t
+FROM bin_tot t CROSS JOIN vdim v
+LEFT JOIN hit_agg h ON h.variant = v.variant AND h.eta_bin = t.eta_bin
+"""
+
+
 # ------------------------------------------------------------- oracle SQL
 def _hits_cte(n_rays: int) -> str:
     return f"""

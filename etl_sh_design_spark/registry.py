@@ -543,6 +543,17 @@ def q_mirror_union(spark, sf_dir):
 # local gate (tests/test_driver_contract.py replays ALL queries vs
 # DuckDB with a dtype-class parity check matching the driver's hasher).
 _DRIVER_WINDOW_PRIORITY = [
+    # --- round-7 additions: first driver signal for new queries ---
+    "tile_real_face_modules",
+    "tile_real_flavor_counts",
+    "tile_real_boards",
+    "boards_rollup",
+    "acceptance_multi_variant",
+    # --- round-7 rewrites needing re-green (stats_summary exact->
+    # --- contracted percentiles, intersect_customers lazified) ---
+    "stats_summary",
+    "intersect_customers",
+    "so3_set_equality",
     # --- round-6 additions: first driver signal for new queries ---
     "real_acceptance_profile",
     "real_tdr_hit_histogram",
@@ -607,13 +618,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_neardup_blocked",
     "real_export_centers_check",
 ]
-# Round-6 window rationale: 2 new queries first (their only chance at
-# first-round signal), then the 12 never-driver-checked stragglers
-# (incl. rows-only hll_distinct_sketch), then every query whose
-# implementation was rewritten AFTER its last driver green, then the
-# queries with the OLDEST driver signal (r1-r3). After this window,
-# union(r1..r6) driver-confirms every registered query at least once
-# and nothing green predates the code it tested. Everything else is
+# Round-7 window rationale: the 5 round-7 additions first (first
+# driver signal: the real-tiling count pins, the board arithmetic, the
+# one-pass multi-variant study), then the 3 round-7 REWRITES
+# (stats_summary percentile contract, the lazified scalar probes) whose
+# last green predates the rewrite, then the round-6 block and the
+# refresh tail exactly as round 6 ordered them (union(r1..r6) already
+# driver-confirms every pre-r7 query at least once with nothing green
+# predating its code). Everything outside the 50-entry prefix is
 # replayed each session by the local dtype-hardened gate
 # (tests/test_driver_contract.py).
 
@@ -648,6 +660,7 @@ def _load_extensions() -> None:
         registry_r5b,
         registry_r5c,
         registry_r6,
+        registry_r7,
         registry_tiling,
         registry_wide,
     )

@@ -1,0 +1,264 @@
+"""Round-7 extension registry: reference-fidelity closure queries.
+
+1. The faithful REAL dee tiling (plans/dee_faces.py): per-face module
+   totals, flavor counts, and board (RB/PB/VTRX) rollups of the
+   'updated'/'S' tiling the reference prints at dee_geometry.py:382-394.
+   The Spark pipeline's only non-SQL island is the polygon-overlap UDF,
+   so these queries pin against VALUES oracles carrying the counts
+   INDEPENDENTLY re-derived by the sequential reference-algorithm
+   golden (tools/ref_tiling_golden.py) — which itself reproduces five
+   committed reference notebook outputs exactly (see its docstring) and
+   is asserted equal to these constants in tests/test_faces_tiling.py.
+   The driver check therefore says: the distributed declarative tiling
+   == the sequential reference algorithm, end to end.
+
+2. `boards_rollup`: the board-geometry arithmetic (ETL.py:163-204,
+   312-357, 506-533) over a synthetic supermodule fixture with a FULL
+   SQL oracle twin (both engines run the same explode arithmetic).
+
+3. `acceptance_multi_variant`: the one-pass N-variant acceptance study
+   (geometric_acceptance.ipynb cell 60) — one ray scan against a
+   variant-tagged corner union, full SQL oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark import datagen
+from etl_sh_design_spark.plans import acceptance, dee_faces
+from etl_sh_design_spark.registry import N_RAYS, query
+from etl_sh_design_spark.registry_r5c import _query_if
+from etl_sh_design_spark.sources.io import reference_dir
+
+# ---------------------------------------------------------------------
+# golden-derived pinned counts for the real 'updated'/'S' tiling
+# (tools/ref_tiling_golden.py tile_updated_all(); provenance chain in
+# the module docstring). tests/test_faces_tiling.py recomputes these
+# from the golden every run — a drift fails the suite, not the driver.
+# ---------------------------------------------------------------------
+REAL_TILING_PINNED = {
+    # face: (n_modules, n_supermodules, {flavor: n_boards})
+    "face1": (456, 76, {7: 36, 6: 28, 3: 12}),
+    "face2": (460, 79, {7: 25, 6: 41, 3: 13}),
+    "face3": (460, 76, {7: 37, 6: 28, 3: 11}),
+    "face4": (460, 79, {7: 25, 6: 41, 3: 13}),
+}
+
+_FACE_MODULES_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{f}', CAST({m} AS BIGINT), CAST({s} AS BIGINT))"
+        for f, (m, s, _fc) in REAL_TILING_PINNED.items()
+    )
+    + ") AS t(face, n_modules, n_supermodules)"
+)
+
+_FLAVOR_COUNTS_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{f}', {fl}, CAST({n} AS BIGINT))"
+        for f, (_m, _s, fc) in REAL_TILING_PINNED.items()
+        for fl, n in sorted(fc.items())
+    )
+    + ") AS t(face, flavor, n_boards)"
+)
+
+
+@query("tile_real_face_modules", _FACE_MODULES_ORACLE)
+def q_tile_real_face_modules(spark, sf_dir):
+    """Per-face module + supermodule totals of the faithful REAL
+    'updated'/'S' dee tiling — the numbers dee_geometry.py:387-388
+    prints per layer. Closes the last rows-only SURVEY row: the polygon
+    path is now count-pinned against the independently re-derived
+    reference algorithm (see module docstring for the oracle
+    provenance).
+
+    Plan: codegen grid -> one Arrow-batched polygon-flag UDF per face
+    -> (face,iy)-keyed windows -> broadcast partition lookup -> 4-row
+    agg. Shuffles only on row keys; a 1000x finer grid scales."""
+    return dee_faces.face_module_totals(spark)
+
+
+@query("tile_real_flavor_counts", _FLAVOR_COUNTS_ORACLE)
+def q_tile_real_flavor_counts(spark, sf_dir):
+    """Per-face RB flavor census of the real tiling (the quarter-ETL
+    side of the Small/Medium/Large RB print, dee_geometry.py:392-394:
+    totals x4 = 196/552/492)."""
+    return dee_faces.face_flavor_counts(spark).orderBy("face", "flavor")
+
+
+# ---------------------------------------------------------------------
+# board rollup of the real tiling: counts + areas derivable from the
+# pinned flavor census (every PB is 3-module-high: flavor<=5 keeps one,
+# flavor>5 splits into two — ETL.py:506-533)
+# ---------------------------------------------------------------------
+def _board_rollup_rows():
+    rows = []
+    for face, (_m, n_sm, fc) in REAL_TILING_PINNED.items():
+        rb_area = sum(
+            c * (f * dee_faces.MOD_H + (f - 1) * dee_faces.GAP) * dee_faces.RB_W
+            for f, c in fc.items()
+        )
+        n_pb = fc.get(3, 0) + 2 * (fc.get(6, 0) + fc.get(7, 0))
+        pb_area = n_pb * dee_faces.PB_H3 * dee_faces.PB_W
+        vtrx_area = n_sm * dee_faces.VTRX_H * dee_faces.VTRX_W
+        rows += [
+            (face, "PB", n_pb, round(pb_area, 2)),
+            (face, "RB", n_sm, round(rb_area, 2)),
+            (face, "VTRX", n_sm, round(vtrx_area, 2)),
+        ]
+    return rows
+
+
+_REAL_BOARDS_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{f}', '{k}', CAST({n} AS BIGINT), {a!r}::DOUBLE)"
+        for f, k, n, a in _board_rollup_rows()
+    )
+    + ") AS t(face, kind, n_boards, total_area)"
+)
+
+
+@query("tile_real_boards", _REAL_BOARDS_ORACLE)
+def q_tile_real_boards(spark, sf_dir):
+    """RB/PB/VTRX board census of the real tiling: per (face, kind)
+    counts + total board area. The Spark side explodes the placed
+    supermodules into board rectangles (plans/dee_faces.py
+    boards_from_supermodules); the oracle carries the totals derived
+    from the pinned flavor census."""
+    return dee_faces.boards_rollup(dee_faces.face_boards(spark)).orderBy("face", "kind")
+
+
+# ---------------------------------------------------------------------
+# synthetic supermodule fixture: FULL SQL oracle for the board
+# arithmetic itself (positions, splits, orientation mirroring)
+# ---------------------------------------------------------------------
+_SM_FIXTURE = [
+    # (face, iy, sm_start, flavor) — covers both orientations, both
+    # centerings, all three flavors, split alignment, multiple rows
+    ("face1", 10, 2, 7),
+    ("face1", 10, 9, 6),
+    ("face1", 11, 4, 3),
+    ("face2", 12, 0, 7),
+    ("face3", 14, 5, 6),
+    ("face3", 14, 11, 3),
+    ("face4", 16, 7, 7),
+    ("face4", 18, 1, 6),
+]
+
+_SM_FIXTURE_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{f}', {iy}, {st}, {fl})" for f, iy, st, fl in _SM_FIXTURE)
+    + ") AS sm(face, iy, sm_start, flavor)"
+)
+
+_FACE_DIM_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{face}', {dee_faces.face_y0(ori, cen)!r}::DOUBLE, "
+        f"{1.0 if ori == 'above' else -1.0!r}::DOUBLE)"
+        for face, (ori, cen, _r) in dee_faces.FACE_CONFIGS.items()
+    )
+    + ") AS d(face, y0, osign)"
+)
+
+_BOARDS_ROLLUP_SQL = (
+    "WITH "
+    + dee_faces.boards_sql(_SM_FIXTURE_SQL, _FACE_DIM_SQL)
+    + """
+SELECT face, iy, sm_start, flavor, kind, board_ix,
+       round(x, 6) AS x, round(y, 6) AS y,
+       round(height, 6) AS height, round(width, 6) AS width,
+       round(x - height / 2, 6) AS x1, round(x + height / 2, 6) AS x2,
+       round(y - width / 2, 6) AS y1, round(y + width / 2, 6) AS y2
+FROM boards
+"""
+)
+
+
+@query("boards_rollup", _BOARDS_ROLLUP_SQL)
+def q_boards_rollup(spark, sf_dir):
+    """Board-geometry arithmetic over a synthetic supermodule fixture —
+    full per-board SQL oracle: RB/PB/VTRX positions, the flavor>5 PB
+    split with right-alignment (shifter 0 only for flavor 6), and the
+    above/below orientation mirroring (ETL.py:163-204, 352-357,
+    506-533). Pure explode arithmetic, no UDF, broadcast face dim."""
+    spark_sm = spark.createDataFrame(
+        _SM_FIXTURE, "face STRING, iy INT, sm_start INT, flavor INT"
+    )
+    b = dee_faces.boards_from_supermodules(
+        spark_sm, dee_faces.face_orientation_dim(spark)
+    )
+    return b.select(
+        "face",
+        "iy",
+        "sm_start",
+        "flavor",
+        "kind",
+        "board_ix",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("height", 6).alias("height"),
+        F.round("width", 6).alias("width"),
+        F.round("x1", 6).alias("x1"),
+        F.round("x2", 6).alias("x2"),
+        F.round("y1", 6).alias("y1"),
+        F.round("y2", 6).alias("y2"),
+    )
+
+
+# ---------------------------------------------------------------------
+# one-pass multi-variant acceptance (geometric_acceptance.ipynb cell 60)
+# ---------------------------------------------------------------------
+_REF_DIR = reference_dir()
+_NEW_YAML = os.path.join(_REF_DIR, "layouts", "database_new.yaml")
+_TDR_YAML = os.path.join(_REF_DIR, "layouts", "database_TDR.yaml")
+_HAVE_YAMLS = os.path.isfile(_NEW_YAML) and os.path.isfile(_TDR_YAML)
+
+
+def _variant_corner_sql(yaml_path: str, layout: str) -> str:
+    rows = acceptance.real_layout_sensor_rows(yaml_path, layout)
+    values = ",".join(f"({lyr},{x!r},{y!r})" for lyr, x, y in rows)
+    hx, hy = acceptance.REAL_ACTIVE_HALF_X, acceptance.REAL_ACTIVE_HALF_Y
+    return (
+        f"SELECT layer, x - {hx!r} AS ax1, x + {hx!r} AS ax2, "
+        f"y - {hy!r} AS ay1, y + {hy!r} AS ay2 "
+        f"FROM (VALUES {values}) AS c(layer, x, y)"
+    )
+
+
+@_query_if(
+    _HAVE_YAMLS,
+    "acceptance_multi_variant",
+    acceptance.multi_variant_acceptance_sql(
+        N_RAYS,
+        {
+            "new": _variant_corner_sql(_NEW_YAML, "new"),
+            "TDR": _variant_corner_sql(_TDR_YAML, "TDR"),
+            "synthetic": f"SELECT layer, ax1, ax2, ay1, ay2 FROM ({datagen.SENSORS_SQL})",
+        },
+    )
+    if _HAVE_YAMLS
+    else None,
+)
+def q_acceptance_multi_variant(spark, sf_dir):
+    """N-variant acceptance profile from ONE ray scan: the 'new' and
+    'TDR' shipped layouts plus the synthetic grid, joined as a
+    variant-tagged corner union. Per-bin ray totals are computed once
+    (variant-independent); misses are reconstructed arithmetically, so
+    neither the ray scan nor the ray row count is multiplied by the
+    variant count — the reference's cell-60 four-variant loop collapses
+    into a single binned equi-join. Plan-asserted single-scan in
+    tests/test_faces_tiling.py."""
+    variants = {
+        "new": acceptance.real_layout_sensors(spark, _NEW_YAML, "new"),
+        "TDR": acceptance.real_layout_sensors(spark, _TDR_YAML, "TDR"),
+        "synthetic": datagen.sensors(spark).select(
+            "layer", "ax1", "ax2", "ay1", "ay2"
+        ),
+    }
+    return acceptance.multi_variant_acceptance(spark, N_RAYS, variants)
