@@ -549,11 +549,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "tile_real_boards",
     "boards_rollup",
     "acceptance_multi_variant",
-    # --- round-7 rewrites needing re-green (stats_summary exact->
-    # --- contracted percentiles, intersect_customers lazified) ---
+    # --- round-7 rewrites needing re-green (buffering percentile ->
+    # --- sort-spillable rank plan; scalar probes lazified) ---
     "stats_summary",
+    "mad_outliers_events",
+    "quality_calibration_sources",
     "intersect_customers",
     "so3_set_equality",
+    # (real_occupancy_bandwidth was also lazified this round — it is
+    # already below in the round-6 block, so it re-greens in-window)
     # --- round-6 additions: first driver signal for new queries ---
     "real_acceptance_profile",
     "real_tdr_hit_histogram",
@@ -620,9 +624,10 @@ _DRIVER_WINDOW_PRIORITY = [
 ]
 # Round-7 window rationale: the 5 round-7 additions first (first
 # driver signal: the real-tiling count pins, the board arithmetic, the
-# one-pass multi-variant study), then the 3 round-7 REWRITES
-# (stats_summary percentile contract, the lazified scalar probes) whose
-# last green predates the rewrite, then the round-6 block and the
+# one-pass multi-variant study), then the 5 round-7 REWRITES (the three
+# buffering-percentile queries moved to the rank plan, the two lazified
+# scalar probes) whose last green predates the rewrite, then the
+# round-6 block and the
 # refresh tail exactly as round 6 ordered them (union(r1..r6) already
 # driver-confirms every pre-r7 query at least once with nothing green
 # predating its code). Everything outside the 50-entry prefix is

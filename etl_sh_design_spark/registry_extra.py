@@ -106,12 +106,14 @@ FROM (
 )
 def q_intersect(spark, sf_dir):
     """SO set layer completeness: INTERSECT (customers with both open
-    and finished orders)."""
+    and finished orders). LAZY single-row aggregate — building the
+    DataFrame triggers no job (the former eager .count() executed at
+    queries()-construction time; regression-tested by
+    tests/test_monitoring.py::test_query_construction_runs_no_jobs)."""
     o = _t(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    n = a.intersect(b).count()
-    return spark.createDataFrame([(n,)], "n_both BIGINT")
+    return a.intersect(b).agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
 
 
 @query(
@@ -129,19 +131,38 @@ GROUP BY 1
 """,
 )
 def q_stats(spark, sf_dir):
-    """Ordered-statistics aggregate battery: exact percentile (linear
-    interpolation, matches quantile_cont), sample stddev, count
-    distinct. (`approx_count_distinct`/`percentile_approx` are exposed
-    too but sketch results are engine-specific, so the oracle pins the
-    exact forms.)"""
+    """Ordered-statistics aggregate battery: exact interpolated median
+    (matches quantile_cont), sample stddev, count distinct.
+
+    The median comes from operators/percentile.grouped_percentiles —
+    the sort-spillable rank plan — NOT the buffering `percentile(...)`
+    aggregate: l_returnflag has 3 values over ALL of lineitem, exactly
+    the huge-group shape that OOMs the buffering form at 100 TB
+    (plan-linted: rule EXACT_PERCENTILE)."""
+    from etl_sh_design_spark.operators.percentile import grouped_percentiles
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    med = grouped_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", {"median_price": 0.5}
+    )
+    base = li.groupBy("l_returnflag").agg(
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
         F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return base.join(
+        med.select("l_returnflag", F.round("median_price", 4).alias("median_price")),
+        "l_returnflag",
+    ).select(
+        "l_returnflag",
+        "min_price",
+        "max_price",
+        "mean_price",
+        "median_price",
+        "sd_price",
+        "n_parts",
     )
 
 

@@ -290,13 +290,16 @@ SELECT (SELECT count(*) FROM (SELECT * FROM l1 EXCEPT ALL SELECT * FROM l2)) AS 
 def q_set_equality(spark, sf_dir):
     """SO3 set-equality check (TDR disk1 == disk2 comparison,
     geometric_acceptance.ipynb cell 44 semantics) via exceptAll both
-    ways."""
+    ways. LAZY: the two scalar counts are single-row aggregates
+    cross-joined into one row — no job runs at DataFrame-build time
+    (the former eager .count() pair did; see
+    tests/test_monitoring.py::test_query_construction_runs_no_jobs)."""
     s = datagen.sensors(spark)
     l1 = s.filter(F.col("layer") == 1).select("x", "y")
     l2 = s.filter(F.col("layer") == 2).select("x", "y")
-    n1 = l1.exceptAll(l2).count()
-    n2 = l2.exceptAll(l1).count()
-    return spark.createDataFrame([(n1, n2)], "n_only_1 BIGINT, n_only_2 BIGINT")
+    n1 = l1.exceptAll(l2).agg(F.count(F.lit(1)).cast("bigint").alias("n_only_1"))
+    n2 = l2.exceptAll(l1).agg(F.count(F.lit(1)).cast("bigint").alias("n_only_2"))
+    return n1.crossJoin(n2)
 
 
 @query(

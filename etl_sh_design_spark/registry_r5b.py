@@ -204,23 +204,22 @@ def q_mad_outliers_events(spark, sf_dir):
     cf. `stats_summary`) — the standard telemetry-sanity check before
     trusting pipeline throughput metrics.
 
-    Both engines compute the EXACT interpolated median (Spark
-    `percentile`, DuckDB `median` = percentile_cont), so the oracle
-    hash-matches; at 100 TB you'd swap in `approx_percentile` (the
-    approx surface exists: `approx_stats`). Two |E|-keyed shuffles
-    (median, then MAD over deviations) and a broadcast of the
-    per-type medians — group count is the only state.
+    Both engines compute the EXACT interpolated median (DuckDB
+    `median` = percentile_cont; Spark via the sort-spillable rank plan
+    in operators/percentile.grouped_percentiles — the buffering
+    `percentile()` aggregate would hold an entire event_type's values
+    in one executor at 100 TB and is plan-lint-banned), so the oracle
+    hash-matches. Two |E|-keyed shuffles (median, then MAD over
+    deviations) and a broadcast of the per-type medians.
     """
+    from etl_sh_design_spark.operators.percentile import grouped_percentiles
+
     e = _t(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
-    )
+    med = grouped_percentiles(e, ["event_type"], "value", {"med": 0.5})
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
     )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(ad, 0.5)").alias("mad")
-    )
+    mad = grouped_percentiles(dev, ["event_type"], "ad", {"mad": 0.5})
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
@@ -663,23 +662,24 @@ def q_quality_calibration_sources(spark, sf_dir):
     books corpus's 0.6). Reports the calibration table (p05/p95), the
     clipped-doc count, and the post-calibration mean per source.
 
-    Exact interpolated percentiles on both engines (Spark
-    `percentile`, DuckDB `quantile_cont`); the normalization runs as
-    one expression with identical operation order on both sides, and
-    the mean is rounded 6dp (accumulation-order discipline). Two
-    source-keyed shuffles (percentile, final agg) plus a broadcast of
-    the |sources| calibration table; at 100 TB swap
-    approx_percentile, same plan shape.
+    Exact interpolated percentiles on both engines (DuckDB
+    `quantile_cont`; Spark via the sort-spillable rank plan in
+    operators/percentile.grouped_percentiles — the buffering
+    `percentile()` aggregate is plan-lint-banned for huge-group
+    safety); the normalization runs as one expression with identical
+    operation order on both sides, and the mean is rounded 6dp
+    (accumulation-order discipline). Two source-keyed shuffles
+    (percentile, final agg) plus a broadcast of the |sources|
+    calibration table.
     """
+    from etl_sh_design_spark.operators.percentile import grouped_percentiles
+
     d = _t(spark, sf_dir, "documents")
     scored = d.select(
         "source",
         text.quality_score("text").alias("score"),
     )
-    pct = scored.groupBy("source").agg(
-        F.expr("percentile(score, 0.05)").alias("p05"),
-        F.expr("percentile(score, 0.95)").alias("p95"),
-    )
+    pct = grouped_percentiles(scored, ["source"], "score", {"p05": 0.05, "p95": 0.95})
     j = scored.join(F.broadcast(pct), "source")
     calibrated = F.when(
         F.col("p95") > F.col("p05"),

@@ -247,22 +247,35 @@ def q_real_occupancy_bandwidth(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    n_sensors = c.count()
-    n_etrocs = 2 * n_sensors
-    return h.agg(
-        F.lit(n_sensors).cast("bigint").alias("n_sensors"),
-        F.lit(n_etrocs).cast("bigint").alias("n_etrocs_measured"),
-        F.sum("cnt").cast("bigint").alias("n_etrocs_in_range"),
-        F.round(F.lit(80.0 * _N_ETROCS * _L1A / 1e12), 6).alias(
-            "bandwidth_header_tbs"
-        ),
-        F.round(
-            F.sum(
-                (_OCC_LO + (F.col("bin") + 0.5) * width)
-                * 40 * 256 / 100 * F.col("cnt") * 16 * _L1A / 1e12
+    # LAZY scalar side: the sensor count rides a 1-row aggregate
+    # cross-joined in (the former eager .count() executed at
+    # queries()-construction time; tests/test_lazy_construction.py)
+    totals = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sensors"),
+        (F.count(F.lit(1)) * 2).cast("bigint").alias("n_etrocs_measured"),
+    )
+    return (
+        h.agg(
+            F.sum("cnt").cast("bigint").alias("n_etrocs_in_range"),
+            F.round(F.lit(80.0 * _N_ETROCS * _L1A / 1e12), 6).alias(
+                "bandwidth_header_tbs"
             ),
-            6,
-        ).alias("bandwidth_data_tbs"),
+            F.round(
+                F.sum(
+                    (_OCC_LO + (F.col("bin") + 0.5) * width)
+                    * 40 * 256 / 100 * F.col("cnt") * 16 * _L1A / 1e12
+                ),
+                6,
+            ).alias("bandwidth_data_tbs"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_sensors",
+            "n_etrocs_measured",
+            "n_etrocs_in_range",
+            "bandwidth_header_tbs",
+            "bandwidth_data_tbs",
+        )
     )
 
 

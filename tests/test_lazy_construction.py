@@ -1,0 +1,116 @@
+"""Uniform laziness: building a registered query's DataFrame must not
+run Spark jobs — execution belongs to the consumer (the driver calls
+queries()[name](spark, sf) for ALL entries before collecting any; an
+eager .count()/.collect() inside a builder would execute at
+construction time and double-charge the driver).
+
+Attribution is by JOB GROUP, not timing: each builder runs under its
+own job group, which Spark's async broadcast/subquery futures inherit
+(withThreadLocalCaptured), so late-landing jobs are still charged to
+the builder that caused them.
+
+Builders whose ALGORITHM legitimately executes at build time are the
+documented exceptions below — each names the driver-coordinated step
+that makes it inherently eager (range-rank subtotal collection,
+checkpointed shared sub-plans, trained codebooks, iterative loops).
+"""
+
+from __future__ import annotations
+
+import time
+
+import os
+
+from etl_sh_design_spark.registry import queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+# name -> the documented eager step (SURVEY-documented algorithms and
+# size contracts, not laziness bugs)
+EAGER_BUILDERS = {
+    "bpe_merge_learn": "greedy merge loop: each round's winner gates the next",
+    "bpe_compression_curve": "same greedy merge loop, curve over rounds",
+    "kmeans_profile": "Lloyd iterations: centroids recomputed per round",
+    "semantic_dedup": "k-means assignment feeding the cell-local dedup",
+    "pagerank_hubs": "power iterations with per-round rank state",
+    "lpa_communities": "label-propagation rounds",
+    "dedup_clusters": "union-find edge materialization (size-contracted)",
+    "dedup_keep_best": "same union-find sub-plan",
+    "dedup_size_histogram": "same union-find sub-plan",
+    "incremental_neardup": "incremental snapshot loop",
+    "incremental_refresh_pipeline": "incremental snapshot loop",
+    "graph_components": "large-star/small-star rounds",
+    "token_budget_selection": "range-rank: per-partition subtotal offsets",
+    "curation_pipeline_e2e": "composition includes the range-rank step",
+    "ntile_acctbal": "range-rank: eager checkpoint pins the sampled "
+    "range partitioning + P-row subtotal collect",
+    "cms_token_frequency": "sketch built via per-partition aggregation",
+    "quantile_sketch_events": "mergeable sketch build",
+    "hll_distinct_sketch": "sketch build",
+    "j9_run_comparison": "reads runs cached by an earlier write step",
+    "ann_recall_at_k": "probe panel materialized to bound the brute side",
+    "lsh_recall_eval": "same probe panel",
+    "knn_label_accuracy": "probe panel materialized",
+    "knn_label_accuracy_stratified": "hash-order-statistic panel",
+    "real_export_centers_check": "regenerates + reloads the YAML export",
+    "embedding_neardup": "size-measured dispatch: counts the corpus to "
+    "choose broadcast GEMM vs blocked GEMM (documented auto-dispatch)",
+    "embedding_neardup_blocked": "same size-measured dispatch, forced "
+    "blocked path still sizes the blocks",
+    "similarity_ann_lsh": "SRP plane-literal derivation samples the "
+    "embedding dim (first-row probe)",
+    "pq_ann_topk": "PQ codebook training (sampled k-means) broadcasts "
+    "trained centroids",
+    "ivfpq_ann_topk": "IVF + PQ codebook training",
+    "similarity_ann_ivf": "IVF centroid training",
+    "skew_report_events": "exact quantile via range-rank subtotals",
+    "top_bigrams": "top-k vocabulary cut materialized for the "
+    "post-limit theta-join",
+    "vocab_coverage": "top-k vocabulary cut materialized",
+    "source_token_kl": "corpus-total scalars materialized for the "
+    "closed-form KL",
+    "minhash_estimate_error": "shared candidate-pair sub-plan "
+    "checkpoint",
+    "j6_ordinal_join": "checkpointed runs table shared by both join "
+    "sides",
+}
+
+# datasource schema-probe jobs (1 footer-read task on first scan of a
+# path) are scan SETUP, not execution
+_SCAN_SETUP_PREFIXES = ("parquet at ", "json at ", "csv at ", "text at ")
+
+
+def test_query_construction_runs_no_jobs(spark):
+    sc = spark.sparkContext
+    store = spark._jsc.sc().statusStore()
+    qs = queries()
+    built = []
+    for name, fn in qs.items():
+        sc.setJobGroup(f"lazy::{name}", f"construction of {name}")
+        try:
+            fn(spark, SF_DIR)
+            built.append(name)
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"{name}: builder raised {exc}") from exc
+        finally:
+            sc.setJobGroup("lazy::settle", "between builders")
+    time.sleep(2.0)  # let async broadcast futures land in the store
+
+    jl = store.jobsList(None)
+    offenders: dict[str, int] = {}
+    for i in range(jl.size()):
+        j = jl.apply(i)
+        if j.name().startswith(_SCAN_SETUP_PREFIXES):
+            continue
+        grp = j.jobGroup()
+        if not grp.isDefined():
+            continue
+        g = grp.get()
+        if not g.startswith("lazy::") or g == "lazy::settle":
+            continue
+        qname = g[len("lazy::") :]
+        if qname in EAGER_BUILDERS:
+            continue
+        offenders[qname] = offenders.get(qname, 0) + 1
+    assert len(built) > 100  # the registry really was walked
+    assert not offenders, f"lazy builders ran jobs: {offenders}"

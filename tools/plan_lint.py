@@ -23,6 +23,12 @@ deliberately-accepted exceptions):
                 Limit/TakeOrdered in the same plan). Ranking
                 surfaces should use TakeOrderedAndProject or keyed
                 windows.
+- EXACT_PERCENTILE  The buffering exact `percentile(...)`/`median(...)`
+                aggregate: it collects EVERY value of a group into one
+                in-memory buffer — an executor OOM for huge groups at
+                100 TB. Use operators/percentile.grouped_percentiles
+                (sort-spillable exact rank plan) or percentile_approx;
+                whitelisting requires a documented per-group row bound.
 
 Usage:
     python tools/plan_lint.py            # lint all queries at sf0.001
@@ -108,6 +114,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "minhash_estimate_error": {"NESTED_LOOP": "candidate-pair side"},
     "lsh_recall_eval": {"NESTED_LOOP": "1-row candidate-count crossJoin"},
     "skew_report_events": {"NESTED_LOOP": "1-row stats crossJoin"},
+    "real_occupancy_bandwidth": {
+        "NESTED_LOOP": "1-row sensor-totals crossJoin (lazified scalar)"
+    },
     "tile_supermodules": {"NESTED_LOOP": "O(100)-row layout tables"},
     "j6_ordinal_join": {"NESTED_LOOP": "bounded theta-join (plan-tested)"},
     "top_bigrams": {"NESTED_LOOP": "post-limit top-k theta-join"},
@@ -205,6 +214,10 @@ def lint_plan(df) -> list[tuple[str, str]]:
         r"TakeOrderedAndProject|CollectLimit|GlobalLimit", plan
     ):
         findings.append(("GLOBAL_SORT", first_line(r"Sort \[[^\]]*\], true,")))
+    if re.search(r"(?<!approx_)\bpercentile\(|\bmedian\(", plan):
+        findings.append(
+            ("EXACT_PERCENTILE", first_line(r"(?<!approx_)\bpercentile\(|\bmedian\("))
+        )
     return findings
 
 
