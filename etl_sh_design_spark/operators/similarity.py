@@ -115,10 +115,20 @@ def srp_signature(
         # of a different length project against a truncated/null plane,
         # so callers with mixed widths must pass `dim` explicitly).
         first = df.select(F.size(F.col(vec_col)).alias("n")).first()
-        if first is None or first["n"] is None or first["n"] <= 0:
-            # Empty input (or null/empty first vector): nothing to
-            # bucket — return the stable schema with bucket 0.
+        if first is None:
+            # truly empty input: nothing to bucket — return the stable
+            # schema (bucket 0 on zero rows)
             return df.withColumn(out, F.lit(0).cast("int"))
+        if first["n"] is None or first["n"] <= 0:
+            # NON-empty frame whose probe row has a null/zero-size
+            # vector: silently assigning bucket 0 to every row would
+            # collapse SRP to a single bucket — surface the bad input
+            # instead (callers with mixed/partially-null vectors must
+            # pass `dim` explicitly)
+            raise ValueError(
+                f"srp_signature: first row's {vec_col!r} is null/empty on a "
+                "non-empty DataFrame; pass dim= explicitly"
+            )
         dim = first["n"]
     dv = _dvec(vec_col)
     bucket = F.lit(0)
@@ -310,9 +320,14 @@ def _blocked_gemm_pairs(
     GEMM: hash rows into B blocks, cogroup every block pair (i <= j),
     multiply executor-side. Output and rounding identical to the
     broadcast path."""
-    spark = df.sparkSession
     n_blocks = max(2, -(-n // target_block_rows))
-    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    # Block-pair fan-out happens MAP-SIDE with explode(sequence(...)):
+    # a left row in block k serves every pair (k, j >= k), a right row
+    # in block k every pair (i <= k, k). No driver-side B(B+1)/2 pair
+    # list, no broadcast table — at B=5000 the old createDataFrame
+    # carried ~12.5M driver tuples on the very path meant for
+    # beyond-broadcast scale. The O(B) per-row replication that remains
+    # is the exact all-pairs algorithm itself, not an artifact.
     bk = F.pmod(F.hash(F.col("_id")), F.lit(n_blocks)).cast("int")
     # two independently-aliased lineages (fresh exprIds on every output
     # column) so the cogroup is not an ambiguous self-join
@@ -322,10 +337,16 @@ def _blocked_gemm_pairs(
     rt = df.select(
         F.col(id_col).alias("_rid"), F.col(vec_col).alias("_rvec")
     ).withColumn("_rbk", F.pmod(F.hash(F.col("_rid")), F.lit(n_blocks)).cast("int"))
-    lbp = spark.createDataFrame(pair_rows, "_bi INT, _bj INT")
-    rbp = spark.createDataFrame(pair_rows, "_ci INT, _cj INT")
-    lhs = lt.join(F.broadcast(lbp), F.col("_bk") == F.col("_bi")).drop("_bk")
-    rhs = rt.join(F.broadcast(rbp), F.col("_rbk") == F.col("_cj")).drop("_rbk")
+    lhs = (
+        lt.withColumn("_bi", F.col("_bk"))
+        .withColumn("_bj", F.explode(F.sequence(F.col("_bk"), F.lit(n_blocks - 1))))
+        .drop("_bk")
+    )
+    rhs = (
+        rt.withColumn("_ci", F.explode(F.sequence(F.lit(0), F.col("_rbk"))))
+        .withColumn("_cj", F.col("_rbk"))
+        .drop("_rbk")
+    )
 
     def gemm(key, left, right):
         import numpy as np

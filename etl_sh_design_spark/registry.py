@@ -546,6 +546,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # --- round-7 additions: first driver signal for new queries ---
     "tile_real_face_modules",
     "tile_real_flavor_counts",
+    "tile_real_slot_states",
+    "tile_notebook_pins",
     "tile_real_boards",
     "boards_rollup",
     "acceptance_multi_variant",
@@ -622,9 +624,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_neardup_blocked",
     "real_export_centers_check",
 ]
-# Round-7 window rationale: the 5 round-7 additions first (first
-# driver signal: the real-tiling count pins, the board arithmetic, the
-# one-pass multi-variant study), then the 5 round-7 REWRITES (the three
+# Round-7 window rationale: the 7 round-7 additions first (first
+# driver signal: the real-tiling count/state/notebook pins, the board
+# arithmetic, the one-pass multi-variant study), then the 5 round-7
+# REWRITES (the three
 # buffering-percentile queries moved to the rank plan, the two lazified
 # scalar probes) whose last green predates the rewrite, then the
 # round-6 block and the

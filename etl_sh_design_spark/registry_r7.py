@@ -91,10 +91,96 @@ def q_tile_real_flavor_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
-# board rollup of the real tiling: counts + areas derivable from the
-# pinned flavor census (every PB is 3-module-high: flavor<=5 keeps one,
-# flavor>5 splits into two — ETL.py:506-533)
+# full per-slot state pin: every (face, iy, ix) slot's availability
+# state vs the generated golden literal (strongest driver check of the
+# availability machine — covers every maybe placement and polygon cut)
 # ---------------------------------------------------------------------
+from etl_sh_design_spark._real_slot_states import REAL_SLOT_STATES  # noqa: E402
+
+_SLOT_STATES_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{f}', {iy}, {ix}, '{st}')" for f, iy, ix, st in REAL_SLOT_STATES)
+    + ") AS t(face, iy, ix, state)"
+)
+
+
+@query("tile_real_slot_states", _SLOT_STATES_ORACLE)
+def q_tile_real_slot_states(spark, sf_dir):
+    """Per-slot availability state of the real tiling, all 4 faces x
+    29x29 slots — pinned against the independently re-derived
+    sequential golden (etl_sh_design_spark/_real_slot_states.py,
+    generated from tools/ref_tiling_golden.py; regenerated+asserted by
+    tests/test_faces_tiling.py). Slot-level, so a single flipped
+    'maybe' anywhere in the availability machine fails the driver."""
+    return dee_faces.all_face_slots(spark).select("face", "iy", "ix", "state")
+
+
+# ---------------------------------------------------------------------
+# committed-notebook pins as a DRIVER-checked query: the engine
+# reproduces five outputs committed in the reference's own notebooks
+# ---------------------------------------------------------------------
+_ALL4 = [("above", "module"), ("above", "pb"), ("below", "module"), ("below", "pb")]
+
+_NOTEBOOK_PINS = [
+    # (config label, committed value, notebook provenance)
+    ("example_modules_x4", 7704, "example.ipynb cell 14"),
+    ("ga_small_module_x2", 3936, "geometric_acceptance.ipynb cell 8"),
+    ("ga_large_module_x2", 3852, "geometric_acceptance.ipynb cell 19"),
+    ("descoped_above_pb", 385, "example.ipynb cell 25"),
+    ("ga_flavors_6_11_14", 3824, "geometric_acceptance.ipynb cell 30"),
+]
+
+_NOTEBOOK_PINS_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{c}', CAST({v} AS BIGINT))" for c, v, _src in _NOTEBOOK_PINS)
+    + ") AS t(config, n_modules)"
+)
+
+
+@query("tile_notebook_pins", _NOTEBOOK_PINS_ORACLE)
+def q_tile_notebook_pins(spark, sf_dir):
+    """The five committed reference notebook outputs reproduced by the
+    engine's tiling pipeline and pinned in the DRIVER correctness file
+    (provenance per row in _NOTEBOOK_PINS; the notebooks ran the older
+    no-maybe availability machine — tools/ref_tiling_golden.py
+    docstring). All five configurations are bare-annulus (no blocked
+    geometry), so the whole plan is pure whole-stage codegen.
+    Session-memoized: rebuilding per call would mint fresh exprIds and
+    defeat the Janino compile cache (see dee_faces._memo_df)."""
+    return dee_faces._memo_df(
+        spark, "tile_notebook_pins", lambda: _notebook_pins_plan(spark)
+    )
+
+
+def _notebook_pins_plan(spark):
+    mt = dee_faces.config_module_totals
+    parts = [
+        mt(
+            spark, "example_modules_x4", _ALL4, with_maybe=False,
+            mod_h=44.2, r_inner=315.0, edge_x=6.0,
+        ).select("config", (F.col("n_modules") * 4).alias("n_modules")),
+        mt(
+            spark, "ga_small_module_x2", _ALL4, with_maybe=False,
+            mod_h=43.10, r_inner=315.0, edge_x=6.0,
+        ).select("config", (F.col("n_modules") * 2).alias("n_modules")),
+        mt(
+            spark, "ga_large_module_x2", _ALL4, with_maybe=False,
+            mod_h=44.2, r_inner=315.0, edge_x=6.0,
+        ).select("config", (F.col("n_modules") * 2).alias("n_modules")),
+        mt(
+            spark, "descoped_above_pb", [("above", "pb")], with_maybe=False,
+            mod_h=44.2, r_inner=315.0, r_outer=1080.0, edge_x=6.0,
+        ),
+        mt(
+            spark, "ga_flavors_6_11_14", _ALL4, flavors=(14, 11, 6),
+            with_maybe=False,
+            mod_h=42.5 / 2 + 0.5 + 0.6, r_inner=315.0, edge_x=6.0,
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 def _board_rollup_rows():
     rows = []
     for face, (_m, n_sm, fc) in REAL_TILING_PINNED.items():

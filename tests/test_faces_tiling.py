@@ -137,6 +137,18 @@ class TestSparkMatchesGolden:
                 assert got[(face, fl)] == n
                 assert golden[face]["flavor_counts"][fl] == n
 
+    def test_generated_slot_states_match_golden(self, golden):
+        """The generated literal module (the driver oracle for
+        tile_real_slot_states) equals a fresh golden re-derivation."""
+        from etl_sh_design_spark._real_slot_states import REAL_SLOT_STATES
+
+        fresh = sorted(
+            (face, s.row, s.col, s.state)
+            for face, res in golden.items()
+            for s in res["slots"]
+        )
+        assert fresh == sorted(REAL_SLOT_STATES)
+
     def test_detector_print_shape(self, golden):
         """The dee_geometry.py:389-394 print: quarter total x4 and the
         Small/Medium/Large RB counts x4."""
