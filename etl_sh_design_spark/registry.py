@@ -607,35 +607,23 @@ _DRIVER_WINDOW_PRIORITY = [
     "bv_totals",
     "bv_config_search",
     # --- oldest driver signal (last green r1-r3); refresh toward
-    # --- union(r1..r6) = all registered queries driver-confirmed ---
+    # --- union(r1..r7) keeping the window at exactly 50 ---
     "acceptance_profile",
     "sensor_physics",
     "sensor_corners",
-    "module_rollup",
-    "occupancy_summary",
-    "bandwidth_totals",
-    "bv_zone_counts",
-    "bv_greedy_groups",
-    "ring_classification",
-    "hit_count_histogram",
-    "efficiency_returns",
-    "knn_label_accuracy_stratified",
-    "mod_partition_totals",
-    "embedding_neardup_blocked",
-    "real_export_centers_check",
 ]
 # Round-7 window rationale: the 7 round-7 additions first (first
 # driver signal: the real-tiling count/state/notebook pins, the board
-# arithmetic, the one-pass multi-variant study), then the 5 round-7
-# REWRITES (the three
-# buffering-percentile queries moved to the rank plan, the two lazified
-# scalar probes) whose last green predates the rewrite, then the
-# round-6 block and the
-# refresh tail exactly as round 6 ordered them (union(r1..r6) already
-# driver-confirms every pre-r7 query at least once with nothing green
-# predating its code). Everything outside the 50-entry prefix is
-# replayed each session by the local dtype-hardened gate
-# (tests/test_driver_contract.py).
+# arithmetic, the one-pass multi-variant study), then the 6 round-7
+# REWRITES (the three buffering-percentile queries moved to the rank
+# plan, the three lazified scalar probes — real_occupancy_bandwidth
+# sits in the round-6 block below) whose last green predates the
+# rewrite, then the round-6 block exactly as round 6 ordered it, then
+# the oldest-signal refresh trimmed to keep the window at EXACTLY 50
+# (the 12 dropped refresh entries are union(r1..r6)-green and
+# unchanged this round; they remain covered by the local
+# dtype-hardened replay gate, tests/test_driver_contract.py, which
+# replays ALL queries every session).
 
 
 def _windowed(d: dict) -> dict:

@@ -87,7 +87,7 @@ def q_tile_real_flavor_counts(spark, sf_dir):
     """Per-face RB flavor census of the real tiling (the quarter-ETL
     side of the Small/Medium/Large RB print, dee_geometry.py:392-394:
     totals x4 = 196/552/492)."""
-    return dee_faces.face_flavor_counts(spark).orderBy("face", "flavor")
+    return dee_faces.face_flavor_counts(spark)
 
 
 # ---------------------------------------------------------------------
@@ -216,7 +216,7 @@ def q_tile_real_boards(spark, sf_dir):
     supermodules into board rectangles (plans/dee_faces.py
     boards_from_supermodules); the oracle carries the totals derived
     from the pinned flavor census."""
-    return dee_faces.boards_rollup(dee_faces.face_boards(spark)).orderBy("face", "kind")
+    return dee_faces.boards_rollup(dee_faces.face_boards(spark))
 
 
 # ---------------------------------------------------------------------

@@ -136,6 +136,18 @@ WHITELIST: dict[str, dict[str, str]] = {
     "tile_slots_real_bbox": {
         "NESTED_LOOP": "slot x real-geometry bbox overlap (14-row dim)"
     },
+    # faithful per-face tiling family: the grid x face-dim cross join
+    # (<=4-row broadcast dim) + the partition-lookup broadcast
+    "tile_real_face_modules": {"NESTED_LOOP": "grid x 4-row face-dim cross join"},
+    "tile_real_flavor_counts": {"NESTED_LOOP": "grid x 4-row face-dim cross join"},
+    "tile_real_slot_states": {"NESTED_LOOP": "grid x 4-row face-dim cross join"},
+    "tile_real_boards": {"NESTED_LOOP": "grid x 4-row face-dim cross join"},
+    "tile_notebook_pins": {
+        "NESTED_LOOP": "grid x face-dim cross joins (5 bare-annulus configs)"
+    },
+    "acceptance_multi_variant": {
+        "NESTED_LOOP": "4-row layers dim cross join (flagship sub-plan)"
+    },
     "real_module_rows": {
         "GLOBAL_WIN": "rank over the 52-row distinct-y layout dimension"
     },
