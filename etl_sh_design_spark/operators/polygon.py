@@ -171,6 +171,68 @@ def rects_overlap_polygon(
     return rects.withColumn(out, _overlaps(F.col(x1), F.col(y1), F.col(x2), F.col(y2)))
 
 
+def rects_overlap_count(
+    rects: DataFrame,
+    polygons: dict[str, list[tuple[float, float]]],
+    x1: str = "x1",
+    y1: str = "y1",
+    x2: str = "x2",
+    y2: str = "y2",
+    out: str = "n_overlaps",
+) -> DataFrame:
+    """How many of the blocked polygons each rect overlaps — the
+    whole J3 polygon family in ONE Arrow-batched UDF.
+
+    Chaining `rects_overlap_polygon` once per shape (the pre-round-8
+    form of the real-geometry tiling) builds a 15-deep Python-eval
+    projection whose plan compile dominated the query (~6 s cold for
+    594 rows); looping the shapes INSIDE one vectorized batch does the
+    identical arithmetic with one UDF node. Same kernels:
+    corner-in-polygon ray cast + Liang-Barsky edge-vs-rect."""
+    polys = {
+        name: [(float(x), float(y)) for x, y in verts]
+        for name, verts in polygons.items()
+    }
+
+    if HAVE_SHAPELY:
+        from shapely.geometry import Polygon, box
+
+        shp = {name: Polygon(v) for name, v in polys.items()}
+
+        @F.pandas_udf(T.IntegerType())
+        def _count(ax: pd.Series, ay: pd.Series, bx: pd.Series, by: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    sum(p.intersects(box(a, b, c, d)) for p in shp.values())
+                    for a, b, c, d in zip(ax, ay, bx, by)
+                ],
+                dtype="int32",
+            )
+
+    else:
+
+        @F.pandas_udf(T.IntegerType())
+        def _count(ax: pd.Series, ay: pd.Series, bx: pd.Series, by: pd.Series) -> pd.Series:
+            rx1, ry1 = ax.values, ay.values
+            rx2, ry2 = bx.values, by.values
+            n_ovl = np.zeros(len(rx1), dtype=np.int32)
+            for verts in polys.values():
+                hit = np.zeros(len(rx1), dtype=bool)
+                for cxs, cys in ((rx1, ry1), (rx1, ry2), (rx2, ry1), (rx2, ry2)):
+                    hit |= _ray_cast(cxs, cys, verts)
+                n = len(verts)
+                for i in range(n):
+                    vx0, vy0 = verts[i]
+                    vx1, vy1 = verts[(i + 1) % n]
+                    hit |= _segment_intersects_rect(
+                        vx0, vy0, vx1, vy1, rx1, ry1, rx2, ry2
+                    )
+                n_ovl += hit
+            return pd.Series(n_ovl)
+
+    return rects.withColumn(out, _count(F.col(x1), F.col(y1), F.col(x2), F.col(y2)))
+
+
 def filter_blocked_polygons_overlap(
     rects: DataFrame,
     polygons: dict[str, list[tuple[float, float]]],

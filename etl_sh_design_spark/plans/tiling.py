@@ -246,6 +246,15 @@ def polygon_bboxes(polys: dict[str, list]) -> list[tuple]:
     ]
 
 
+# (applicationId, geometry, segments, layout) -> built slot DataFrame.
+# Keyed on the JVM-side application id, NOT id(spark): a stopped
+# session's CPython address can be reused by a new SparkSession, which
+# would hand out DataFrames bound to a dead JVM (ADVICE r7). Rebuilt
+# plans also mint fresh expression IDs, defeating the Janino compile
+# cache — for this dimension-sized pipeline compile time IS the cost.
+_REAL_MEMO: dict[tuple, DataFrame] = {}
+
+
 def slots_real(
     spark: SparkSession,
     geometry: str = "polygon",
@@ -254,26 +263,21 @@ def slots_real(
 ) -> DataFrame:
     """The slot table classified against the REAL 'updated' blocked
     geometry. geometry='polygon' runs the exact vectorized
-    rect-polygon overlap (Arrow-batched, map-only — one pass per
-    shape, no shuffle); geometry='bbox' uses the bounding-box
-    over-approximation (pure codegen, SQL-expressible). Everything
-    downstream (radial states, neighbor rule) is shared with the
-    stand-in path."""
+    rect-polygon overlap (ONE Arrow-batched UDF over all shapes,
+    map-only — no shuffle before the neighbor window); geometry='bbox'
+    uses the bounding-box over-approximation (pure codegen,
+    SQL-expressible). Everything downstream (radial states, neighbor
+    rule) is shared with the stand-in path."""
+    key = (spark.sparkContext.applicationId, geometry, circle_segments, layout)
+    got = _REAL_MEMO.get(key)
+    if got is not None:
+        return got
     grid = _slot_grid(spark)
     polys = reference_blocked_polygons(circle_segments, layout)
     if geometry == "polygon":
-        from etl_sh_design_spark.operators.polygon import rects_overlap_polygon
+        from etl_sh_design_spark.operators.polygon import rects_overlap_count
 
-        tagged = grid
-        names = []
-        for name, verts in polys.items():
-            tagged = rects_overlap_polygon(tagged, verts, out=f"_ov_{name}")
-            names.append(f"_ov_{name}")
-        n_overlaps = None
-        for n in names:
-            c = F.col(n).cast("int")
-            n_overlaps = c if n_overlaps is None else n_overlaps + c
-        n_blocked = tagged.withColumn("n_overlaps", n_overlaps).drop(*names)
+        n_blocked = rects_overlap_count(grid, polys)
     elif geometry == "bbox":
         bb = F.broadcast(
             spark.createDataFrame(
@@ -294,7 +298,62 @@ def slots_real(
         )
     else:
         raise ValueError(f"unknown geometry {geometry!r}")
-    return _with_availability(n_blocked)
+    out = _with_availability(n_blocked)
+    _REAL_MEMO[key] = out
+    return out
+
+
+# The EXACT approximation gap between the real polygons and their
+# bounding boxes over the 594-slot stand-in grid: the bbox path
+# OVERLAPS these 28 slots that the exact polygon path does not — the
+# corners of the nose circle's bounding square and the inner corners
+# of the outer-attachment caps at the disk rim. Strict one-way gap
+# (no slot is polygon-overlapped but bbox-free). Two of the 28
+# ((4,25) and (17,25)) are radially blocked anyway (slot rmax >=
+# R_OUTER), so only 26 are visible as STATE differences — that
+# 26-slot state diff is what tests/test_polygon_tiling.py pins
+# against the Spark pipelines. Verified three independent ways:
+# (a) tests/test_polygon_tiling.py re-derives this full 28-slot set
+#     with the sequential golden's own scalar rect-overlap
+#     implementation (tools/ref_tiling_golden.rect_overlaps_polygon —
+#     different code path than the Arrow UDF),
+# (b) dense point-grid sampling proves each state-visible slot is
+#     outside every exact polygon, and
+# (c) the strict-subset property is asserted over all 594 slots.
+# This constant makes the polygon tiling SQL-expressible: oracle =
+# bbox overlap counts with these slots corrected to unblocked
+# (`real_polygon_slots_sql`).
+POLY_FREE_BBOX_BLOCKED = {
+    (2, 22), (4, 25), (5, 3), (5, 4), (5, 5), (5, 6), (5, 7),
+    (6, 5), (6, 6), (6, 7), (7, 6), (7, 7), (8, 7),
+    (9, 7), (12, 7), (13, 7), (14, 6), (14, 7),
+    (15, 5), (15, 6), (15, 7), (16, 3), (16, 4),
+    (16, 5), (16, 6), (16, 7), (17, 25), (19, 22),
+}
+
+
+def real_polygon_slots_sql() -> str:
+    """Full-query oracle twin of `slots_real(geometry='polygon')`:
+    the bbox slot CTE chain with the pinned 26-slot approximation gap
+    (POLY_FREE_BBOX_BLOCKED) corrected back to unblocked before the
+    state/availability stages. Because the bbox is a strict
+    over-approximation, zeroing exactly the gap set reproduces the
+    polygon path's n_overlaps>0 predicate for every slot."""
+    fixes = ", ".join(f"({iy}, {ix})" for iy, ix in sorted(POLY_FREE_BBOX_BLOCKED))
+    inner = _slots_sql(real_bbox_blocked_sql())
+    # rename the bbox chain's novl -> novl_bbox, then re-point the
+    # downstream `staged` CTE at the corrected counts
+    inner = inner.replace("novl AS (", "novl_bbox AS (")
+    corrected = f"""
+poly_free AS (SELECT * FROM (VALUES {fixes}) AS pf(iy, ix)),
+novl AS (
+  SELECT b.iy, b.ix, b.x1, b.x2, b.y1, b.y2,
+         CASE WHEN pf.iy IS NOT NULL THEN 0 ELSE b.n_overlaps END AS n_overlaps
+  FROM novl_bbox b LEFT JOIN poly_free pf ON b.iy = pf.iy AND b.ix = pf.ix
+),"""
+    # splice the correction CTEs in right after novl_bbox (i.e. before
+    # `staged AS (`)
+    return inner.replace("\nstaged AS (", corrected + "\nstaged AS (")
 
 
 def real_bbox_blocked_sql() -> str:

@@ -19,16 +19,14 @@ import math
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from etl_sh_design_spark.plans import tiling
 
-# the exact slot set the bbox over-approximation wrongly blocks
-BBOX_ONLY_BLOCKED = {
-    (2, 22), (5, 3), (5, 4), (5, 5), (5, 6), (5, 7),
-    (6, 5), (6, 6), (6, 7), (7, 6), (7, 7), (8, 7),
-    (9, 7), (12, 7), (13, 7), (14, 6), (14, 7),
-    (15, 5), (15, 6), (15, 7), (16, 3), (16, 4),
-    (16, 5), (16, 6), (16, 7), (19, 22),
-}
+# the STATE-visible slice of the engine's pinned overlap gap: two of
+# the 28 raw-overlap-gap slots ((4,25)/(17,25)) are radially blocked
+# either way (rmax >= R_OUTER), so 26 slots differ in state
+BBOX_ONLY_BLOCKED = tiling.POLY_FREE_BBOX_BLOCKED - {(4, 25), (17, 25)}
 
 
 @pytest.fixture(scope="module")
@@ -94,6 +92,69 @@ def test_polygon_diffs_are_geometrically_explained(slot_states):
                 py = y1 + fy * tiling.SLOT_H
                 for name, verts in polys.items():
                     assert not point_in_poly(px, py, verts), (iy, ix, name)
+
+
+def test_gap_set_matches_independent_sequential_overlap():
+    """The 26-slot approximation gap (the constant that makes the
+    tile_slots_polygon oracle exact) re-derived from scratch with the
+    sequential golden's OWN scalar rect-overlap implementation
+    (tools/ref_tiling_golden — different code path from the Arrow UDF)
+    against the same stand-in grid + real polygons. Covers all 594
+    slots, both directions."""
+    from tools.ref_tiling_golden import rect_overlaps_polygon
+
+    polys = tiling.reference_blocked_polygons()
+    bboxes = {
+        name: (
+            min(x for x, _ in v), max(x for x, _ in v),
+            min(y for _, y in v), max(y for _, y in v),
+        )
+        for name, v in polys.items()
+    }
+    gap = set()
+    for iy in range(tiling.N_ROWS):
+        for ix in range(tiling.N_COLS):
+            x1 = ix * tiling.SLOT_W
+            x2 = x1 + tiling.SLOT_W
+            y1 = (iy - tiling.N_ROWS / 2.0) * tiling.SLOT_H
+            y2 = y1 + tiling.SLOT_H
+            poly_hit = any(
+                rect_overlaps_polygon(x1, y1, x2, y2, v) for v in polys.values()
+            )
+            bbox_hit = any(
+                x1 < bx2 and bx1 < x2 and y1 < by2 and by1 < y2
+                for bx1, bx2, by1, by2 in bboxes.values()
+            )
+            # strict over-approximation: polygon-hit implies bbox-hit
+            assert not (poly_hit and not bbox_hit), (iy, ix)
+            if bbox_hit and not poly_hit:
+                gap.add((iy, ix))
+    assert gap == tiling.POLY_FREE_BBOX_BLOCKED
+
+
+def test_polygon_oracle_states_match_spark(spark):
+    """The corrected-bbox oracle SQL (real_polygon_slots_sql) agrees
+    row-for-row with the Spark polygon path — the same comparison the
+    driver runs, replayed locally through DuckDB."""
+    import duckdb
+
+    sql = (
+        "WITH "
+        + tiling.real_polygon_slots_sql()
+        + " SELECT iy, ix, state, coalesce(available, FALSE) AS available"
+        " FROM slots ORDER BY iy, ix"
+    )
+    oracle = {
+        (iy, ix): (state, bool(av))
+        for iy, ix, state, av in duckdb.sql(sql).fetchall()
+    }
+    got = {
+        (r["iy"], r["ix"]): (r["state"], bool(r["available"]))
+        for r in tiling.slots_real(spark, "polygon")
+        .select("iy", "ix", "state", F.coalesce("available", F.lit(False)).alias("available"))
+        .collect()
+    }
+    assert got == oracle
 
 
 def test_inner_attachment_vertex_math():
