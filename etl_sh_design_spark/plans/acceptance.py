@@ -526,6 +526,116 @@ LEFT JOIN hit_agg h ON h.variant = v.variant AND h.eta_bin = t.eta_bin
 """
 
 
+def multi_variant_hit_histogram(
+    spark: SparkSession,
+    n_rays: int,
+    variants: dict[str, DataFrame],
+) -> DataFrame:
+    """Per-(variant, n) hit-count histogram + per-variant mean from
+    the SAME one-pass ray scan as `multi_variant_acceptance`
+    (geometric_acceptance.ipynb cells 62-66: `Hist1D(nHits[v],
+    "5,-0.5,4.5")` per variant and the printed histogram means).
+
+    The n=0 bin is reconstructed arithmetically (total rays minus the
+    variant's hit events), so zero-hit rays are never materialized per
+    variant — the hit sub-plan stays |hits|-sized, not rays x variants.
+    The positive-bin aggregate feeds both the histogram rows and the
+    per-variant mean; its shuffle is identical in both branches, so
+    Spark's ReuseExchange evaluates the ray scan once."""
+    per_hit = multi_variant_ray_hits(spark, n_rays, variants)
+    rays = datagen.rays(spark, n_rays).filter(F.col("eta") < F.lit(REAL_ETA_BINS.hi))
+    total = rays.agg(F.count(F.lit(1)).alias("n_total"))
+    pos = per_hit.groupBy(
+        "variant", F.col("n").cast("bigint").alias("n")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    vdim = spark.createDataFrame([(v,) for v in variants], "variant STRING")
+    sums = pos.groupBy("variant").agg(
+        F.sum("cnt").alias("n_hit"), F.sum(F.col("n") * F.col("cnt")).alias("sum_n")
+    )
+    per_variant = (
+        vdim.crossJoin(F.broadcast(total))
+        .join(sums, "variant", "left")
+        .select(
+            "variant",
+            "n_total",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("sum_n"), F.lit(0)) / F.col("n_total"), 6
+            ).alias("mean_n"),
+        )
+    )
+    zero = per_variant.select(
+        "variant",
+        F.lit(0).cast("bigint").alias("n"),
+        (F.col("n_total") - F.col("n_hit")).alias("cnt"),
+    )
+    hist = pos.select("variant", "n", "cnt").unionByName(zero)
+    return hist.join(
+        F.broadcast(per_variant.select("variant", "mean_n")), "variant"
+    ).select("variant", "n", "cnt", "mean_n")
+
+
+def multi_variant_hit_histogram_sql(
+    n_rays: int, variant_corner_sql: dict[str, str]
+) -> str:
+    """DuckDB twin of `multi_variant_hit_histogram` — same tagged
+    corner union, same arithmetic zero-bin reconstruction."""
+    union = " UNION ALL ".join(
+        f"SELECT '{name}' AS variant, * FROM ({sql})"
+        for name, sql in variant_corner_sql.items()
+    )
+    b = REAL_ETA_BINS
+    return f"""
+WITH layers AS ({datagen.LAYERS_SQL}),
+corners AS ({union}),
+rays AS (SELECT * FROM ({datagen.rays_sql(n_rays)}) WHERE eta < {b.hi!r}),
+total AS (SELECT count(*) AS n_total FROM rays),
+proj AS (
+  SELECT r.event_id, l.layer,
+         l.z_mm * r.tanth * r.cphi AS px,
+         l.z_mm * r.tanth * r.sphi AS py
+  FROM rays r CROSS JOIN layers l
+),
+per_hit AS (
+  SELECT c.variant, p.event_id, count(DISTINCT p.layer) AS n
+  FROM proj p
+  JOIN corners c
+    ON c.layer = p.layer
+   AND c.ax1 < p.px AND p.px < c.ax2
+   AND c.ay1 < p.py AND p.py < c.ay2
+  GROUP BY 1, 2
+),
+pos AS (
+  SELECT variant, CAST(n AS BIGINT) AS n, count(*) AS cnt
+  FROM per_hit GROUP BY 1, 2
+),
+vdim AS (SELECT DISTINCT variant FROM corners),
+sums AS (
+  -- CAST: DuckDB widens sum() to HUGEINT, which would diverge the
+  -- driver's dtype-class compare from Spark's BIGINT
+  SELECT variant, CAST(sum(cnt) AS BIGINT) AS n_hit,
+         CAST(sum(n * cnt) AS BIGINT) AS sum_n
+  FROM pos GROUP BY 1
+),
+per_variant AS (
+  SELECT v.variant, t.n_total,
+         coalesce(s.n_hit, 0) AS n_hit,
+         round(coalesce(s.sum_n, 0) / CAST(t.n_total AS DOUBLE), 6) AS mean_n
+  FROM vdim v CROSS JOIN total t
+  LEFT JOIN sums s ON s.variant = v.variant
+),
+hist AS (
+  SELECT variant, n, cnt FROM pos
+  UNION ALL
+  SELECT variant, CAST(0 AS BIGINT) AS n,
+         CAST(n_total - n_hit AS BIGINT) AS cnt
+  FROM per_variant
+)
+SELECT h.variant, h.n, h.cnt, p.mean_n
+FROM hist h JOIN per_variant p ON h.variant = p.variant
+"""
+
+
 # ------------------------------------------------------------- oracle SQL
 def _hits_cte(n_rays: int) -> str:
     return f"""

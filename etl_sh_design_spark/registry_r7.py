@@ -348,3 +348,34 @@ def q_acceptance_multi_variant(spark, sf_dir):
         ),
     }
     return acceptance.multi_variant_acceptance(spark, N_RAYS, variants)
+
+
+@_query_if(
+    _HAVE_YAMLS,
+    "acceptance_multi_variant_hist",
+    acceptance.multi_variant_hit_histogram_sql(
+        N_RAYS,
+        {
+            "new": _variant_corner_sql(_NEW_YAML, "new"),
+            "TDR": _variant_corner_sql(_TDR_YAML, "TDR"),
+            "synthetic": f"SELECT layer, ax1, ax2, ay1, ay2 FROM ({datagen.SENSORS_SQL})",
+        },
+    )
+    if _HAVE_YAMLS
+    else None,
+)
+def q_acceptance_multi_variant_hist(spark, sf_dir):
+    """Per-(variant, n) hit-count histogram + per-variant mean from
+    the SAME one-pass ray scan as `acceptance_multi_variant`
+    (geometric_acceptance.ipynb cells 62-66: one `Hist1D(nHits[v],
+    "5,-0.5,4.5")` per variant plus its printed mean) — round-8
+    closure of VERDICT r7 item 6. The n=0 bin is reconstructed
+    arithmetically, so the hit sub-plan is never rays x variants."""
+    variants = {
+        "new": acceptance.real_layout_sensors(spark, _NEW_YAML, "new"),
+        "TDR": acceptance.real_layout_sensors(spark, _TDR_YAML, "TDR"),
+        "synthetic": datagen.sensors(spark).select(
+            "layer", "ax1", "ax2", "ay1", "ay2"
+        ),
+    }
+    return acceptance.multi_variant_hit_histogram(spark, N_RAYS, variants)

@@ -261,6 +261,58 @@ class TestMultiVariantPlan:
         assert one == 2  # projection side + per-bin totals side
         assert three == one, f"ray scan multiplied by variants: {one} -> {three}"
 
+    def test_hist_single_ray_scan_and_mass_conservation(self, spark):
+        """The cells-62-66 histogram twin: (a) its ray-scan count is
+        also variant-independent, (b) per variant the bins sum to the
+        total ray count (the arithmetic n=0 reconstruction conserves
+        events), and (c) with one variant it reproduces the flagship
+        per-ray histogram restricted to the same eta window."""
+        from etl_sh_design_spark import datagen
+        from etl_sh_design_spark.plans import acceptance
+
+        synth = datagen.sensors(spark).select("layer", "ax1", "ax2", "ay1", "ay2")
+
+        def ray_scans(variants):
+            df = acceptance.multi_variant_hit_histogram(spark, 1000, variants)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Range (0, 1000")
+
+        assert ray_scans({"a": synth, "b": synth, "c": synth}) == ray_scans(
+            {"a": synth}
+        )
+
+        rows = acceptance.multi_variant_hit_histogram(
+            spark, 5000, {"a": synth, "b": synth}
+        ).collect()
+        n_total = (
+            datagen.rays(spark, 5000)
+            .filter(F.col("eta") < acceptance.REAL_ETA_BINS.hi)
+            .count()
+        )
+        by_variant: dict[str, int] = {}
+        for r in rows:
+            by_variant[r.variant] = by_variant.get(r.variant, 0) + r.cnt
+        assert by_variant == {"a": n_total, "b": n_total}
+
+        # single-variant equivalence vs the flagship per-ray plan
+        single = {
+            r.n: r.cnt
+            for r in acceptance.ray_hits(spark, 5000)
+            .filter(F.col("eta") < acceptance.REAL_ETA_BINS.hi)
+            .groupBy(F.col("n").cast("bigint").alias("n"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        multi = {
+            r.n: r.cnt
+            for r in acceptance.multi_variant_hit_histogram(
+                spark, 5000, {"s": synth}
+            ).collect()
+        }
+        assert {k: v for k, v in multi.items() if v > 0} == {
+            k: v for k, v in single.items() if v > 0
+        }
+
     def test_matches_single_variant_profile(self, spark):
         """With one variant, the one-pass plan reproduces the
         single-variant real profile's eff/mean_n/mean_t exactly."""

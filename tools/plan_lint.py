@@ -86,6 +86,7 @@ WHITELIST: dict[str, dict[str, str]] = {
     "decontamination": {"NESTED_LOOP": "1-row summary crossJoin"},
     "bloom_decontamination": {"NESTED_LOOP": "1-row summary crossJoin"},
     "ann_recall_at_k": {"NESTED_LOOP": "10-probe brute side"},
+    "ann_multiprobe_recall": {"NESTED_LOOP": "10-probe brute side"},
     "similarity_topk": {"NESTED_LOOP": "10-probe brute side"},
     "knn_label_accuracy": {"NESTED_LOOP": "<=500-probe panel side"},
     "knn_label_accuracy_stratified": {
@@ -147,6 +148,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     },
     "acceptance_multi_variant": {
         "NESTED_LOOP": "4-row layers dim cross join (flagship sub-plan)"
+    },
+    "acceptance_multi_variant_hist": {
+        "NESTED_LOOP": "4-row layers dim cross join + 1-row ray-total scalar"
     },
     "real_module_rows": {
         "GLOBAL_WIN": "rank over the 52-row distinct-y layout dimension"
