@@ -108,7 +108,14 @@ def srp_signature(
     between a map-only pass and a full shuffle of 100 TB × dim.
     Projections are rounded to 6dp before the sign test so a
     numerically-near-zero projection can't flip a bit across engines
-    (same guard the aggregating version had)."""
+    (same guard the aggregating version had).
+
+    Raises:
+        ValueError: if `dim` is omitted and the probe (first) row's
+            vector is null/empty on a non-empty DataFrame — silently
+            bucketing everything to 0 would collapse SRP to one
+            bucket, so degraded input fails fast instead (callers
+            with mixed/partially-null vectors must pass `dim`)."""
     if dim is None:
         # Eager one-row probe at plan-construction time; fixed-dim
         # contract — every row must carry exactly `dim` entries (rows
@@ -169,6 +176,61 @@ def lsh_bucket_topk(
         .filter(F.col("qid") != F.col("cid"))
         .withColumn("cos", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6))
         .select("qid", "cid", "cos")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def lsh_multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-probe SRP-LSH ANN top-k: each query probes its own bucket
+    PLUS every Hamming-1 neighbor (one sign bit flipped), n_planes+1
+    probes total.
+
+    Single-probe SRP at 4 planes visits 1/16 of the corpus and its
+    recall@3 is correspondingly low (~0.13 measured, SCALE.md); one
+    ring of probes visits (n_planes+1)/2^n_planes and recovers most of
+    the headroom at the same asymptotic shape — candidate generation
+    stays a bucket equi-join (probes explode the QUERY side only, a
+    dimension-sized panel, never the corpus). This is the standard
+    multi-probe LSH trade (Lv et al., VLDB'07): more probes per query
+    instead of more hash tables, so the corpus is hashed and stored
+    ONCE."""
+    qs = (
+        srp_signature(queries, n_planes, id_col, vec_col, dim=dim)
+        .select(F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv"), "bucket")
+        .withColumn(
+            "probe",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                        for j in range(n_planes)
+                    ],
+                )
+            ),
+        )
+        .drop("bucket")
+    )
+    cs = srp_signature(corpus, n_planes, id_col, vec_col, dim=dim).select(
+        F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv"), "bucket"
+    )
+    scored = (
+        cs.join(F.broadcast(qs), cs["bucket"] == qs["probe"])
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6))
+        .select("qid", "cid", "cos")
+        # no dedup needed: the n_planes+1 probe values of one query are
+        # pairwise distinct, and a corpus row has exactly one bucket,
+        # so each (qid, cid) can match at most one probe
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -451,6 +451,94 @@ def q_ann_recall(spark, sf_dir):
 
 
 @query(
+    "ann_multiprobe_recall",
+    f"""
+WITH ve AS ({_VE}),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ve GROUP BY 1),
+bdots AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.v * c.v) AS dot
+  FROM ve q JOIN ve c ON q.d = c.d AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10 GROUP BY 1, 2
+),
+brute AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC, cid ASC) AS rk
+    FROM bdots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
+  ) WHERE rk <= 3
+),
+planes AS (
+  SELECT j, d,
+         ({MD5_INT64_SQL.format(x="CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)")} % 2) * 2 - 1 AS sign
+  FROM (SELECT CAST(range AS INT) AS j FROM range(0, 4)),
+       (SELECT CAST(range AS INT) AS d FROM range(0, 64))
+),
+proj AS (
+  SELECT vec_id, j, round(sum(sign * v), 6) AS proj
+  FROM ve JOIN planes USING (d) GROUP BY 1, 2
+),
+sig AS (
+  SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN 1 << j ELSE 0 END) AS INT) AS bucket
+  FROM proj GROUP BY 1
+),
+probes AS (
+  SELECT vec_id,
+         CASE WHEN p = -1 THEN bucket ELSE xor(bucket, 1 << p) END AS probe
+  FROM sig, (SELECT CAST(range AS INT) - 1 AS p FROM range(0, 5))
+  WHERE vec_id < 10
+),
+cand AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid
+  FROM probes q JOIN sig c ON c.bucket = q.probe AND q.vec_id <> c.vec_id
+),
+adots AS (
+  SELECT cand.qid, cand.cid, sum(q.v * c.v) AS dot
+  FROM cand JOIN ve q ON q.vec_id = cand.qid
+            JOIN ve c ON c.vec_id = cand.cid AND c.d = q.d
+  GROUP BY 1, 2
+),
+ann AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC, cid ASC) AS rk
+    FROM adots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
+  ) WHERE rk <= 3
+)
+SELECT b.qid, CAST(count(a.cid) AS INT) AS n_hits,
+       round(count(a.cid) / 3.0e0, 6) AS recall
+FROM brute b LEFT JOIN ann a ON a.qid = b.qid AND a.cid = b.cid
+GROUP BY 1
+""",
+)
+def q_ann_multiprobe_recall(spark, sf_dir):
+    """recall@3 of MULTI-PROBE SRP-LSH (own bucket + all Hamming-1
+    neighbors, 5 probes at 4 planes) against the exact brute-force
+    top-3 — the scale-path answer to `ann_recall_at_k`'s measured
+    ~0.13 single-probe recall (SCALE.md recall-at-scale table): probes
+    multiply only the dimension-sized query panel, never the corpus,
+    so candidate generation stays a bucket equi-join."""
+    from etl_sh_design_spark.operators.similarity import cosine_topk, lsh_multiprobe_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = cosine_topk(q, e, k=3).select("qid", "cid")
+    # dim=64 (the embeddings-table contract, hard-coded in the oracle's
+    # plane CTE too) keeps construction lazy: the srp first-row dim
+    # probe would otherwise run 2 jobs at build time
+    # (tests/test_lazy_construction.py)
+    ann = lsh_multiprobe_topk(q, e, k=3, n_planes=4, dim=64).select(
+        F.col("qid").alias("aqid"), F.col("cid").alias("acid")
+    )
+    j = brute.join(ann, (brute.qid == ann.aqid) & (brute.cid == ann.acid), "left")
+    return j.groupBy("qid").agg(
+        F.count("acid").cast("int").alias("n_hits"),
+        F.round(F.count("acid") / 3.0, 6).alias("recall"),
+    )
+
+
+@query(
     "embedding_neardup",
     f"""
 WITH ve AS ({_VE}),

@@ -157,6 +157,33 @@ def test_srp_signature_empty_and_fixed_dim_contract(spark):
     assert out2.count() == 0
 
 
+def test_multiprobe_lsh_dominates_single_probe(spark):
+    """Multi-probe SRP-LSH (bucket + Hamming-1 ring) must (a) produce
+    a candidate superset of single-probe per query, hence recall@k >=
+    the single-probe recall against the same brute-force truth, and
+    (b) return no duplicate (qid, cid) pairs (the probes of one query
+    are pairwise distinct buckets)."""
+    from etl_sh_design_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucket_topk,
+        lsh_multiprobe_topk,
+    )
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .limit(400)
+        .cache()
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    brute = {(r.qid, r.cid) for r in cosine_topk(q, e, k=3).collect()}
+    single = {(r.qid, r.cid) for r in lsh_bucket_topk(q, e, k=3).collect()}
+    multi_rows = lsh_multiprobe_topk(q, e, k=3).collect()
+    multi = {(r.qid, r.cid) for r in multi_rows}
+    assert len(multi_rows) == len(multi)  # no duplicate pairs
+    assert len(multi & brute) >= len(single & brute)
+    e.unpersist()
+
+
 def test_registry_skips_reference_queries_when_ref_dir_absent(tmp_path):
     """With SPARK_GRAFT_REF_DIR pointing nowhere, the registry must
     import cleanly and simply not register the reference-artifact

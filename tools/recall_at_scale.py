@@ -31,7 +31,7 @@ def main() -> None:
 
     qs = registry.queries()
     rows = []
-    for name in ("ann_recall_at_k", "lsh_recall_eval"):
+    for name in ("ann_recall_at_k", "ann_multiprobe_recall", "lsh_recall_eval"):
         for label, sf_dir in (("1x (sf0.1)", SF01), ("10x", SF10X)):
             t0 = time.perf_counter()
             out = qs[name](spark, sf_dir).collect()
