@@ -402,6 +402,11 @@ def tile(
     n_modules = 0
     n_available = 0
     supermodules = []
+    # DELIBERATE DEVIATION (mirrors plans/dee_faces.py _face_runs_plan):
+    # the reference literally writes `partition[0] != 7` in its
+    # two-pass check; `largest` generalizes that to any flavor set and
+    # is identical for the shipped {7,6,3}. Non-default-flavor pins all
+    # run with_maybe=False, where the check is unreachable.
     largest = max(cfg.flavors)
     for row in sorted(by_row):
         row_slots = sorted(by_row[row], key=lambda s: s.col)
