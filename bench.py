@@ -94,18 +94,23 @@ HEADLINE = [
     "bpe_merge_learn",
     "knn_label_accuracy",
     "lsh_recall_eval",
+    "ann_multiprobe_recall",
     "lang_id_confusion",
     "lpa_communities",
 ]
 
 # similarity-family queries with weak run-to-run signal at sf0.1
 # (round-6 verdict item 7: knn_label_accuracy posted a 5.4 s spread on
-# a 2.5 s headline) — best-of-3 instead of best-of-2
+# a 2.5 s headline; round-7 item 5: embedding_neardup 6.76 s spread on
+# a 0.75 s headline, lsh_recall_eval 5.2 s) — best-of-3 instead of
+# best-of-2
 TRIPLE_RUN = {
     "knn_label_accuracy",
     "knn_label_accuracy_stratified",
     "class_separation",
     "similarity_topk",
+    "embedding_neardup",
+    "lsh_recall_eval",
 }
 
 # sf1 headline (round-7 verdict item 4): the scale-relevant families
@@ -114,19 +119,23 @@ TRIPLE_RUN = {
 # where they exceed the sf0.1 noise floor. Bounded by
 # SPARK_GRAFT_SF1_BUDGET seconds — on overrun the remaining entries are
 # skipped and reported as such.
+# Ordered cheap-first with the two quadratic-audit monsters LAST, so
+# a budget overrun can only ever clip the entries whose sf0.1 spread
+# already characterizes them — round-7 item 4 (knn_label_accuracy was
+# skipped because it sat behind semantic_dedup's 82 s).
 SF1_HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
     "q21_waiting_suppliers",
     "minhash_lsh_neardup",
-    "ngram_jaccard_neardup",
     "span_trim_audit",
     "bloom_decontamination",
     "curation_pipeline_e2e",
     "token_budget_selection",
-    "semantic_dedup",
     "knn_label_accuracy",
+    "ngram_jaccard_neardup",
+    "semantic_dedup",
 ]
 
 
@@ -238,7 +247,10 @@ def main() -> None:
     # single timed run per sf1 entry: the sf0.1 sweep already measures
     # run-to-run spread; sf1 exists for the SCALE RATIO, and double
     # runs were measured to blow the driver's bench window
-    sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "120"))
+    # 240 s default: the full 12-entry sf1 sweep measured ~175 s in
+    # round 7 — 120 s clipped the tail (round-7 verdict item 4)
+    sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "240"))
+    sf1_overrun = False  # a query RAN PAST the budget (vs pre-skip)
     sf1_t0 = time.perf_counter()
     try:
         from tools.scale_probe import SF10X, build_10x, build_10x_embeddings
@@ -260,6 +272,12 @@ def main() -> None:
             except Exception as exc:
                 sf1_timings[name] = -1.0
                 print(f"bench: sf1 {name} FAILED: {exc}", file=sys.stderr)
+            # a single slow query can run PAST the budget despite the
+            # between-entry check; record that distinctly so an
+            # overrun is never misread as a clean in-budget sweep
+            # (ADVICE r7)
+            if time.perf_counter() - sf1_t0 > sf1_budget:
+                sf1_overrun = True
             spark.catalog.clearCache()
     except Exception as exc:  # corpus build failed: report, don't die
         print(f"bench: sf1 section unavailable: {exc}", file=sys.stderr)
@@ -298,6 +316,11 @@ def main() -> None:
         "sf1_queries": sf1_timings,
         "sf1_total": sf1_total,
         "sf1_skipped": sf1_skipped,
+        "sf1_overrun": sf1_overrun,
+        # NOTE: spread = second-best minus best since round 7 (robust
+        # to one contention outlier); r6-and-earlier spreads were
+        # max-minus-min and are not comparable
+        "spread_definition": "second_best_minus_best",
     }
     try:
         with open(os.path.join(HERE, "BENCH_FULL.json"), "w") as fh:
@@ -316,7 +339,12 @@ def main() -> None:
                 "median_spread_pct": median_spread_pct,
                 "spread_noisy": noisy,
                 "sf": sf,
-                "sf1": {"total": sf1_total, "queries": sf1_timings},
+                "sf1": {
+                    "total": sf1_total,
+                    "queries": sf1_timings,
+                    "skipped": sf1_skipped,
+                    "overrun": sf1_overrun,
+                },
             },
             separators=(",", ":"),
         )

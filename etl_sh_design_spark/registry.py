@@ -533,97 +533,93 @@ def q_mirror_union(spark, sf_dir):
 # public API consumed by __spark_entry__.py
 # =====================================================================
 
-# The external driver verifies a 50-query prefix of queries() per round.
-# Round-5 rotation: the 23 queries never yet seen by the driver (union
-# of CORRECTNESS_r01-r04 covers the other 99 pre-r5 queries), then
-# bv_totals + sequence_packing (round-4 hash-reds, fixed this round:
-# the oracle's integer sums are now CAST to BIGINT so DuckDB's HUGEINT
-# widening can't diverge the hash), then first-time checks for 25 of
-# the 26 round-5 query additions. Everything else stays covered by the
-# local gate (tests/test_driver_contract.py replays ALL queries vs
-# DuckDB with a dtype-class parity check matching the driver's hasher).
+# The external driver verifies a 50-query prefix of queries() per
+# round. Rotation policy (stable since round 5): (1) queries added or
+# rewritten this round come first — driver signal must never predate
+# the code it certifies; (2) the rest of the window refreshes the
+# OLDEST last-green entries, computed from the union of
+# CORRECTNESS_r01..r{N-1}. Everything outside the prefix stays covered
+# by the local gate (tests/test_driver_contract.py replays ALL queries
+# vs DuckDB with a dtype-class parity check matching the driver's
+# hasher).
 _DRIVER_WINDOW_PRIORITY = [
-    # --- round-7 additions: first driver signal for new queries ---
+    # --- round-8 additions: first driver signal for new queries ---
+    "acceptance_multi_variant_hist",
+    "ann_multiprobe_recall",
+    # --- round-8 rewrites needing re-green ---
+    # tile_slots_polygon: single-UDF polygon stage + first REAL oracle
+    # (corrected-bbox SQL; was the last meaningful rows-only row)
+    "tile_slots_polygon",
+    # tile_slots_real_bbox: shares the rewritten slots_real body
+    "tile_slots_real_bbox",
+    # embedding_neardup_blocked: ROTATION DEBT from round 7 — its
+    # blocked-GEMM pair table was rewritten map-side in 1d2e5a8 but the
+    # query was dropped from the r7 window as "unchanged"; its last
+    # driver green (r6) predates the code it tests (VERDICT r7 item 1)
+    "embedding_neardup_blocked",
+    # dee_faces memo infrastructure re-keyed (id(spark) ->
+    # applicationId + eviction, ADVICE r7): every consumer of the
+    # memoized slot/plan tables re-greens in-window
     "tile_real_face_modules",
     "tile_real_flavor_counts",
     "tile_real_slot_states",
     "tile_notebook_pins",
     "tile_real_boards",
     "boards_rollup",
-    "acceptance_multi_variant",
-    # --- round-7 rewrites needing re-green (buffering percentile ->
-    # --- sort-spillable rank plan; scalar probes lazified) ---
-    "stats_summary",
-    "mad_outliers_events",
-    "quality_calibration_sources",
-    "intersect_customers",
-    "so3_set_equality",
-    # (real_occupancy_bandwidth was also lazified this round — it is
-    # already below in the round-6 block, so it re-greens in-window)
-    # --- round-6 additions: first driver signal for new queries ---
-    "real_acceptance_profile",
-    "real_tdr_hit_histogram",
-    "real_occupancy_bandwidth",
-    "real_module_rows",
-    "real_bv_study",
-    "real_partition_flavors",
-    "tile_slots_polygon",
-    "tile_slots_real_bbox",
-    # --- never driver-checked (the 12 left after r5's window; union
-    # --- of CORRECTNESS_r01-r05 covers the other 147) ---
-    "knn_label_accuracy",
-    "class_separation",
-    "quality_psi_drift",
-    "keep_rate_ab_test",
-    "minhash_estimate_error",
-    "lsh_recall_eval",
-    "incremental_refresh_pipeline",
-    "zipf_slope_sources",
-    "lpa_communities",
-    "skew_report_events",
-    "real_face_physics",
-    "hll_distinct_sketch",
-    # --- re-checks: queries REWRITTEN after their last driver green
-    # --- (r5 rewrites: SRP literal planes, cosine_topk corpus split,
-    # --- j9 shared scan, kmeans checkpoint, q10 join order; r6
-    # --- rewrite: skew_report exact quantile is above; plus the
-    # --- r4-rewritten dedup/similarity family whose last green
-    # --- precedes those rewrites) ---
-    "similarity_ann_lsh",
-    "similarity_topk",
-    "j9_run_comparison",
-    "kmeans_profile",
-    "q10_returned_revenue",
-    "minhash_lsh_neardup",
-    "ngram_jaccard_neardup",
-    "simhash_neardup",
-    "simhash_docs",
-    "embedding_neardup",
-    "dedup_exact",
-    "dedup_clusters",
-    "similarity_ann_ivf",
-    # r6 BV-coefficient fidelity fix touches the whole BV family —
-    # re-check the two members not already below
-    "bv_totals",
-    "bv_config_search",
-    # --- oldest driver signal (last green r1-r3); refresh toward
-    # --- union(r1..r7) keeping the window at exactly 50 ---
-    "acceptance_profile",
-    "sensor_physics",
-    "sensor_corners",
+    # --- oldest-signal refresh: the full r3-last-green cohort (25) ---
+    "bpe_token_counts",
+    "fingerprint_docs",
+    "gaps_islands_events",
+    "histogram2d_qty_disc",
+    "histogram_price",
+    "lang_id_confusion",
+    "multimodal_decode_stub",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "pairwise_collapse_events",
+    "partition_flavors",
+    "pivot_returnflag_status",
+    "profile_disc_by_qty",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "rollup_revenue",
+    "salted_agg_events",
+    "semi_anti_customers",
+    "sessionization_events",
+    "setops_mirror_union",
+    "text_quality",
+    "token_stats_by_source",
+    "tumbling_window_events",
+    "window_top3_orders",
+    # --- r4-last-green cohort, alphabetical prefix to fill to 50 ---
+    "a16_histogram_mean",
+    "a5_slot_state_counts",
+    "asof_events",
+    "dataset_split",
+    "decontamination",
+    "dedup_keep_best",
+    "doc_repetition",
+    "ewma_events",
+    "funnel_interval_join",
+    "incremental_dedup",
+    "j4_sm_module_pairs",
+    "j5_rounded_equijoin",
+    "j6_ordinal_join",
+    "merge_upsert_customers",
 ]
-# Round-7 window rationale: the 7 round-7 additions first (first
-# driver signal: the real-tiling count/state/notebook pins, the board
-# arithmetic, the one-pass multi-variant study), then the 6 round-7
-# REWRITES (the three buffering-percentile queries moved to the rank
-# plan, the three lazified scalar probes — real_occupancy_bandwidth
-# sits in the round-6 block below) whose last green predates the
-# rewrite, then the round-6 block exactly as round 6 ordered it, then
-# the oldest-signal refresh trimmed to keep the window at EXACTLY 50
-# (the 12 dropped refresh entries are union(r1..r6)-green and
-# unchanged this round; they remain covered by the local
-# dtype-hardened replay gate, tests/test_driver_contract.py, which
-# replays ALL queries every session).
+# Round-8 window rationale (invariant: a query whose CODE changed this
+# round is always in-window — zero rotation debt; the r7 lapse on
+# embedding_neardup_blocked is repaid above): 2 new queries first,
+# then 3 rewrites (polygon tiling oracle upgrade + its bbox sibling +
+# the r7 debt), then the 6 dee_faces-memo consumers (the memo keying
+# they all build through was re-keyed per ADVICE r7), then the
+# oldest-driver-signal refresh computed FROM CORRECTNESS_r01..r07
+# last-green rounds: the entire last-green-r3 cohort (25) plus the
+# alphabetical prefix of the last-green-r4 cohort (14) to land at
+# EXACTLY 50. The r4 remainder (29), r5 (47) and r6 (11) cohorts queue
+# for r9+; every query is replayed each session by the local
+# dtype-hardened gate regardless (tests/test_driver_contract.py).
 
 
 def _windowed(d: dict) -> dict:
