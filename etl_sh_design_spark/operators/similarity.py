@@ -290,6 +290,49 @@ def ivf_bucket_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def ivf_multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k with nprobe > 1: the corpus stays assigned to its
+    single nearest cell (hashed/stored ONCE), but each query probes
+    its `nprobe` nearest cells — the standard IVF recall knob (same
+    trade as `lsh_multiprobe_topk`: probes multiply only the
+    dimension-sized query panel, candidate generation stays a cell
+    equi-join). A corpus vector lives in exactly one cell and a
+    query's probe cells are distinct, so (qid, cid) pairs cannot
+    duplicate."""
+    c = centroids.select(
+        F.col(id_col).alias("_cent_id"), _dvec(vec_col).alias("_cv")
+    )
+    qv = queries.select(F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv"))
+    q_scored = qv.join(F.broadcast(c)).withColumn(
+        "_sim", F.round(_dot("qv", "_cv") / (_norm("qv") * _norm("_cv")), 6)
+    )
+    wq = W.partitionBy("qid").orderBy(F.col("_sim").desc(), F.col("_cent_id").asc())
+    qs = (
+        q_scored.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select("qid", "qv", F.col("_cent_id").alias("cell"))
+    )
+    cs = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv"), "cell"
+    )
+    scored = (
+        cs.join(F.broadcast(qs), "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6))
+        .select("qid", "cid", "cos")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 # Broadcast-GEMM contract: one side of the pair computation may be
 # driver-materialized and broadcast only up to this many rows
 # (~1e6 x 64 doubles = 512 MB matrix; same class as a broadcast join

@@ -372,6 +372,66 @@ def q_similarity_ivf(spark, sf_dir):
 
 
 @query(
+    "similarity_ann_ivf_multiprobe",
+    f"""
+WITH ve AS ({_VE}),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ve GROUP BY 1),
+cents AS (SELECT vec_id AS cent_id, d, v FROM ve WHERE vec_id < {_N_CENTROIDS}),
+cnorms AS (SELECT cent_id, sqrt(sum(v * v)) AS cnrm FROM cents GROUP BY 1),
+assign_scored AS (
+  SELECT a.vec_id, c.cent_id,
+         round(sum(a.v * c.v) / (any_value(n.nrm) * any_value(cn.cnrm)), 6) AS sim
+  FROM ve a
+  JOIN cents c ON a.d = c.d
+  JOIN norms n ON n.vec_id = a.vec_id
+  JOIN cnorms cn ON cn.cent_id = c.cent_id
+  GROUP BY 1, 2
+),
+ranked_cells AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) AS rk
+  FROM assign_scored
+),
+assigned AS (SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE rk = 1),
+probes AS (SELECT vec_id, cent_id AS cell FROM ranked_cells
+           WHERE rk <= 2 AND vec_id < 10),
+cand AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid
+  FROM probes q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+),
+dots AS (
+  SELECT cand.qid, cand.cid, sum(q.v * c.v) AS dot
+  FROM cand JOIN ve q ON q.vec_id = cand.qid
+            JOIN ve c ON c.vec_id = cand.cid AND c.d = q.d
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rk
+  FROM scored
+)
+SELECT qid, cid, cos, rk FROM ranked WHERE rk <= 3
+""",
+)
+def q_similarity_ivf_multiprobe(spark, sf_dir):
+    """IVF ANN top-3 with nprobe=2: the corpus stays in its single
+    nearest cell (indexed once), each query probes its TWO nearest
+    cells — the IVF twin of `ann_multiprobe_recall`'s SRP Hamming
+    ring, and the standard IVF recall knob at 100 TB (recall rises
+    with nprobe, candidate cost stays |probed cells| x cell size,
+    never all-pairs)."""
+    from etl_sh_design_spark.operators.similarity import ivf_multiprobe_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _N_CENTROIDS)
+    return ivf_multiprobe_topk(e.filter(F.col("vec_id") < 10), e, cents, k=3, nprobe=2)
+
+
+@query(
     "ann_recall_at_k",
     f"""
 WITH ve AS ({_VE}),

@@ -184,6 +184,39 @@ def test_multiprobe_lsh_dominates_single_probe(spark):
     e.unpersist()
 
 
+def test_ivf_multiprobe_dominates_single_cell(spark):
+    """nprobe=2 IVF candidates are a superset of nprobe=1 per query
+    (the corpus assignment is identical; the query's probe set grows),
+    so each rank's cosine is >= the single-cell result's, and no
+    (qid, cid) pair duplicates."""
+    from etl_sh_design_spark.operators.similarity import (
+        ivf_bucket_topk,
+        ivf_multiprobe_topk,
+    )
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .limit(400)
+        .cache()
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    cents = e.filter(F.col("vec_id") < 16)
+    one = {}
+    for r in ivf_bucket_topk(q, e, cents, k=3).collect():
+        one.setdefault(r.qid, []).append(r.cos)
+    rows = ivf_multiprobe_topk(q, e, cents, k=3, nprobe=2).collect()
+    assert len({(r.qid, r.cid) for r in rows}) == len(rows)
+    multi = {}
+    for r in rows:
+        multi.setdefault(r.qid, []).append(r.cos)
+    for qid, cos1 in one.items():
+        cos2 = multi[qid]
+        assert len(cos2) >= len(cos1)
+        for a, b in zip(sorted(cos2, reverse=True), sorted(cos1, reverse=True)):
+            assert a >= b, (qid, cos2, cos1)
+    e.unpersist()
+
+
 def test_registry_skips_reference_queries_when_ref_dir_absent(tmp_path):
     """With SPARK_GRAFT_REF_DIR pointing nowhere, the registry must
     import cleanly and simply not register the reference-artifact

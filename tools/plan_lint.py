@@ -127,6 +127,7 @@ WHITELIST: dict[str, dict[str, str]] = {
     "ivfpq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "pq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "similarity_ann_ivf": {"NESTED_LOOP": "centroid broadcast"},
+    "similarity_ann_ivf_multiprobe": {"NESTED_LOOP": "centroid broadcast"},
     # the one deliberate LATERAL/UDTF demo (documented alternative)
     "udtf_chunk_stats": {"ROW_PYTHON": "U5 UDTF demo (documented)"},
     # J3 blocked-geometry overlap: slots x blocked-rects theta join over
