@@ -177,6 +177,18 @@ def main() -> None:
             lambda acc, v: acc + v,
         ).alias("w")
     ).agg(F.sum("w")).collect()
+    # JIT the shingle/minhash codegen chain (split -> posexplode ->
+    # md5 -> grouped min) that the whole dedup/LSH family leans on —
+    # measured to be the residual first-run cost behind
+    # lsh_recall_eval/ngram_jaccard/simhash spread
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(500)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "tok")
+    )
+    toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long").alias("h"),
+    ).groupBy("doc_id").agg(F.min("h")).count()
 
     queries = registry.queries()
     timings: dict[str, float] = {}

@@ -44,3 +44,17 @@ def test_whitelist_has_no_stale_entries():
     names = set(registry.queries())
     stale = [n for n in plan_lint.WHITELIST if n not in names]
     assert not stale, f"whitelist entries for unregistered queries: {stale}"
+
+
+def test_window_audit_no_violations():
+    """The executable half of the rotation policy
+    (tools/window_audit.py): every registered-but-never-driver-green
+    query is in the 50-entry window, every window entry is a real
+    query, and the window is exactly driver-sized. (Which entries
+    deserve the 'rewritten this round' front remains a per-round
+    judgement on the git diff — prose-checked by the judge.)"""
+    from tools.window_audit import audit
+
+    violations, report = audit()
+    assert violations == [], violations
+    assert report["n_registered"] >= 180
