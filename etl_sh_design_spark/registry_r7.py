@@ -154,19 +154,25 @@ def q_tile_notebook_pins(spark, sf_dir):
 
 def _notebook_pins_plan(spark):
     mt = dee_faces.config_module_totals
+    # example_modules_x4 and ga_large_module_x2 are the SAME tiling
+    # (mod_h=44.2, r_inner=315, edge_x=6, all 4 orientations) — they
+    # differ only in the disk multiplier the notebooks applied, so one
+    # plan feeds both rows (each config_module_totals chain is a full
+    # Janino compile; five chains -> four)
+    large = mt(
+        spark, "ga_large_module_x2", _ALL4, with_maybe=False,
+        mod_h=44.2, r_inner=315.0, edge_x=6.0,
+    )
     parts = [
-        mt(
-            spark, "example_modules_x4", _ALL4, with_maybe=False,
-            mod_h=44.2, r_inner=315.0, edge_x=6.0,
-        ).select("config", (F.col("n_modules") * 4).alias("n_modules")),
+        large.select(
+            F.lit("example_modules_x4").alias("config"),
+            (F.col("n_modules") * 4).alias("n_modules"),
+        ),
         mt(
             spark, "ga_small_module_x2", _ALL4, with_maybe=False,
             mod_h=43.10, r_inner=315.0, edge_x=6.0,
         ).select("config", (F.col("n_modules") * 2).alias("n_modules")),
-        mt(
-            spark, "ga_large_module_x2", _ALL4, with_maybe=False,
-            mod_h=44.2, r_inner=315.0, edge_x=6.0,
-        ).select("config", (F.col("n_modules") * 2).alias("n_modules")),
+        large.select("config", (F.col("n_modules") * 2).alias("n_modules")),
         mt(
             spark, "descoped_above_pb", [("above", "pb")], with_maybe=False,
             mod_h=44.2, r_inner=315.0, r_outer=1080.0, edge_x=6.0,
