@@ -265,6 +265,7 @@ def main() -> None:
     # hard budget so the driver's bench window is never blown
     sf1_timings: dict[str, float] = {}
     sf1_skipped: list[str] = []
+    sf1_capped: list[str] = []
     # single timed run per sf1 entry: the sf0.1 sweep already measures
     # run-to-run spread; sf1 exists for the SCALE RATIO, and double
     # runs were measured to blow the driver's bench window
@@ -280,10 +281,25 @@ def main() -> None:
         build_10x(spark)
         build_10x_embeddings(spark)
         build_10x_tpch(spark)
+        # per-entry soft cap (ADVICE r7): one pathological/hung query
+        # must not blow the driver's whole bench window. A watchdog
+        # timer cancels the entry's job group after the cap; the entry
+        # is recorded as capped (-2), distinct from failed (-1).
+        # Measured sf1 entries top out ~130 s on a slow host, so the
+        # 180 s default only fires on genuine pathology.
+        import threading
+
+        entry_cap = float(os.environ.get("SPARK_GRAFT_SF1_ENTRY_CAP", "180"))
         for name in SF1_HEADLINE:
             if time.perf_counter() - sf1_t0 > sf1_budget:
                 sf1_skipped.append(name)
                 continue
+            group = f"sf1::{name}"
+            spark.sparkContext.setJobGroup(group, group, interruptOnCancel=True)
+            watchdog = threading.Timer(
+                entry_cap, spark.sparkContext.cancelJobGroup, args=(group,)
+            )
+            watchdog.start()
             try:
                 t0 = time.perf_counter()
                 queries[name](spark, SF10X).write.format("noop").mode(
@@ -291,8 +307,18 @@ def main() -> None:
                 ).save()
                 sf1_timings[name] = round(time.perf_counter() - t0, 3)
             except Exception as exc:
-                sf1_timings[name] = -1.0
-                print(f"bench: sf1 {name} FAILED: {exc}", file=sys.stderr)
+                if time.perf_counter() - t0 >= entry_cap:
+                    sf1_timings[name] = -2.0
+                    sf1_capped.append(name)
+                    print(
+                        f"bench: sf1 {name} CAPPED at {entry_cap}s", file=sys.stderr
+                    )
+                else:
+                    sf1_timings[name] = -1.0
+                    print(f"bench: sf1 {name} FAILED: {exc}", file=sys.stderr)
+            finally:
+                watchdog.cancel()
+                spark.sparkContext.setJobGroup("", "")
             # a single slow query can run PAST the budget despite the
             # between-entry check; record that distinctly so an
             # overrun is never misread as a clean in-budget sweep
@@ -337,6 +363,7 @@ def main() -> None:
         "sf1_queries": sf1_timings,
         "sf1_total": sf1_total,
         "sf1_skipped": sf1_skipped,
+        "sf1_capped": sf1_capped,
         "sf1_overrun": sf1_overrun,
         # NOTE: spread = second-best minus best since round 7 (robust
         # to one contention outlier); r6-and-earlier spreads were
@@ -364,6 +391,7 @@ def main() -> None:
                     "total": sf1_total,
                     "queries": sf1_timings,
                     "skipped": sf1_skipped,
+                    "capped": sf1_capped,
                     "overrun": sf1_overrun,
                 },
             },
