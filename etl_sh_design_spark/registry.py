@@ -547,6 +547,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "acceptance_multi_variant_hist",
     "ann_multiprobe_recall",
     "similarity_ann_ivf_multiprobe",
+    "bm25_topk",
     # --- round-8 rewrites needing re-green ---
     # tile_slots_polygon: single-UDF polygon stage + first REAL oracle
     # (corrected-bbox SQL; was the last meaningful rows-only row)
@@ -606,18 +607,17 @@ _DRIVER_WINDOW_PRIORITY = [
     "incremental_dedup",
     "j4_sm_module_pairs",
     "j5_rounded_equijoin",
-    "j6_ordinal_join",
 ]
 # Round-8 window rationale (invariant: a query whose CODE changed this
 # round is always in-window — zero rotation debt; the r7 lapse on
-# embedding_neardup_blocked is repaid above): 3 new queries first,
+# embedding_neardup_blocked is repaid above): 4 new queries first,
 # then 3 rewrites (polygon tiling oracle upgrade + its bbox sibling +
 # the r7 debt), then the 6 dee_faces-memo consumers (the memo keying
 # they all build through was re-keyed per ADVICE r7), then the
 # oldest-driver-signal refresh computed FROM CORRECTNESS_r01..r07
 # last-green rounds: the entire last-green-r3 cohort (25) plus the
-# alphabetical prefix of the last-green-r4 cohort (13) to land at
-# EXACTLY 50. The r4 remainder (30), r5 (47) and r6 (11) cohorts queue
+# alphabetical prefix of the last-green-r4 cohort (12) to land at
+# EXACTLY 50. The r4 remainder (31), r5 (47) and r6 (11) cohorts queue
 # for r9+; every query is replayed each session by the local
 # dtype-hardened gate regardless (tests/test_driver_contract.py).
 

@@ -243,6 +243,104 @@ def q_tfidf_cosine_topk(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------ BM25 retrieval
+# fixed query-term set: one rare token ('dup' — the near-dup mutation
+# marker, df~5% of docs, high idf) anchors the ranking; four
+# mid-frequency tokens exercise the dl/avgdl length normalization
+_BM25_TERMS = ("dup", "spark", "vector", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "bm25_topk",
+    r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')) AS token
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+terms AS (SELECT * FROM (VALUES ('dup'), ('spark'), ('vector'), ('merge'), ('window')) AS t(token)),
+tf AS (
+  SELECT tok.doc_id, tok.token, count(*) AS tf
+  FROM tok JOIN terms USING (token) GROUP BY 1, 2
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0e0 + (s.n_docs - df.df + 0.5e0) / (df.df + 0.5e0))
+         * (tf.tf * (1.2e0 + 1.0e0))
+         / (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl / s.avgdl)) AS w
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_terms, round(sum(w), 6) AS score
+  FROM contrib GROUP BY 1
+)
+SELECT doc_id, n_terms, score, CAST(rk AS INT) AS rk
+FROM (
+  SELECT doc_id, n_terms, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored
+)
+WHERE rk <= 10
+""",
+)
+def q_bm25_topk(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75, Lucene idf) top-10 documents for a fixed
+    5-term query — the ranked-retrieval companion to
+    `tfidf_cosine_topk`'s all-pairs similarity: the scoring primitive a
+    retrieval/decontamination pass runs per probe query over a 100 TB
+    corpus. Score is rounded 6dp BEFORE ranking, ties by doc_id, as
+    everywhere else.
+
+    Scale shape: one token-explode scan feeds BOTH the per-doc length
+    (map-side partial count) and the query-term postings — the isin()
+    filter on the 5-term set cuts the postings map-side, so every join
+    after the scan is query-term-sized, not corpus-sized. df (5 rows)
+    and the avgdl/N scalar broadcast; dl joins on doc_id (the one keyed
+    shuffle). Top-10 is orderBy+limit -> TakeOrderedAndProject (per-
+    partition heaps + driver merge of 10-row heads, never a global
+    sort); rk is assigned AFTER the limit so the window sees 10 rows."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _repartitioned(spark, d)
+    tok = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / norm).alias("w"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+        F.round(F.sum("w"), 6).alias("score"),
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    rk = F.row_number().over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+    return top.select("doc_id", "n_terms", "score", rk.cast("int").alias("rk"))
+
+
 # ---------------------------------------------------- JSON extraction
 @query(
     "json_props_rollup",

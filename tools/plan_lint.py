@@ -170,6 +170,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "j9_run_comparison": {"NESTED_LOOP": "4-row layers dim cross join"},
     # 1-row scalar sides
     "tfidf_cosine_topk": {"NESTED_LOOP": "1-row doc-count/norm scalar"},
+    "bm25_topk": {
+        "NESTED_LOOP": "1-row avgdl/doc-count scalar",
+        "GLOBAL_WIN": "rank over the post-limit 10-row top-k head",
+    },
     # TPC-H result-order sorts on post-aggregation, threshold-filtered
     # tables (output contract; input to the sort is result-sized)
     "q11_important_parts": {
