@@ -190,6 +190,82 @@ def minhash_signatures_wide(
     )
 
 
+def minhash_signatures_mapside(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    n: int = 3,
+    keep_cols: bool = False,
+) -> DataFrame:
+    """Per-ROW MinHash signatures — zero shuffle, bit-identical to
+    `minhash_signatures_wide` (asserted by tests/test_properties.py).
+
+    The whole signature is computed inside one projection: token array
+    -> distinct in-row shingle array (`transform(sequence)`) -> per-seed
+    `array_min(transform(...md5...))`. No explode, no distinct, no
+    groupBy — the narrow-only formulation.
+
+    Trade-off vs the wide form (which this does NOT replace): wide
+    hashes each DISTINCT corpus shingle once (k md5s per vocabulary
+    entry) at the price of a doc-shingle shuffle + join; map-side
+    re-hashes per occurrence (k md5s per doc-shingle incidence, ~10-50x
+    more md5 calls) but touches no exchange at all. At 100 TB the
+    map-side form wins when the cluster is network-bound and loses when
+    CPU-bound — and it is the ONLY form usable under Structured
+    Streaming, where an aggregation before a stateful dedup would chain
+    two stateful operators (streaming/dedup.py builds on this).
+
+    `keep_cols=True` carries every input column through (the streaming
+    ingest path needs the full row next to its signature); docs with no
+    n-gram (fewer than `n` tokens, or null text) are dropped exactly
+    like the wide form drops them."""
+    passthrough = [F.col(c) for c in df.columns] if keep_cols else [F.col(id_col)]
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    gram_parts = ", ".join(f"toks[i + {j}]" for j in range(n))
+    grams = (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws(' ', {gram_parts}))) ELSE array() END"
+    )
+    seed_mins = ", ".join(
+        f"array_min(transform(grams, g -> "
+        f"CAST(conv(substring(md5(concat_ws(':', '{s}', g)), 1, 15), 16, 10) AS BIGINT)))"
+        for s in range(k)
+    )
+    return (
+        df.select(*passthrough, F.expr(toks).alias("toks"))
+        .select(*passthrough, F.expr(grams).alias("grams"))
+        .filter(F.size("grams") > 0)
+        .select(*passthrough, F.expr(f"array({seed_mins})").alias("sig"))
+    )
+
+
+def minhash_signatures_mapside_sql(
+    source: str, id_col: str = "doc_id", text_col: str = "text", k: int = 16, n: int = 3
+) -> str:
+    """DuckDB twin of `minhash_signatures_mapside` (1-based lists; same
+    per-occurrence md5 formula, so the mins are cross-engine equal)."""
+    toks = f"list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t != '')"
+    parts = ", ".join(f"toks[i + {j}]" for j in range(n))
+    grams = (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(toks) - {n - 2}), "
+        f"i -> concat_ws(' ', {parts}))) ELSE [] END"
+    )
+    seed_mins = ", ".join(
+        f"list_min(list_transform(grams, g -> "
+        f"CAST('0x' || substr(md5('{s}:' || g), 1, 15) AS BIGINT)))"
+        for s in range(k)
+    )
+    return f"""
+SELECT {id_col}, [{seed_mins}] AS sig FROM (
+  SELECT {id_col}, {grams} AS grams FROM (
+    SELECT {id_col}, {toks} AS toks FROM {source}))
+WHERE len(grams) > 0
+"""
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -548,6 +548,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ann_multiprobe_recall",
     "similarity_ann_ivf_multiprobe",
     "bm25_topk",
+    "minhash_mapside_signatures",
+    "signature_dedup_groups",
     # --- round-8 rewrites needing re-green ---
     # tile_slots_polygon: single-UDF polygon stage + first REAL oracle
     # (corrected-bbox SQL; was the last meaningful rows-only row)
@@ -605,19 +607,18 @@ _DRIVER_WINDOW_PRIORITY = [
     "ewma_events",
     "funnel_interval_join",
     "incremental_dedup",
-    "j4_sm_module_pairs",
-    "j5_rounded_equijoin",
 ]
 # Round-8 window rationale (invariant: a query whose CODE changed this
 # round is always in-window — zero rotation debt; the r7 lapse on
-# embedding_neardup_blocked is repaid above): 4 new queries first,
+# embedding_neardup_blocked is repaid above): 6 new queries first
+# (incl. the registry_r8 map-side-MinHash / streaming-dedup twins),
 # then 3 rewrites (polygon tiling oracle upgrade + its bbox sibling +
 # the r7 debt), then the 6 dee_faces-memo consumers (the memo keying
 # they all build through was re-keyed per ADVICE r7), then the
 # oldest-driver-signal refresh computed FROM CORRECTNESS_r01..r07
 # last-green rounds: the entire last-green-r3 cohort (25) plus the
-# alphabetical prefix of the last-green-r4 cohort (12) to land at
-# EXACTLY 50. The r4 remainder (31), r5 (47) and r6 (11) cohorts queue
+# alphabetical prefix of the last-green-r4 cohort (10) to land at
+# EXACTLY 50. The r4 remainder (33), r5 (47) and r6 (11) cohorts queue
 # for r9+; every query is replayed each session by the local
 # dtype-hardened gate regardless (tests/test_driver_contract.py).
 
@@ -653,6 +654,7 @@ def _load_extensions() -> None:
         registry_r5c,
         registry_r6,
         registry_r7,
+        registry_r8,
         registry_tiling,
         registry_wide,
     )
