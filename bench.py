@@ -110,6 +110,9 @@ TRIPLE_RUN = {
     "class_separation",
     "similarity_topk",
     "embedding_neardup",
+    # measured 8.7 / 2.1 / 2.2 s: a single run reports the codegen/
+    # broadcast cold cost of the MC re-probe, not the query
+    "mc_sanity_probe",
 }
 
 # queries whose warm-up tail is longer than two runs (measured
