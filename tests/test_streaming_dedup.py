@@ -46,6 +46,24 @@ def test_mapside_signature_plan_has_no_exchange(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_mapside_signature_pushed_filter_is_cheap(spark):
+    """Regression (round 8): the row filter must push to the scan in a
+    form that references the token chain ONCE. Filtering on
+    size(grams) > 0 instead gets the whole gram `transform` inlined
+    into the scan-level predicate, whose lambda indexes toks 3x per
+    element — the scan then re-tokenizes each document ~3x-grams
+    times (measured 15x wall at sf0.1, growing with document length,
+    so it would ship to the 100 TB plan too)."""
+    df = minhash_signatures_mapside(_docs(spark), k=8)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    filter_lines = [l for l in physical.splitlines() if "Filter" in l]
+    assert filter_lines, physical
+    for line in filter_lines:
+        assert "transform(" not in line, (
+            "gram expression inlined into a pushed filter:\n" + line
+        )
+
+
 def test_streaming_signature_dedup_equals_batch(spark):
     """Stream survivors (append mode) carry exactly the batch
     distinct-signature universe, one row per signature."""
