@@ -85,6 +85,35 @@ def lang_id(text: str | Column = "text") -> Column:
     return out
 
 
+def chars(text: str | Column = "text") -> Column:
+    """Character array of the text. `split` on the empty pattern uses
+    Java regex semantics (no leading empty match); empties filtered
+    for safety."""
+    return F.filter(F.split(_c(text), ""), lambda c: c != "")
+
+
+def char_entropy(text: str | Column = "text") -> Column:
+    """Shannon entropy (nats) of the per-document CHARACTER
+    distribution — the gibberish / boilerplate / encoding-junk quality
+    signal (CCNet-style pipelines use character statistics where a
+    token LM is unavailable; near-zero entropy = degenerate repetition,
+    unusually high = random bytes).
+
+    Pure higher-order-function expression: per-row distinct-char
+    counts via transform+filter (O(len x alphabet) comparisons per
+    row), entropy via aggregate — map-only, whole-stage codegen, no
+    explode, no shuffle, no Python round-trip. Empty text -> 0.0.
+    """
+    cs = chars(text)
+    n = F.size(cs).cast("double")
+    counts = F.transform(
+        F.array_distinct(cs),
+        lambda c: F.size(F.filter(cs, lambda x: x == c)).cast("double"),
+    )
+    ent = F.aggregate(counts, F.lit(0.0), lambda acc, k: acc - (k / n) * F.log(k / n))
+    return F.when(n > 0, ent).otherwise(F.lit(0.0))
+
+
 def fingerprint(text: str | Column = "text") -> Column:
     """Document fingerprint: 64-bit hash of the normalized text
     (lowercased, whitespace-collapsed). xxhash64 is JVM-side and stable."""

@@ -550,6 +550,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bm25_topk",
     "minhash_mapside_signatures",
     "signature_dedup_groups",
+    "char_entropy_quality",
     # --- round-8 rewrites needing re-green ---
     # tile_slots_polygon: single-UDF polygon stage + first REAL oracle
     # (corrected-bbox SQL; was the last meaningful rows-only row)
@@ -606,7 +607,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_repetition",
     "ewma_events",
     "funnel_interval_join",
-    "incremental_dedup",
 ]
 # Round-8 window rationale (invariant: a query whose CODE changed this
 # round is always in-window — zero rotation debt; the r7 lapse on
@@ -617,8 +617,9 @@ _DRIVER_WINDOW_PRIORITY = [
 # they all build through was re-keyed per ADVICE r7), then the
 # oldest-driver-signal refresh computed FROM CORRECTNESS_r01..r07
 # last-green rounds: the entire last-green-r3 cohort (25) plus the
-# alphabetical prefix of the last-green-r4 cohort (10) to land at
-# EXACTLY 50. The r4 remainder (33), r5 (47) and r6 (11) cohorts queue
+# alphabetical prefix of the last-green-r4 cohort (9, after
+# char_entropy_quality took the 50th slot) to land at
+# EXACTLY 50. The r4 remainder (34), r5 (47) and r6 (11) cohorts queue
 # for r9+; every query is replayed each session by the local
 # dtype-hardened gate regardless (tests/test_driver_contract.py).
 

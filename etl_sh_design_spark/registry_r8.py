@@ -78,3 +78,87 @@ def q_signature_dedup_groups(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------- char entropy
+from etl_sh_design_spark.functions import text as _text  # noqa: E402
+
+_CHAR_ENT_SQL = """
+WITH docs AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0 THEN repeat(substr(text, 1, 2), 50)
+              ELSE text END AS text
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM docs WHERE length(text) > 0
+),
+cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+cc2 AS (SELECT doc_id, CAST(k AS DOUBLE) AS k,
+               CAST(sum(k) OVER (PARTITION BY doc_id) AS DOUBLE) AS t
+        FROM cc),
+ent AS (SELECT doc_id, round(-sum((k / t) * ln(k / t)), 6) AS entropy
+        FROM cc2 GROUP BY doc_id),
+per AS (
+  SELECT d.doc_id, d.source, length(d.text) AS n_chars,
+         coalesce(e.entropy, 0.0e0) AS entropy
+  FROM docs d LEFT JOIN ent e USING (doc_id)
+)
+SELECT source,
+       least(9, CAST(floor(entropy * 2) AS INT)) AS ent_bucket,
+       count(*) AS n_docs,
+       round(avg(entropy), 6) AS avg_entropy,
+       round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars
+FROM per
+GROUP BY 1, 2
+"""
+
+
+@query("char_entropy_quality", _CHAR_ENT_SQL)
+def q_char_entropy_quality(spark, sf_dir):
+    """Per-document character-entropy quality signal (see
+    functions/text.char_entropy) bucketed into 0.5-nat bins — the
+    missing member of the quality battery next to text_quality /
+    doc_repetition: flags degenerate-repetition docs (entropy -> 0)
+    and random-byte docs (entropy -> ln|alphabet|) that token-level
+    ratios miss.
+
+    Scale shape: the entropy is a pure higher-order-function
+    expression evaluated map-side inside whole-stage codegen (no
+    explode — the char array never becomes rows), so the only shuffle
+    carries one row per OCCUPIED 0.5-nat bucket (<= 10 keys) after
+    map-side partial aggregation. Per-doc entropy is rounded to 6
+    decimals BEFORE bucketing/averaging on both engines so the
+    bucket edges and averages are cross-engine stable. Degenerate
+    low-entropy docs are injected for doc_id % 5 == 0 (the corpus is
+    homogeneous; same pattern as doc_repetition's injection) so the
+    bucketing is actually exercised."""
+    d = _t(spark, sf_dir, "documents")
+    degraded = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.repeat(F.substring("text", 1, 2), 50)
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    per = degraded.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.round(_text.char_entropy("text"), 6).alias("entropy"),
+    )
+    return (
+        per.groupBy(
+            "source",
+            F.least(F.lit(9), F.floor(F.col("entropy") * 2).cast("int")).alias(
+                "ent_bucket"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+        )
+    )
