@@ -99,19 +99,47 @@ def char_entropy(text: str | Column = "text") -> Column:
     token LM is unavailable; near-zero entropy = degenerate repetition,
     unusually high = random bytes).
 
-    Pure higher-order-function expression: per-row distinct-char
-    counts via transform+filter (O(len x alphabet) comparisons per
-    row), entropy via aggregate — map-only, whole-stage codegen, no
-    explode, no shuffle, no Python round-trip. Empty text -> 0.0.
+    Pure higher-order-function expression — map-only, whole-stage
+    codegen, no explode, no shuffle, no Python round-trip. Shape
+    matters: a naive transform-over-distinct-chars form re-evaluates
+    the `split` chain inside every lambda reference (Catalyst performs
+    no common-subexpression elimination across HOF lambda bodies —
+    measured 7 s WARM on the one-split sf0.1 documents file). Instead
+    this is ONE `array_sort` + ONE `aggregate` pass that run-length
+    encodes the sorted chars and accumulates sum(k*ln k), finishing
+    with entropy = ln n - sum(k ln k)/n (algebraically identical to
+    -sum((k/n) ln(k/n))): the text is split exactly once per row,
+    O(len log len). Empty or null text -> 0.0.
     """
-    cs = chars(text)
-    n = F.size(cs).cast("double")
-    counts = F.transform(
-        F.array_distinct(cs),
-        lambda c: F.size(F.filter(cs, lambda x: x == c)).cast("double"),
+    cs = F.array_sort(chars(text))
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0.0).alias("run"),
+        F.lit(0.0).alias("n"),
+        F.lit(0.0).alias("s"),
     )
-    ent = F.aggregate(counts, F.lit(0.0), lambda acc, k: acc - (k / n) * F.log(k / n))
-    return F.when(n > 0, ent).otherwise(F.lit(0.0))
+
+    def merge(acc, c):
+        same = c == acc["prev"]
+        closed_run = F.when(same | (acc["run"] == 0.0), F.lit(0.0)).otherwise(
+            acc["run"] * F.log(acc["run"])
+        )
+        return F.struct(
+            c.alias("prev"),
+            F.when(same, acc["run"] + 1.0).otherwise(F.lit(1.0)).alias("run"),
+            (acc["n"] + 1.0).alias("n"),
+            (acc["s"] + closed_run).alias("s"),
+        )
+
+    def finish(acc):
+        s_tot = acc["s"] + F.when(acc["run"] > 0.0, acc["run"] * F.log(acc["run"])).otherwise(
+            F.lit(0.0)
+        )
+        return F.when(acc["n"] > 0.0, F.log(acc["n"]) - s_tot / acc["n"]).otherwise(
+            F.lit(0.0)
+        )
+
+    return F.coalesce(F.aggregate(cs, init, merge, finish), F.lit(0.0))
 
 
 def fingerprint(text: str | Column = "text") -> Column:
