@@ -1,0 +1,68 @@
+"""Runtime bloom-filter join pruning (Spark's InjectRuntimeFilter) —
+the 100 TB shuffle-reduction path for selective dim-fact joins.
+
+At cluster scale, a selective predicate on the orders side of a
+q5/q12-shaped join builds a bloom filter over the join key that is
+applied to the lineitem SCAN before its shuffle, cutting shuffle
+bytes by the predicate's selectivity. The feature is size-gated
+(creationSideThreshold max / applicationSideScanSizeThreshold min),
+so at test scale it stays off by default — correct behavior, not a
+missing feature. These tests prove both sides of the gate: it
+injects (and stays correct) once sizes cross the thresholds, and it
+stays out of tiny local plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+_SF = "/root/testdata/sf0.1"
+
+_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join bloom targets
+}
+
+
+def _join(spark):
+    li = spark.read.parquet(f"{_SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{_SF}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+
+
+def _with_confs(spark, confs):
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return saved
+
+
+def test_bloom_filter_injects_past_size_gate(spark):
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    baseline = _join(spark).collect()
+    saved = _with_confs(spark, _CONFS)
+    try:
+        df = _join(spark)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # creation side: bloom built from the FILTERED orders keys
+        assert "bloom_filter_agg" in plan
+        # application side: might_contain lands above the lineitem scan,
+        # BEFORE its exchange (scan-side pruning, not post-shuffle)
+        mc = plan.index("might_contain")
+        assert "might_contain" in plan
+        assert plan.index("Exchange", mc) > mc
+        # and the pruned plan is still exactly correct
+        assert df.collect() == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_bloom_filter_stays_out_of_tiny_plans(spark):
+    # default thresholds: the sf0.1 scan is far below the 10 GB
+    # application-side gate, so no bloom stage is spent on it
+    plan = _join(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" not in plan
