@@ -34,10 +34,21 @@ def _join(spark):
 
 
 def _with_confs(spark, confs):
-    saved = {k: spark.conf.get(k) for k in confs}
+    # get(k) is None for confs with no default (e.g. AQE's
+    # autoBroadcastJoinThreshold falls back to the non-AQE one) —
+    # restore must unset those, set(None) throws
+    saved = {k: spark.conf.get(k, None) for k in confs}
     for k, v in confs.items():
         spark.conf.set(k, v)
     return saved
+
+
+def _restore_confs(spark, saved):
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
 
 
 def test_bloom_filter_injects_past_size_gate(spark):
@@ -57,8 +68,7 @@ def test_bloom_filter_injects_past_size_gate(spark):
         # and the pruned plan is still exactly correct
         assert df.collect() == baseline
     finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
+        _restore_confs(spark, saved)
 
 
 def test_bloom_filter_stays_out_of_tiny_plans(spark):
@@ -66,3 +76,56 @@ def test_bloom_filter_stays_out_of_tiny_plans(spark):
     # application-side gate, so no bloom stage is spent on it
     plan = _join(spark)._jdf.queryExecution().executedPlan().toString()
     assert "might_contain" not in plan
+
+
+_SKEW_CONFS = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+}
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's OptimizeSkewedJoin — the other runtime re-optimization the
+    100 TB plan leans on (session.py turns skewJoin.enabled on). One
+    join key carries 75% of the fact rows; with the size gates scaled
+    down to test data, the FINAL adaptive plan must show the hot
+    partition split (`AQEShuffleRead skewed`, join marked skew=true)
+    and the result must be unchanged.
+
+    Two traps this test encodes: the skew payload must SURVIVE column
+    pruning into the shuffle (aggregate over it — a count() prunes the
+    fact to its 8-byte key and nothing is skewed in bytes), and AQE's
+    own autoBroadcastJoinThreshold must be disabled separately or the
+    runtime re-plan turns the dim side into a broadcast join and skew
+    handling becomes moot (which is ALSO the right outcome, just not
+    the one under test).
+    """
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    fact = spark.range(200_000).select(
+        F.when(F.col("id") < 150_000, F.lit(0))
+        .otherwise((F.col("id") % 99) + 1)
+        .alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pay"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    agg = lambda: (  # noqa: E731
+        fact.join(dim, "k").groupBy().agg(
+            F.sum(F.length("pay") + F.col("w")).alias("s")
+        )
+    )
+    baseline = agg().collect()
+    saved = _with_confs(spark, _SKEW_CONFS)
+    try:
+        df = agg()
+        assert df.collect() == baseline
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        _restore_confs(spark, saved)
