@@ -36,7 +36,13 @@ def main() -> int:
     sf = args[0] if args else "/root/testdata/sf0.01"
     only = args[1:]
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()  # vanilla
+    builder = SparkSession.builder.master("local[8]")  # vanilla
+    # SPARK_GRAFT_VERIFY_AQE_OFF=1: the plan-strategy-independence
+    # sweep (results must not depend on adaptive re-planning) —
+    # round-6 ran this ad-hoc; the flag makes it reproducible
+    if os.environ.get("SPARK_GRAFT_VERIFY_AQE_OFF"):
+        builder = builder.config("spark.sql.adaptive.enabled", "false")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
