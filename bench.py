@@ -153,6 +153,9 @@ SF1_HEADLINE = [
     "knn_label_accuracy",
     "ngram_jaccard_neardup",
     "semantic_dedup",
+    # text-quality battery representative: map-only HOF entropy, the
+    # scan-bound shape (measured 1.4 s -> 3.5 s at 10x, SCALE.md)
+    "char_entropy_quality",
 ]
 
 
