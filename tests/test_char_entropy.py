@@ -64,3 +64,54 @@ def test_bucket_spread(spark):
     # natural-text bucket
     assert 1 in buckets and len(buckets) >= 2
     assert all(r["n_docs"] > 0 for r in rows)
+
+
+# --------------------------------------------------------------- fuzz
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# BMP-only alphabet: Java splits "" between UTF-16 code units, DuckDB
+# between UTF-8 characters — identical for BMP chars, NOT for
+# surrogate-pair code points (emoji), which callers should count as
+# a documented engine difference, not silent corruption
+_ALPHA = "ab zé.!01"
+
+_DUCK_ENT = """
+WITH ch AS (
+  SELECT i, unnest(string_split(t, '')) AS c FROM docs WHERE length(t) > 0
+),
+cc AS (SELECT i, c, count(*) AS k FROM ch GROUP BY 1, 2),
+cc2 AS (SELECT i, CAST(k AS DOUBLE) AS k,
+               CAST(sum(k) OVER (PARTITION BY i) AS DOUBLE) AS t FROM cc),
+ent AS (SELECT i, round(-sum((k / t) * ln(k / t)), 6) AS e FROM cc2 GROUP BY i)
+SELECT d.i, coalesce(ent.e, 0.0e0) AS e
+FROM docs d LEFT JOIN ent USING (i)
+"""
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        st.text(alphabet=_ALPHA, min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_fuzzed_entropy_matches_duckdb(spark, texts):
+    import duckdb
+    import pandas as pd
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    ).select("i", F.round(text.char_entropy("t"), 6).alias("e"))
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame({"i": range(len(texts)), "t": texts}))
+    drows = sorted(map(tuple, con.execute(_DUCK_ENT).fetchall()))
+    con.close()
+    assert srows == drows, (texts, srows, drows)
