@@ -162,3 +162,53 @@ def q_char_entropy_quality(spark, sf_dir):
             F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
         )
     )
+
+
+# ------------------------------------------------- streaming quality gate twin
+from etl_sh_design_spark.registry_ext import _DTOKS, _STOP  # noqa: E402
+from etl_sh_design_spark.streaming.quality import (  # noqa: E402
+    DEFAULT_THRESHOLD,
+    gate_summary,
+)
+
+_QUALITY_GATE_SQL = f"""
+WITH scored AS (
+  SELECT lang, source,
+         round((least(n_tok / 100.0e0, 1.0e0)
+                + greatest(0.0e0, 1.0e0 - 4.0e0 * punct_ratio)
+                + least(1.0e0, 4.0e0 * stop_ratio)) / 3.0e0, 6) AS quality
+  FROM (
+    SELECT lang, source,
+           len(toks) AS n_tok,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, t -> list_contains({_STOP}, t))) AS DOUBLE) / len(toks)
+                ELSE 0.0e0 END AS stop_ratio,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+                ELSE 0.0e0 END AS punct_ratio
+    FROM (SELECT lang, source, text, {_DTOKS} AS toks FROM documents)
+  )
+)
+SELECT lang, source,
+       count(*) AS n_admitted,
+       round(sum(CAST(round(quality * 1000000) AS BIGINT))
+             / (count(*) * 1000000.0e0), 6) AS avg_quality,
+       round(min(quality), 6) AS min_quality
+FROM scored
+WHERE quality >= {DEFAULT_THRESHOLD}
+GROUP BY 1, 2
+"""
+
+
+@query("quality_gate_admissions", _QUALITY_GATE_SQL)
+def q_quality_gate_admissions(spark, sf_dir):
+    """Batch twin of the STREAMING quality gate's scoreboard contract
+    (streaming/quality.py): per-(lang, source) admitted-document
+    counts and mean/min admitted quality at the default threshold.
+    The stream's drained complete-mode output is asserted equal to
+    this exact table by tests/test_streaming_quality.py, so the
+    driver oracle here transitively pins the streaming path too.
+    The aggregation key space is bounded (langs x sources), which is
+    what makes the streaming variant's state O(vocab), not O(corpus).
+    """
+    return gate_summary(_t(spark, sf_dir, "documents"), DEFAULT_THRESHOLD)

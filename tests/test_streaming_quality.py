@@ -1,0 +1,81 @@
+"""Streaming quality-gate goldens (streaming/quality.py): the in-stream
+composite-quality admission filter and its bounded-state scoreboard.
+
+Contract chain: the shared `gate_summary` transformation applied to
+the STREAM equals it applied to the static table (stream == batch) ->
+the batch form is the driver-oracled registry_r8.quality_gate_admissions
+-> so the DuckDB oracle transitively pins the streaming path. Plus the
+two properties the gate's 100 TB story rests on: the admission filter
+is map-only (legal in front of any stateful operator), and raising the
+threshold admits a strict subset (no score is recomputed differently
+at a different threshold)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark.streaming.quality import (
+    DEFAULT_THRESHOLD,
+    admitted_docs,
+    gate_summary,
+    streaming_quality_gate,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(SF_SMOKE + "/documents.parquet")
+
+
+def _key(rows):
+    return sorted(
+        (r["lang"], r["source"], r["n_admitted"], r["avg_quality"], r["min_quality"])
+        for r in rows
+    )
+
+
+def test_streaming_gate_equals_batch(spark):
+    """Drained complete-mode scoreboard == the shared transformation on
+    the static table (the driver-oracled batch twin)."""
+    got = streaming_quality_gate(spark, SF_SMOKE, query_name="qgate_t1")
+    want = gate_summary(_docs(spark), DEFAULT_THRESHOLD)
+    assert _key(got.collect()) == _key(want.collect())
+    assert got.count() > 0
+
+
+def test_gate_filter_is_mapside(spark):
+    """The admission gate itself must stay scan -> project -> filter:
+    an Exchange would make it illegal in front of a streaming stateful
+    operator in append mode (and a needless shuffle at 100 TB)."""
+    plan = (
+        admitted_docs(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_threshold_monotonicity(spark):
+    """A stricter gate admits a strict subset of a looser gate, and the
+    thresholds actually separate the corpus (both sides non-empty at
+    the default threshold)."""
+    docs = _docs(spark)
+    loose = {r["doc_id"] for r in admitted_docs(docs, 0.0).select("doc_id").collect()}
+    mid = {r["doc_id"] for r in admitted_docs(docs, DEFAULT_THRESHOLD).select("doc_id").collect()}
+    strict = {r["doc_id"] for r in admitted_docs(docs, 0.99).select("doc_id").collect()}
+    assert strict <= mid <= loose
+    assert loose == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    n_total = docs.count()
+    assert 0 < len(mid) < n_total  # the default threshold really gates
+
+
+def test_scoreboard_state_is_bounded(spark):
+    """The scoreboard key space is exactly the (lang, source) vocabulary
+    of the ADMITTED set — bounded by the full vocabulary product, never
+    by corpus size. This is the invariant that makes complete-mode
+    state O(vocab) at 100 TB/day."""
+    docs = _docs(spark)
+    board = gate_summary(docs, DEFAULT_THRESHOLD)
+    vocab = docs.select("lang", "source").distinct().count()
+    assert board.count() <= vocab
