@@ -72,6 +72,50 @@ def gate_summary(docs: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataF
     )
 
 
+def streaming_gated_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = DEFAULT_THRESHOLD,
+    k: int = 8,
+    watermark: str = "10 minutes",
+    query_name: str = "gated_dedup",
+) -> DataFrame:
+    """The composed ingest front-end as ONE stream: quality gate then
+    near-exact signature dedup. Legal in append mode precisely because
+    the gate (and the signature projection) are map-only — the
+    composition still contains exactly one stateful operator
+    (`dropDuplicatesWithinWatermark`). This is the shape a real
+    100 TB/day ingest runs: score -> drop the low tail -> drop
+    near-exact re-crawls -> land survivors, one pass, bounded state.
+
+    Both constituents are independently driver-oracled
+    (quality_gate_admissions, signature_dedup_groups); the composition
+    golden (tests/test_streaming_quality.py) pins the stream's
+    survivor-signature universe to the batch composition of the same
+    two shared transformations."""
+    from etl_sh_design_spark.streaming.dedup import with_signature_key
+
+    docs = read_documents_stream(spark, sf_dir).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.col("doc_id"))
+    )
+    gated = admitted_docs(docs, threshold)
+    keyed = with_signature_key(gated, k=k).withWatermark("ingest_ts", watermark)
+    kept = keyed.dropDuplicatesWithinWatermark(["sig_key"]).select(
+        "doc_id", "sig_key", "quality"
+    )
+    q = (
+        kept.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def streaming_quality_gate(
     spark: SparkSession,
     sf_dir: str,

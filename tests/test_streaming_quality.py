@@ -14,10 +14,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_sh_design_spark.streaming.dedup import with_signature_key
 from etl_sh_design_spark.streaming.quality import (
     DEFAULT_THRESHOLD,
     admitted_docs,
     gate_summary,
+    streaming_gated_dedup,
     streaming_quality_gate,
 )
 from tests.conftest import SF_SMOKE
@@ -68,6 +70,24 @@ def test_threshold_monotonicity(spark):
     assert loose == {r["doc_id"] for r in docs.select("doc_id").collect()}
     n_total = docs.count()
     assert 0 < len(mid) < n_total  # the default threshold really gates
+
+
+def test_streaming_gated_dedup_equals_batch_composition(spark):
+    """Gate -> dedup composed in ONE stream: survivors carry exactly
+    the signature universe of the batch composition of the same two
+    shared transformations (both independently driver-oracled), and
+    every survivor passed the gate."""
+    got = streaming_gated_dedup(spark, SF_SMOKE, query_name="gdedup_t1")
+    batch_keys = {
+        r["sig_key"]
+        for r in with_signature_key(admitted_docs(_docs(spark), DEFAULT_THRESHOLD))
+        .select("sig_key")
+        .collect()
+    }
+    rows = got.collect()
+    assert {r["sig_key"] for r in rows} == batch_keys
+    assert len(rows) == len(batch_keys)  # one survivor per signature
+    assert all(r["quality"] >= DEFAULT_THRESHOLD for r in rows)
 
 
 def test_scoreboard_state_is_bounded(spark):
