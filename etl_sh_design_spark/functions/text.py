@@ -155,3 +155,37 @@ def content_hash(text: str | Column = "text") -> Column:
     oracle-checkable."""
     norm = F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
     return F.md5(norm)
+
+
+# --------------------------------------------------------------- PII scrub
+# Patterns restricted to syntax with IDENTICAL semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, \b.
+# No lookaround (RE2 has none), no possessive quantifiers.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,3}-\d{3}-\d{3}-\d{4}"
+
+
+def pii_counts(text: str | Column = "text") -> tuple[Column, Column, Column]:
+    """(n_emails, n_ipv4, n_phones) found in the text. Counted as
+    `size(regexp_extract_all(..))` so the DuckDB twin
+    (`len(regexp_extract_all(..))`) counts the same non-overlapping
+    leftmost matches."""
+    t = _c(text)
+    return (
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0))),
+    )
+
+
+def redact_pii(text: str | Column = "text") -> Column:
+    """Replace emails / IPv4s / phone numbers with typed placeholder
+    tokens, in a fixed order (email first: an email's domain can
+    contain digit runs an IP pattern would otherwise bite into).
+    Pure regexp_replace chain — map-only, codegen, no Python."""
+    t = _c(text)
+    t = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    t = F.regexp_replace(t, PII_IPV4_RE, "<IP>")
+    t = F.regexp_replace(t, PII_PHONE_RE, "<PHONE>")
+    return t

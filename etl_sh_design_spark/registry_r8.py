@@ -212,3 +212,121 @@ def q_quality_gate_admissions(spark, sf_dir):
     what makes the streaming variant's state O(vocab), not O(corpus).
     """
     return gate_summary(_t(spark, sf_dir, "documents"), DEFAULT_THRESHOLD)
+
+
+# ------------------------------------------------------------- PII redaction
+_PII_INJECT_SQL = """
+  SELECT source,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE text END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                   || CAST(doc_id % 100 AS VARCHAR) || '.7'
+              ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+              THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS text
+  FROM documents
+"""
+
+_PII_SQL = f"""
+WITH injected AS ({_PII_INJECT_SQL}),
+per AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{{email}}')) AS n_emails,
+         len(regexp_extract_all(text, '{{ip}}')) AS n_ips,
+         len(regexp_extract_all(text, '{{phone}}')) AS n_phones,
+         length(text)
+           - length(regexp_replace(regexp_replace(regexp_replace(text,
+                     '{{email}}', '<EMAIL>', 'g'),
+                     '{{ip}}', '<IP>', 'g'),
+                     '{{phone}}', '<PHONE>', 'g')) AS chars_delta
+  FROM injected
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_emails + n_ips + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(sum(n_emails) AS BIGINT) AS n_emails,
+       CAST(sum(n_ips) AS BIGINT) AS n_ips,
+       CAST(sum(n_phones) AS BIGINT) AS n_phones,
+       CAST(sum(chars_delta) AS BIGINT) AS chars_delta
+FROM per
+GROUP BY source
+"""
+
+
+def _pii_oracle() -> str:
+    return (
+        _PII_SQL.replace("{email}", _text.PII_EMAIL_RE)
+        .replace("{ip}", _text.PII_IPV4_RE)
+        .replace("{phone}", _text.PII_PHONE_RE)
+    )
+
+
+@query("pii_redaction_sources", _pii_oracle())
+def q_pii_redaction_sources(spark, sf_dir):
+    """PII scrub audit per source: email / IPv4 / phone counts found
+    and the redaction length delta, over a corpus with deterministic
+    PII injected into doc_id-keyed subsets (the driver corpus carries
+    none — same injection pattern as doc_repetition /
+    char_entropy_quality, expressed identically in both engines).
+    The scrub itself (functions/text.redact_pii) is a map-only
+    regexp_replace chain restricted to Java-regex/RE2-identical
+    syntax; tests/test_r8_pii.py asserts zero residual matches after
+    redaction."""
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "source",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact: user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.col("text")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 100).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    n_em, n_ip, n_ph = _text.pii_counts("text")
+    per = injected.select(
+        "source",
+        n_em.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_ph.alias("n_phones"),
+        (F.length("text") - F.length(_text.redact_pii("text"))).alias("chars_delta"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            ((F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) > 0).cast("int")
+        )
+        .cast("bigint")
+        .alias("docs_with_pii"),
+        F.sum("n_emails").cast("bigint").alias("n_emails"),
+        F.sum("n_ips").cast("bigint").alias("n_ips"),
+        F.sum("n_phones").cast("bigint").alias("n_phones"),
+        F.sum("chars_delta").cast("bigint").alias("chars_delta"),
+    )
