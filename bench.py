@@ -151,11 +151,17 @@ SF1_HEADLINE = [
     "curation_pipeline_e2e",
     "token_budget_selection",
     "knn_label_accuracy",
-    "ngram_jaccard_neardup",
-    "semantic_dedup",
     # text-quality battery representative: map-only HOF entropy, the
     # scan-bound shape (measured 1.4 s -> 3.5 s at 10x, SCALE.md)
     "char_entropy_quality",
+    # round-8 late additions, both map-only scan-bound shapes whose
+    # only shuffle is vocabulary-sized: the streaming-gate batch twin
+    # and the PII-scrub audit
+    "quality_gate_admissions",
+    "pii_redaction_sources",
+    # the two quadratic-audit monsters stay LAST (budget-clip order)
+    "ngram_jaccard_neardup",
+    "semantic_dedup",
 ]
 
 
