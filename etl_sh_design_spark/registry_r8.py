@@ -267,15 +267,19 @@ def _pii_oracle() -> str:
 
 @query("pii_redaction_sources", _pii_oracle())
 def q_pii_redaction_sources(spark, sf_dir):
-    """PII scrub audit per source: email / IPv4 / phone counts found
-    and the redaction length delta, over a corpus with deterministic
-    PII injected into doc_id-keyed subsets (the driver corpus carries
-    none — same injection pattern as doc_repetition /
-    char_entropy_quality, expressed identically in both engines).
-    The scrub itself (functions/text.redact_pii) is a map-only
-    regexp_replace chain restricted to Java-regex/RE2-identical
-    syntax; tests/test_r8_pii.py asserts zero residual matches after
-    redaction."""
+    """PII scrub audit per source with the EXTENDED pattern set:
+    full-charset emails (subdomains, +tags, mixed case), \b-anchored
+    IPv4s, and international +CC phone numbers — the production
+    generalization of registry_pipeline.pii_redaction, which pins the
+    simple-pattern scrub byte-identically via an md5 checksum. This
+    entry instead exposes the reusable library form
+    (functions/text.redact_pii / pii_counts, restricted to
+    Java-regex/RE2-identical syntax) and reports the redaction length
+    delta; PII is injected deterministically into doc_id-keyed
+    subsets (the driver corpus carries none — same injection pattern
+    as doc_repetition / char_entropy_quality, expressed identically
+    in both engines). tests/test_r8_pii.py asserts zero residual
+    matches after redaction, incl. adjacent mixed-PII."""
     d = _t(spark, sf_dir, "documents")
     injected = d.select(
         "source",
