@@ -116,6 +116,48 @@ def streaming_gated_dedup(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def start_gated_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    threshold: float = DEFAULT_THRESHOLD,
+    k: int = 8,
+    watermark: str = "10 minutes",
+):
+    """Production-shaped ingest entry point: file source -> quality
+    gate -> signature dedup -> exactly-once parquet sink, with offsets
+    AND dedup state checkpointed. Returns the RUNNING StreamingQuery
+    (caller drains/stops). Restart-safe by construction: calling again
+    with the same checkpoint_dir resumes the file-source offsets
+    (already-listed files are not re-read) and recovers the
+    dropDuplicatesWithinWatermark state store, so a near-exact
+    duplicate delivered AFTER a crash/restart is still dropped — the
+    golden that pins this is
+    tests/test_streaming_quality.py::test_gated_ingest_restart_resumes_state.
+    The memory-sink variants above exist for drained stream==batch
+    goldens; this is the durable-sink form a real deployment runs
+    (memory sinks cannot recover from a checkpoint, parquet sinks
+    are exactly-once via the sink's own commit log)."""
+    from etl_sh_design_spark.streaming.dedup import with_signature_key
+
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    docs = src.withColumn("ingest_ts", F.timestamp_seconds(F.col("doc_id")))
+    gated = admitted_docs(docs, threshold)
+    keyed = with_signature_key(gated, k=k).withWatermark("ingest_ts", watermark)
+    kept = keyed.dropDuplicatesWithinWatermark(["sig_key"]).select(
+        "doc_id", "sig_key", "quality"
+    )
+    return (
+        kept.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def streaming_quality_gate(
     spark: SparkSession,
     sf_dir: str,
