@@ -90,3 +90,85 @@ def test_redaction_is_mapside(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# --------------------------------------------------------------- fuzz
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_sh_design_spark.functions.text import (
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
+)
+
+# Adversarial-by-construction inputs: near-miss fragments from the
+# PII alphabet (bare '@', dangling dots, digit runs) interleaved with
+# WELL-FORMED emails/IPs/phones, joined with separators including ''
+# so matches become adjacent to arbitrary context. BMP/ASCII only —
+# the patterns are ASCII classes and \b/\d/\w are ASCII in both
+# Java's default regex and RE2, which is exactly the claim under test.
+_RAW = st.text(alphabet="ab1 @.-+_%Z9", min_size=0, max_size=12)
+_EMAIL = st.builds(
+    "{}@{}.{}".format,
+    st.text(alphabet="abc019._%+-", min_size=1, max_size=8),
+    st.text(alphabet="abc09.-", min_size=1, max_size=6),
+    st.sampled_from(["com", "io", "co", "uk"]),
+)
+_IP = st.builds(
+    "{}.{}.{}.{}".format,
+    *([st.integers(min_value=0, max_value=999)] * 4),
+)
+_PHONE = st.builds(
+    "+{}-{}-{}-{}".format,
+    st.integers(min_value=1, max_value=999),
+    st.integers(min_value=100, max_value=999),
+    st.integers(min_value=100, max_value=999),
+    st.integers(min_value=1000, max_value=9999),
+)
+_DOC = st.builds(
+    lambda parts, sep: sep.join(parts),
+    st.lists(st.one_of(_RAW, _EMAIL, _IP, _PHONE), min_size=0, max_size=6),
+    st.sampled_from([" ", "", ","]),
+)
+
+_DUCK_PII = f"""
+SELECT i,
+       len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS e,
+       len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS ip,
+       len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS ph,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{PII_IPV4_RE}', '<IP>', 'g'),
+         '{PII_PHONE_RE}', '<PHONE>', 'g') AS red
+FROM docs
+"""
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(st.lists(_DOC, min_size=1, max_size=8))
+def test_fuzzed_pii_counts_and_redaction_match_duckdb(spark, texts):
+    import duckdb
+    import pandas as pd
+
+    n_em, n_ip, n_ph = text.pii_counts("t")
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    ).select(
+        "i",
+        n_em.alias("e"),
+        n_ip.alias("ip"),
+        n_ph.alias("ph"),
+        text.redact_pii("t").alias("red"),
+    )
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame({"i": range(len(texts)), "t": texts}))
+    drows = sorted(map(tuple, con.execute(_DUCK_PII).fetchall()))
+    con.close()
+    assert srows == drows, (texts, srows, drows)
