@@ -178,3 +178,69 @@ def test_gated_ingest_restart_resumes_state(spark, tmp_path):
         .collect()
     } - a_keys
     assert b_keys == expected
+
+
+# --------------------------------------------------------------- fuzz
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# Adversarial quality inputs: stopword-dense, punctuation-heavy,
+# whitespace-run, and empty docs (ASCII/BMP — the tokenizer splits on
+# \s+ and the punct class is \w-complement, both ASCII-identical in
+# Java regex and RE2).
+_WORD = st.sampled_from(
+    ["the", "a", "of", "zq", "b1", "...", "!!", "x,y", "_", "é"]
+)
+_DOC = st.builds(
+    lambda ws, sep: sep.join(ws),
+    st.lists(_WORD, min_size=0, max_size=30),
+    st.sampled_from([" ", "  ", " \t ", "\n"]),
+)
+
+_DUCK_Q = """
+SELECT i,
+       round((least(n_tok / 100.0e0, 1.0e0)
+              + greatest(0.0e0, 1.0e0 - 4.0e0 * punct_ratio)
+              + least(1.0e0, 4.0e0 * stop_ratio)) / 3.0e0, 6) AS q
+FROM (
+  SELECT i,
+         len(toks) AS n_tok,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> list_contains(
+                     ['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE) / len(toks)
+              ELSE 0.0e0 END AS stop_ratio,
+         CASE WHEN length(t) > 0
+              THEN CAST(length(t) - length(regexp_replace(t, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(t)
+              ELSE 0.0e0 END AS punct_ratio
+  FROM (SELECT i, t,
+               list_filter(string_split_regex(lower(t), '\\s+'), x -> x != '') AS toks
+        FROM docs)
+)
+"""
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(st.lists(_DOC, min_size=1, max_size=8))
+def test_fuzzed_quality_score_matches_duckdb(spark, texts):
+    """The gate's admission decision is exactly quality >= threshold,
+    so the rounded score itself must be cross-engine bit-stable on
+    adversarial compositions, not just on the synthetic corpus."""
+    import duckdb
+    import pandas as pd
+
+    from etl_sh_design_spark.functions import text as _text
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    ).select("i", _text.quality_score("t").alias("q"))
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame({"i": range(len(texts)), "t": texts}))
+    drows = sorted(map(tuple, con.execute(_DUCK_Q).fetchall()))
+    con.close()
+    assert srows == drows, (texts, srows, drows)
