@@ -546,6 +546,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # --- round-8 additions: first driver signal for new queries ---
     "quality_gate_admissions",
     "pii_redaction_sources",
+    "temperature_mixture_plan",
     "acceptance_multi_variant_hist",
     "ann_multiprobe_recall",
     "similarity_ann_ivf_multiprobe",
@@ -606,23 +607,24 @@ _DRIVER_WINDOW_PRIORITY = [
     "dataset_split",
     "decontamination",
     "dedup_keep_best",
-    "doc_repetition",
 ]
 # Round-8 window rationale (invariant: a query whose CODE changed this
 # round is always in-window — zero rotation debt; the r7 lapse on
-# embedding_neardup_blocked is repaid above): 9 new queries first
+# embedding_neardup_blocked is repaid above): 10 new queries first
 # (incl. the registry_r8 map-side-MinHash / streaming-dedup twins and
-# the streaming quality-gate batch twin quality_gate_admissions and
-# the PII-scrub audit pii_redaction_sources),
+# the streaming quality-gate batch twin quality_gate_admissions,
+# the PII-scrub audit pii_redaction_sources, and the temperature
+# mixture allocation temperature_mixture_plan),
 # then 3 rewrites (polygon tiling oracle upgrade + its bbox sibling +
 # the r7 debt), then the 6 dee_faces-memo consumers (the memo keying
 # they all build through was re-keyed per ADVICE r7), then the
 # oldest-driver-signal refresh computed FROM CORRECTNESS_r01..r07
 # last-green rounds: the entire last-green-r3 cohort (25) plus the
-# alphabetical prefix of the last-green-r4 cohort (7, after
+# alphabetical prefix of the last-green-r4 cohort (6, after
 # char_entropy_quality / quality_gate_admissions /
-# pii_redaction_sources took three more slots) to land at
-# EXACTLY 50. The r4 remainder (36), r5 (47) and r6 (11) cohorts queue
+# pii_redaction_sources / temperature_mixture_plan took four more
+# slots) to land at
+# EXACTLY 50. The r4 remainder (37), r5 (47) and r6 (11) cohorts queue
 # for r9+; every query is replayed each session by the local
 # dtype-hardened gate regardless (tests/test_driver_contract.py).
 

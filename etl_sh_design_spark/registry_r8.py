@@ -334,3 +334,64 @@ def q_pii_redaction_sources(spark, sf_dir):
         F.sum("n_phones").cast("bigint").alias("n_phones"),
         F.sum("chars_delta").cast("bigint").alias("chars_delta"),
     )
+
+
+# ---------------------------------------------- temperature mixture plan
+_TEMP_ALPHA = 0.3  # mT5-style smoothing exponent
+_TEMP_BUDGET = 400  # total training-sample budget at sf0.01
+
+
+@query(
+    "temperature_mixture_plan",
+    f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT sum(pow(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA})) AS z FROM per)
+SELECT source, n_docs,
+       round(pow(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA}) / z, 6) AS weight,
+       CAST(least(CAST(n_docs AS DOUBLE),
+                  floor(round({_TEMP_BUDGET} * pow(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA}) / z, 6)))
+            AS BIGINT) AS target_docs,
+       CASE WHEN round({_TEMP_BUDGET} * pow(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA}) / z, 6)
+                 > CAST(n_docs AS DOUBLE) THEN 1 ELSE 0 END AS capped,
+       round(least(CAST(n_docs AS DOUBLE),
+                   floor(round({_TEMP_BUDGET} * pow(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA}) / z, 6)))
+             / n_docs, 6) AS epochs
+FROM per, tot
+""",
+)
+def q_temperature_mixture_plan(spark, sf_dir):
+    """Temperature-based mixture ALLOCATION (mT5/UNIMAX-style): derive
+    per-source sampling weights n_i^alpha / sum n_j^alpha from the
+    corpus itself (alpha < 1 upweights small sources), allocate a
+    sample budget, cap each source at one epoch, and report the
+    resulting epochs fraction. The planning twin of
+    `domain_mixture_sample`, whose weight table is literal — this
+    query COMPUTES the table a temperature-mixing run would feed it.
+
+    Scale shape: one map-combined groupBy(source) count (vocabulary-
+    sized shuffle), then the normalizer joins back as a 1-row
+    broadcast cross — no corpus-sized data moves twice. The one-epoch
+    cap is a closed form here; an exact UNIMAX water-filling
+    (redistributing capped surplus) is iterative over SOURCES, i.e.
+    driver-sized, never data-sized."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    npow = F.pow(F.col("n_docs").cast("double"), F.lit(_TEMP_ALPHA))
+    z = per.agg(F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(_TEMP_ALPHA))).alias("z"))
+    # round BEFORE floor: pow() differs between engines in the last
+    # ulp, and floor() amplifies that to a whole-doc difference when
+    # the raw allocation sits at an integer boundary (seen live:
+    # 20.0 vs 19.999999...). After a 6-dp round both engines floor
+    # the same value.
+    raw = F.round(F.lit(_TEMP_BUDGET) * npow / F.col("z"), 6)
+    target = F.least(F.col("n_docs").cast("double"), F.floor(raw))
+    return per.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(npow / F.col("z"), 6).alias("weight"),
+        target.cast("bigint").alias("target_docs"),
+        (raw > F.col("n_docs").cast("double")).cast("int").alias("capped"),
+        F.round(target / F.col("n_docs"), 6).alias("epochs"),
+    )
