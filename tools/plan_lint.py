@@ -124,6 +124,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "weighted_sample_docs": {"NESTED_LOOP": "k-th key scalar"},
     "stratified_sample_customers": {"NESTED_LOOP": "group-count rate table"},
     "pagerank_hubs": {"NESTED_LOOP": "1-row dangling-mass scalar"},
+    "temperature_mixture_plan": {
+        "NESTED_LOOP": "1-row normalizer scalar x source-vocab table"
+    },
     "ivfpq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "pq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "similarity_ann_ivf": {"NESTED_LOOP": "centroid broadcast"},
