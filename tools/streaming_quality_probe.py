@@ -74,6 +74,11 @@ def main() -> None:
 
     spark = get_spark(app_name="streaming-quality-probe")
     build_10x(spark)
+    # Warmup pass: the first streaming query in a session pays
+    # JIT/codegen + state-store init that would otherwise land on
+    # whichever corpus runs first and distort the ratio (measured:
+    # 5.6 s cold vs 2.4 s warm for the SAME plan).
+    probe(spark, SF01, "warmup")
     rows = [probe(spark, SF01, "sf0.1"), probe(spark, SF10X, "10x")]
     print(
         "| corpus | rows in | admitted | scoreboard rows | state rows "
