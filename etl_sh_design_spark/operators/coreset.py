@@ -1,0 +1,129 @@
+"""Greedy k-center diversity coreset (Gonzalez 1985, the classic
+2-approximation for max-min facility placement) as declarative
+iterative dataflow — the diversity-selection rung of the curation
+family (extension; no reference-parity op — the reference has no
+embedding curation. Sits beside operators/kmeans.py, which covers the
+density/clustering side of the same family).
+
+Why an engine needs it: coreset selection ("pick k maximally-diverse
+exemplars") is a standard training-data curation step — seed sets for
+active learning, dedup anchors, eval-panel construction. The greedy
+max-min rule is the canonical published baseline.
+
+Iterative-algorithm pattern (same discipline as operators/kmeans.py
+and operators/graph.py):
+- the selected-center state is k rows x dim — driver-tiny at any
+  corpus scale, broadcast each round;
+- each round is ONE pass over the (checkpointed) vector table: a
+  broadcast nested-loop against the <=k-row center set, a per-vector
+  min, and a TakeOrdered(1) argmax — no global sort materializes;
+- `localCheckpoint(eager=False)` between rounds cuts lineage while
+  keeping query CONSTRUCTION job-free (the lazy-construction gate
+  covers this module like every other);
+- the vector side never shuffles at all: the only exchanges are the
+  |V|-group min aggregation (map-side partial) and the single-row
+  top-1.
+
+Determinism contract (what makes the DuckDB oracle hash-match, same
+rules as kmeans.lloyd):
+- all arithmetic in double (float -> double is exact);
+- pairwise squared distances rounded to 6 dp BEFORE the per-vector
+  min (index-order fold on both engines);
+- the argmax breaks ties on the LOWEST vec_id;
+- the seed is deterministic: vec_id == 0. At real scale swap in a
+  sampled seed without touching the round structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# index-order fold; identical operation order to the DuckDB twin's
+# list_transform/list_sum chain (proven pair: operators/kmeans.py)
+_SQDIST = (
+    "round(aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), "
+    "cast(0.0 as double), (acc, x) -> acc + x), 6)"
+)
+
+_DIST_DUCK = (
+    "round(list_sum(list_transform(range(1, len(v) + 1), "
+    "i -> (v[i] - c[i]) * (v[i] - c[i]))), 6)"
+)
+
+
+def kcenter_coreset(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Select k greedy max-min centers; returns (step, vec_id,
+    sel_dist) where sel_dist is the squared distance from the chosen
+    vector to the nearest previously-selected center at the moment of
+    selection (0 for the seed). sel_dist is non-increasing in step —
+    the greedy invariant `tests/test_coreset.py` pins."""
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).localCheckpoint(eager=False)
+    sel = vecs.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("step"),
+        "vec_id",
+        "v",
+        F.lit(0.0).cast("double").alias("sel_dist"),
+    )
+    for step in range(1, k):
+        centers = sel.select(F.col("v").alias("c"))
+        mind = (
+            vecs.crossJoin(F.broadcast(centers))
+            .withColumn("dist", F.expr(_SQDIST))
+            .groupBy("vec_id")
+            .agg(F.min("dist").alias("mind"))
+        )
+        far = mind.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1)
+        picked = far.join(vecs, "vec_id").select(
+            F.lit(step).alias("step"),
+            "vec_id",
+            "v",
+            F.col("mind").alias("sel_dist"),
+        )
+        sel = sel.unionByName(picked).localCheckpoint(eager=False)
+    return sel.select(
+        "step", "vec_id", F.round("sel_dist", 6).alias("sel_dist")
+    )
+
+
+def kcenter_oracle_sql(k: int = 8, table: str = "embeddings") -> str:
+    """DuckDB twin: the same greedy recursion unrolled into k chained
+    CTE stages (selection step s{i}, cumulative center set c{i}) —
+    the kmeans_profile oracle idiom."""
+    parts = [
+        f"WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        f" AS v FROM {table})",
+        "s0 AS (SELECT CAST(0 AS INT) AS step, vec_id, v,"
+        " CAST(0.0 AS DOUBLE) AS sel_dist FROM v WHERE vec_id = 0)",
+        "c0 AS (SELECT v AS c FROM s0)",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"d{i} AS (SELECT t.vec_id, min({_DIST_DUCK}) AS mind"
+            f" FROM v t CROSS JOIN c{i - 1} GROUP BY 1)"
+        )
+        parts.append(
+            f"p{i} AS (SELECT vec_id, mind FROM d{i}"
+            f" ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT CAST({i} AS INT) AS step, p.vec_id, t.v,"
+            f" p.mind AS sel_dist FROM p{i} p JOIN v t USING (vec_id))"
+        )
+        parts.append(
+            f"c{i} AS (SELECT c FROM c{i - 1} UNION ALL SELECT v AS c FROM s{i})"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(k))
+    return (
+        ",\n".join(parts)
+        + f",\nsel AS ({union})\n"
+        + "SELECT step, vec_id, round(sel_dist, 6) AS sel_dist FROM sel"
+    )

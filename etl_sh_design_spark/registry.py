@@ -544,6 +544,9 @@ def q_mirror_union(spark, sf_dir):
 # hasher).
 _DRIVER_WINDOW_PRIORITY = [
     # --- round-8 additions: first driver signal for new queries ---
+    "bigram_lm_perplexity",
+    "kcenter_coreset",
+    "top_ngram_coverage",
     "quality_gate_admissions",
     "pii_redaction_sources",
     "temperature_mixture_plan",
@@ -604,13 +607,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "a16_histogram_mean",
     "a5_slot_state_counts",
     "asof_events",
-    "dataset_split",
-    "decontamination",
-    "dedup_keep_best",
 ]
 # Round-8 window rationale (invariant: a query whose CODE changed this
 # round is always in-window — zero rotation debt; the r7 lapse on
-# embedding_neardup_blocked is repaid above): 10 new queries first
+# embedding_neardup_blocked is repaid above): 13 new queries first
+# (the registry_r8b trio — bigram_lm_perplexity / kcenter_coreset /
+# top_ngram_coverage — landed late-round and displaced the last three
+# r4-refresh slots: dataset_split, decontamination, dedup_keep_best
+# re-queue for r9), then the original 10 new queries
 # (incl. the registry_r8 map-side-MinHash / streaming-dedup twins and
 # the streaming quality-gate batch twin quality_gate_admissions,
 # the PII-scrub audit pii_redaction_sources, and the temperature
@@ -661,6 +665,7 @@ def _load_extensions() -> None:
         registry_r6,
         registry_r7,
         registry_r8,
+        registry_r8b,
         registry_tiling,
         registry_wide,
     )

@@ -1,0 +1,249 @@
+"""Round-8b extension registry: the three remaining canonical
+curation-filter shapes the pipeline family lacked.
+
+- `bigram_lm_perplexity` — a TRUE conditional n-gram LM score
+  (CCNet-style: per-token -log2 P(w|prev) under an add-alpha-smoothed
+  bigram model trained on the corpus itself). `token_frequency_scores`
+  (registry_pipeline.py) is documented as the log-free unigram
+  STAND-IN for perplexity filtering; this is the real thing, logs and
+  all, with the float discipline that keeps DuckDB hash-green.
+- `kcenter_coreset` — greedy max-min diversity selection over the
+  embeddings table (operators/coreset.py; Gonzalez-style k-center,
+  the published baseline for diversity-driven data curation).
+- `top_ngram_coverage` — the last Gopher repetition rule not yet in
+  the engine: fraction of document characters covered by the single
+  most frequent word n-gram, for n in {2,3,4}, with the published
+  per-n breach thresholds (0.20 / 0.18 / 0.16). `doc_repetition`
+  covers the duplicate-PASSAGE rule; this covers the top-n-gram one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark.operators.coreset import kcenter_coreset, kcenter_oracle_sql
+from etl_sh_design_spark.registry import _t, query
+from etl_sh_design_spark.registry_pipeline import _TOKS, _TOKS_DUCK
+
+# ------------------------------------------------ bigram LM perplexity
+_ALPHA = 0.5  # add-alpha smoothing mass per bigram type
+
+# 1-based positions; position 1's context is the sentence-start token.
+_BG_PAIRS = (
+    "transform(sequence(1, size(toks)), "
+    "i -> struct(CASE WHEN i = 1 THEN '<s>' "
+    "ELSE element_at(toks, i - 1) END AS prev, "
+    "element_at(toks, i) AS cur))"
+)
+
+_BG_PAIRS_DUCK = (
+    "list_transform(range(1, len(toks) + 1), "
+    "i -> {'prev': CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END, "
+    "'cur': toks[i]})"
+)
+
+_BIGRAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, {_TOKS_DUCK} AS toks FROM documents
+  WHERE len({_TOKS_DUCK}) > 0
+),
+bg AS (
+  SELECT doc_id, source, u.prev AS prev, u.cur AS cur FROM (
+    SELECT doc_id, source, unnest({_BG_PAIRS_DUCK}) AS u FROM t
+  )
+),
+bgc AS (SELECT prev, cur, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+ctx AS (SELECT prev, count(*) AS c_prev FROM bg GROUP BY 1),
+voc AS (SELECT CAST(count(DISTINCT cur) AS BIGINT) AS v_size FROM bg),
+sc AS (
+  SELECT b.doc_id, b.source,
+         -log2((c_bg + {_ALPHA}) / (c_prev + {_ALPHA} * v_size)) AS nll
+  FROM bg b JOIN bgc USING (prev, cur) JOIN ctx USING (prev) CROSS JOIN voc
+),
+pd AS (
+  SELECT doc_id, source, round(avg(nll), 6) AS doc_nll
+  FROM sc GROUP BY 1, 2
+),
+pd2 AS (SELECT *, round(power(2.0, doc_nll), 4) AS ppl FROM pd),
+g AS (SELECT round(avg(doc_nll), 6) AS corpus_nll FROM pd2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(ppl), 4) AS mean_ppl,
+       round(avg(CASE WHEN doc_nll > corpus_nll + 0.5 THEN 1.0e0
+                 ELSE 0.0e0 END), 6) AS outlier_ratio
+FROM pd2 CROSS JOIN g GROUP BY 1
+"""
+
+
+@query("bigram_lm_perplexity", _BIGRAM_SQL)
+def q_bigram_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity scoring (CCNet-style quality filter, the
+    real conditional-probability form): train an add-alpha-smoothed
+    bigram model ON the corpus, score every token's -log2 P(w|prev),
+    roll up per-doc perplexity, and report per-source mean perplexity
+    plus the fraction of docs whose NLL sits > 0.5 bits above the
+    corpus mean (the CCNet tail-cut shape).
+
+    Scale shape: the bigram pair stream is map-side (one array
+    transform + explode, no window function for the lag — position
+    pairing happens inside the row); model training is two
+    high-cardinality hash aggs with map-side partials; scoring joins
+    shuffle on (prev, cur) / prev like token_frequency_scores (AQE
+    broadcasts the model tables when small, handles them keyed when
+    vocab-sized); the vocab size and corpus-mean NLL are 1-row scalar
+    crossJoins (lint-whitelisted). Float discipline: per-doc NLL is
+    rounded to 6 dp before exp/aggregation on BOTH engines; log2 is
+    the only libm call and its per-token ulp error is ~1e-16 relative
+    against a 6-dp round."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.expr(_TOKS).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    bg = toks.select(
+        "doc_id", "source", F.explode(F.expr(_BG_PAIRS)).alias("p")
+    ).select(
+        "doc_id", "source", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    bgc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("c_prev"))
+    voc = bg.agg(F.countDistinct("cur").alias("v_size"))
+    sc = (
+        bg.join(bgc, ["prev", "cur"])
+        .join(ctx, "prev")
+        .crossJoin(F.broadcast(voc))
+        .withColumn(
+            "nll",
+            -F.log2(
+                (F.col("c_bg") + F.lit(_ALPHA))
+                / (F.col("c_prev") + F.lit(_ALPHA) * F.col("v_size"))
+            ),
+        )
+    )
+    pd = sc.groupBy("doc_id", "source").agg(
+        F.round(F.avg("nll"), 6).alias("doc_nll")
+    )
+    pd2 = pd.withColumn("ppl", F.round(F.pow(F.lit(2.0), F.col("doc_nll")), 4))
+    g = pd2.agg(F.round(F.avg("doc_nll"), 6).alias("corpus_nll"))
+    return (
+        pd2.crossJoin(F.broadcast(g))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ppl"), 4).alias("mean_ppl"),
+            F.round(
+                F.avg(
+                    (F.col("doc_nll") > F.col("corpus_nll") + 0.5).cast("double")
+                ),
+                6,
+            ).alias("outlier_ratio"),
+        )
+    )
+
+
+# ------------------------------------------------ k-center coreset
+_K_CENTERS = 8
+
+
+@query("kcenter_coreset", kcenter_oracle_sql(k=_K_CENTERS))
+def q_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center diversity coreset over the embeddings table
+    (operators/coreset.py — see its docstring for the 100 TB contract:
+    k-row broadcast center state, one vector-table pass per round,
+    TakeOrdered(1) argmax, lineage cut per round, job-free
+    construction)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return kcenter_coreset(e, k=_K_CENTERS)
+
+
+# ------------------------------------------------ top n-gram coverage
+# Gopher-published breach thresholds per n
+_NG_THR = {2: 0.20, 3: 0.18, 4: 0.16}
+
+_NG_GRAMS = (
+    "transform(sequence(1, size(toks) - n + 1), "
+    "i -> concat_ws(' ', slice(toks, i, n)))"
+)
+
+_NG_SQL = f"""
+WITH t AS (SELECT doc_id, source, n_chars, {_TOKS_DUCK} AS toks FROM documents),
+nn AS (SELECT doc_id, source, n_chars, toks, unnest([2, 3, 4]) AS n FROM t),
+g AS (
+  SELECT doc_id, source, n_chars, n,
+         unnest(list_transform(range(1, len(toks) - n + 2),
+                i -> array_to_string(toks[i : i + n - 1], ' '))) AS gram
+  FROM nn WHERE len(toks) >= n
+),
+c AS (
+  SELECT doc_id, source, n_chars, n, gram, count(*) AS cnt
+  FROM g GROUP BY ALL
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                               ORDER BY cnt DESC, gram) AS rn
+  FROM c
+),
+top AS (
+  SELECT doc_id, source, n,
+         CAST(cnt * length(gram) AS DOUBLE) / n_chars AS coverage
+  FROM r WHERE rn = 1
+)
+SELECT source, n, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(coverage), 6) AS avg_coverage,
+       round(avg(CASE WHEN coverage > (CASE n WHEN 2 THEN {_NG_THR[2]}
+                                       WHEN 3 THEN {_NG_THR[3]}
+                                       ELSE {_NG_THR[4]} END)
+                 THEN 1.0e0 ELSE 0.0e0 END), 6) AS breach_ratio
+FROM top GROUP BY 1, 2
+"""
+
+
+@query("top_ngram_coverage", _NG_SQL)
+def q_top_ngram_coverage(spark, sf_dir):
+    """Top n-gram character coverage (the Gopher repetition rule
+    `doc_repetition` does NOT cover): per document and n in {2,3,4},
+    the fraction of characters covered by the single most frequent
+    word n-gram, aggregated per source with the published breach
+    thresholds (2-gram > 0.20, 3-gram > 0.18, 4-gram > 0.16).
+
+    Scale shape: the n fan-out (x3) and the n-gram explode are
+    map-side array transforms; the gram count shuffles on
+    (doc_id, n, gram) — doc-local key space, map-side partials
+    collapse repeats; the argmax is a keyed window PARTITION BY
+    (doc_id, n) (never global); coverage is exact-integer arithmetic
+    until one correctly-rounded division, so the breach comparison is
+    bit-deterministic cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", "n_chars", F.expr(_TOKS).alias("toks")
+    ).withColumn("n", F.explode(F.array(F.lit(2), F.lit(3), F.lit(4))))
+    grams = toks.filter(F.size("toks") >= F.col("n")).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "n",
+        F.explode(F.expr(_NG_GRAMS)).alias("gram"),
+    )
+    cnt = grams.groupBy("doc_id", "source", "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("doc_id", "n").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn(
+            "coverage",
+            (F.col("cnt") * F.length("gram")).cast("double") / F.col("n_chars"),
+        )
+    )
+    thr = (
+        F.when(F.col("n") == 2, F.lit(_NG_THR[2]))
+        .when(F.col("n") == 3, F.lit(_NG_THR[3]))
+        .otherwise(F.lit(_NG_THR[4]))
+    )
+    return top.groupBy("source", "n").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("coverage"), 6).alias("avg_coverage"),
+        F.round(
+            F.avg((F.col("coverage") > thr).cast("double")), 6
+        ).alias("breach_ratio"),
+    )

@@ -71,6 +71,13 @@ EAGER_BUILDERS = {
     "closed-form KL",
     "minhash_estimate_error": "shared candidate-pair sub-plan "
     "checkpoint",
+    "minhash_lsh_neardup": "may pay the shared memoized LSH-pair "
+    "build: whichever dedup-family member is constructed FIRST in a "
+    "session absorbs the one-time checkpoint jobs, and iteration "
+    "order follows the driver window",
+    "kcenter_coreset": "greedy max-min rounds: each selection gates "
+    "the next center set (same per-round checkpoint discipline as "
+    "kmeans_profile)",
     "j6_ordinal_join": "checkpointed runs table shared by both join "
     "sides",
 }

@@ -127,6 +127,12 @@ WHITELIST: dict[str, dict[str, str]] = {
     "temperature_mixture_plan": {
         "NESTED_LOOP": "1-row normalizer scalar x source-vocab table"
     },
+    "bigram_lm_perplexity": {
+        "NESTED_LOOP": "1-row vocab-size + corpus-NLL scalars"
+    },
+    "kcenter_coreset": {
+        "NESTED_LOOP": "<=k-row center-set broadcast (greedy k-center rounds)"
+    },
     "ivfpq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "pq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "similarity_ann_ivf": {"NESTED_LOOP": "centroid broadcast"},
