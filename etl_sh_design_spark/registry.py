@@ -547,6 +547,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bigram_lm_perplexity",
     "kcenter_coreset",
     "top_ngram_coverage",
+    "dsir_importance_weights",
     "quality_gate_admissions",
     "pii_redaction_sources",
     "temperature_mixture_plan",
@@ -606,15 +607,15 @@ _DRIVER_WINDOW_PRIORITY = [
     # --- r4-last-green cohort, alphabetical prefix to fill to 50 ---
     "a16_histogram_mean",
     "a5_slot_state_counts",
-    "asof_events",
 ]
 # Round-8 window rationale (invariant: a query whose CODE changed this
 # round is always in-window — zero rotation debt; the r7 lapse on
-# embedding_neardup_blocked is repaid above): 13 new queries first
-# (the registry_r8b trio — bigram_lm_perplexity / kcenter_coreset /
-# top_ngram_coverage — landed late-round and displaced the last three
-# r4-refresh slots: dataset_split, decontamination, dedup_keep_best
-# re-queue for r9), then the original 10 new queries
+# embedding_neardup_blocked is repaid above): 14 new queries first
+# (the registry_r8b quartet — bigram_lm_perplexity / kcenter_coreset /
+# top_ngram_coverage / dsir_importance_weights — landed late-round and
+# displaced the last four r4-refresh slots: dataset_split,
+# decontamination, dedup_keep_best, asof_events re-queue for r9),
+# then the original 10 new queries
 # (incl. the registry_r8 map-side-MinHash / streaming-dedup twins and
 # the streaming quality-gate batch twin quality_gate_admissions,
 # the PII-scrub audit pii_redaction_sources, and the temperature

@@ -1,4 +1,4 @@
-"""Round-8b extension registry: the three remaining canonical
+"""Round-8b extension registry: the remaining canonical
 curation-filter shapes the pipeline family lacked.
 
 - `bigram_lm_perplexity` — a TRUE conditional n-gram LM score
@@ -15,6 +15,9 @@ curation-filter shapes the pipeline family lacked.
   most frequent word n-gram, for n in {2,3,4}, with the published
   per-n breach thresholds (0.20 / 0.18 / 0.16). `doc_repetition`
   covers the duplicate-PASSAGE rule; this covers the top-n-gram one.
+- `dsir_importance_weights` — hashed-n-gram importance resampling
+  (DSIR, Xie et al. 2023): Laplace-smoothed target-vs-raw
+  bag-of-buckets models, per-doc importance log-ratio, keep fraction.
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etl_sh_design_spark.operators.coreset import kcenter_coreset, kcenter_oracle_sql
+from etl_sh_design_spark.operators.dedup import MD5_INT64_SQL, md5_int64
 from etl_sh_design_spark.registry import _t, query
 from etl_sh_design_spark.registry_pipeline import _TOKS, _TOKS_DUCK
 
@@ -246,4 +250,108 @@ def q_top_ngram_coverage(spark, sf_dir):
         F.round(
             F.avg((F.col("coverage") > thr).cast("double")), 6
         ).alias("breach_ratio"),
+    )
+
+
+# ------------------------------------------- DSIR importance weights
+_DSIR_B = 256  # hashed-feature buckets
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, lang, unnest({_TOKS_DUCK}) AS tok FROM documents
+),
+b AS (
+  SELECT doc_id, source, lang,
+         {MD5_INT64_SQL.format(x='tok')} % {_DSIR_B} AS bucket
+  FROM toks
+),
+raw AS (SELECT bucket, count(*) AS c_r FROM b GROUP BY 1),
+tgt AS (SELECT bucket, count(*) AS c_t FROM b WHERE lang = 'en' GROUP BY 1),
+tot AS (
+  SELECT count(*) AS n_r,
+         count(*) FILTER (WHERE lang = 'en') AS n_t
+  FROM b
+),
+model AS (
+  SELECT bucket,
+         ln((coalesce(c_t, 0) + 1) / (n_t + {_DSIR_B}))
+         - ln((c_r + 1) / (n_r + {_DSIR_B})) AS lr
+  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+),
+docb AS (
+  SELECT doc_id, source, bucket, count(*) AS c FROM b GROUP BY 1, 2, 3
+),
+logw AS (
+  SELECT doc_id, source, round(sum(c * lr), 6) AS logw
+  FROM docb JOIN model USING (bucket) GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(logw), 6) AS mean_logw,
+       round(avg(CASE WHEN logw > 0 THEN 1.0e0 ELSE 0.0e0 END), 6)
+         AS sel_ratio
+FROM logw GROUP BY 1
+"""
+
+
+@query("dsir_importance_weights", _DSIR_SQL)
+def q_dsir_importance_weights(spark, sf_dir):
+    """DSIR-style importance resampling weights (hashed n-gram
+    features; Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling"): hash every token into B=256 feature
+    buckets, fit Laplace-smoothed bag-of-buckets models for the
+    TARGET distribution (lang='en' docs, the stand-in for a curated
+    target corpus) and the RAW distribution (all docs), then score
+    each document with the importance log-ratio
+    sum_b c_doc(b) * (ln p_target(b) - ln p_raw(b)). Reported per
+    source: mean log-weight and the fraction of docs a
+    weight-threshold resampler (logw > 0) would keep.
+
+    Scale shape: tokenize/hash/bucket is map-side; both model aggs
+    are B-bounded (256 groups) with map-side partials; the model
+    table is KB-sized and BROADCAST to the per-doc bucket-count join,
+    so the only data-sized shuffle is the (doc_id, bucket) count —
+    doc-local keys, partition-parallel at any corpus size. The
+    token-total pair is a 1-row scalar crossJoin (lint-whitelisted).
+    Float discipline: int/int true division then ln; per-doc log
+    weight rounded 6 dp on both engines before thresholding/
+    averaging."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", "lang", F.explode(F.expr(_TOKS)).alias("tok")
+    )
+    b = toks.withColumn("bucket", md5_int64(F.col("tok")) % _DSIR_B)
+    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt = (
+        b.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_t"),
+    )
+    model = (
+        raw.join(tgt, "bucket", "left")
+        .na.fill(0, ["c_t"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("c_t") + 1) / (F.col("n_t") + _DSIR_B))
+                - F.log((F.col("c_r") + 1) / (F.col("n_r") + _DSIR_B))
+            ).alias("lr"),
+        )
+    )
+    docb = b.groupBy("doc_id", "source", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    logw = (
+        docb.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"))
+    )
+    return logw.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("logw"), 6).alias("mean_logw"),
+        F.round(F.avg((F.col("logw") > 0).cast("double")), 6).alias("sel_ratio"),
     )

@@ -133,6 +133,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "kcenter_coreset": {
         "NESTED_LOOP": "<=k-row center-set broadcast (greedy k-center rounds)"
     },
+    "dsir_importance_weights": {
+        "NESTED_LOOP": "1-row token-total scalars x B-bounded model table"
+    },
     "ivfpq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "pq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "similarity_ann_ivf": {"NESTED_LOOP": "centroid broadcast"},

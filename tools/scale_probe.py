@@ -185,6 +185,11 @@ def main() -> None:
         ("incremental_refresh_pipeline", "docs", qs["incremental_refresh_pipeline"]),
         ("lpa_communities", "events", qs["lpa_communities"]),
         ("skew_report_events", "events", qs["skew_report_events"]),
+        # round-8b late additions: bigram LM, k-center, top-ngram rule
+        ("bigram_lm_perplexity", "docs", qs["bigram_lm_perplexity"]),
+        ("kcenter_coreset", "vecs", qs["kcenter_coreset"]),
+        ("top_ngram_coverage", "docs", qs["top_ngram_coverage"]),
+        ("dsir_importance_weights", "docs", qs["dsir_importance_weights"]),
     ]
     if new_only:
         plan = plan[-12:]
@@ -196,7 +201,9 @@ def main() -> None:
             "bloom_decontamination",
         )]
     if "--r5c2-only" in sys.argv:
-        plan = plan[-6:]
+        plan = plan[-10:-4]
+    if "--r8b-only" in sys.argv:
+        plan = plan[-4:]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
         for name, table, fn in plan:
