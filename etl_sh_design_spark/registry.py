@@ -548,6 +548,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kcenter_coreset",
     "top_ngram_coverage",
     "dsir_importance_weights",
+    "semantic_decontamination",
     "quality_gate_admissions",
     "pii_redaction_sources",
     "temperature_mixture_plan",
@@ -606,15 +607,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_top3_orders",
     # --- r4-last-green cohort, alphabetical prefix to fill to 50 ---
     "a16_histogram_mean",
-    "a5_slot_state_counts",
 ]
 # Round-8 window rationale (invariant: a query whose CODE changed this
 # round is always in-window — zero rotation debt; the r7 lapse on
-# embedding_neardup_blocked is repaid above): 14 new queries first
-# (the registry_r8b quartet — bigram_lm_perplexity / kcenter_coreset /
-# top_ngram_coverage / dsir_importance_weights — landed late-round and
-# displaced the last four r4-refresh slots: dataset_split,
-# decontamination, dedup_keep_best, asof_events re-queue for r9),
+# embedding_neardup_blocked is repaid above): 15 new queries first
+# (the registry_r8b additions — bigram_lm_perplexity / kcenter_coreset
+# / top_ngram_coverage / dsir_importance_weights /
+# semantic_decontamination — landed late-round and displaced the last
+# five r4-refresh slots: dataset_split, decontamination,
+# dedup_keep_best, asof_events, a5_slot_state_counts re-queue for r9),
 # then the original 10 new queries
 # (incl. the registry_r8 map-side-MinHash / streaming-dedup twins and
 # the streaming quality-gate batch twin quality_gate_admissions,

@@ -355,3 +355,111 @@ def q_dsir_importance_weights(spark, sf_dir):
         F.round(F.avg("logw"), 6).alias("mean_logw"),
         F.round(F.avg((F.col("logw") > 0).cast("double")), 6).alias("sel_ratio"),
     )
+
+
+# ------------------------------------------- semantic decontamination
+_SD_DOT = (
+    "round(aggregate(zip_with(v, pv, (a, b) -> a * b), "
+    "cast(0.0 as double), (acc, x) -> acc + x), 6)"
+)
+_SD_NORM = (
+    "round(aggregate(zip_with({c}, {c}, (a, b) -> a * b), "
+    "cast(0.0 as double), (acc, x) -> acc + x), 6)"
+)
+
+_SD_DOT_DUCK = (
+    "round(list_sum(list_transform(range(1, len(v) + 1), "
+    "i -> v[i] * pv[i])), 6)"
+)
+_SD_NORM_DUCK = (
+    "round(list_sum(list_transform(range(1, len({c}) + 1), "
+    "i -> {c}[i] * {c}[i])), 6)"
+)
+
+_SD_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+panel AS (SELECT vec_id AS probe_id, v AS pv FROM e
+          WHERE vec_id % 50 = 0 AND vec_id < 500),
+planted AS (
+  SELECT probe_id + 1000000 AS vec_id,
+         list_transform(range(1, len(pv) + 1),
+                        i -> pv[i] * (1 + 0.01 * (((i - 1) % 2) * 2 - 1))) AS v
+  FROM panel
+),
+train AS (
+  SELECT vec_id, v FROM e WHERE vec_id % 50 != 0 OR vec_id >= 500
+  UNION ALL SELECT vec_id, v FROM planted
+),
+scored AS (
+  SELECT t.vec_id, p.probe_id,
+         round({_SD_DOT_DUCK}
+               / (sqrt({_SD_NORM_DUCK.format(c='v')})
+                  * sqrt({_SD_NORM_DUCK.format(c='pv')})), 6) AS cos
+  FROM train t CROSS JOIN panel p
+)
+SELECT probe_id,
+       CAST(count(CASE WHEN cos >= 0.99 THEN 1 END) AS BIGINT)
+         AS n_contaminated,
+       round(max(cos), 6) AS max_cos
+FROM scored GROUP BY 1
+"""
+
+
+@query("semantic_decontamination", _SD_SQL)
+def q_semantic_decontamination(spark, sf_dir):
+    """Embedding-side benchmark decontamination — the semantic rung
+    the n-gram (`decontamination`) and Bloom (`bloom_decontamination`)
+    variants cannot catch: paraphrased/perturbed eval leaks that share
+    no 8-gram with the eval set. The eval panel is FIXED-SIZE
+    (vec_id % 50 == 0 below id 500 — an eval set does not grow with
+    the training corpus, which is what keeps the whole query linear
+    in corpus size); the training corpus is everything else PLUS a
+    planted +-1% perturbation of each panel vector (the registry's
+    standard deterministic near-dup fixture, embedding_neardup's
+    idiom). For each probe: how many training vectors sit at cosine
+    >= 0.99, and the max cosine seen.
+
+    Scale shape: the panel is eval-set-sized (KBs-MBs) and BROADCAST;
+    the corpus side is a single map-only scan (zip_with dot + norms
+    inside codegen, no vector shuffle); the rollup groups by probe_id
+    — panel-bounded. For panels too large to broadcast, step down to
+    the bucketed ANN ladder (similarity_ann_ivf / similarity_ann_lsh)
+    — same contract as `embedding_neardup`'s documented dispatch.
+    Determinism: index-order dot/norm folds rounded 6 dp before the
+    division, cosine rounded 6 dp before threshold/max on BOTH
+    engines."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    panel = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    planted = panel.select(
+        (F.col("probe_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "pv", lambda x, i: x * (1 + 0.01 * ((i % 2) * 2 - 1))
+        ).alias("v"),
+    )
+    train = e.filter(
+        (F.col("vec_id") % 50 != 0) | (F.col("vec_id") >= 500)
+    ).unionByName(planted)
+    scored = (
+        train.crossJoin(F.broadcast(panel))
+        .withColumn("dot", F.expr(_SD_DOT))
+        .withColumn("n_v", F.expr(_SD_NORM.format(c="v")))
+        .withColumn("n_p", F.expr(_SD_NORM.format(c="pv")))
+        .withColumn(
+            "cos",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("n_v")) * F.sqrt(F.col("n_p"))), 6
+            ),
+        )
+    )
+    return scored.groupBy("probe_id").agg(
+        F.count(F.when(F.col("cos") >= 0.99, 1)).alias("n_contaminated"),
+        F.round(F.max("cos"), 6).alias("max_cos"),
+    )

@@ -136,6 +136,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "dsir_importance_weights": {
         "NESTED_LOOP": "1-row token-total scalars x B-bounded model table"
     },
+    "semantic_decontamination": {
+        "NESTED_LOOP": "eval-panel broadcast (10-probe side)"
+    },
     "ivfpq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "pq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "similarity_ann_ivf": {"NESTED_LOOP": "centroid broadcast"},

@@ -190,6 +190,7 @@ def main() -> None:
         ("kcenter_coreset", "vecs", qs["kcenter_coreset"]),
         ("top_ngram_coverage", "docs", qs["top_ngram_coverage"]),
         ("dsir_importance_weights", "docs", qs["dsir_importance_weights"]),
+        ("semantic_decontamination", "vecs", qs["semantic_decontamination"]),
     ]
     if new_only:
         plan = plan[-12:]
@@ -201,9 +202,9 @@ def main() -> None:
             "bloom_decontamination",
         )]
     if "--r5c2-only" in sys.argv:
-        plan = plan[-10:-4]
+        plan = plan[-11:-5]
     if "--r8b-only" in sys.argv:
-        plan = plan[-4:]
+        plan = plan[-5:]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
         for name, table, fn in plan:
