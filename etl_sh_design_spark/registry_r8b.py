@@ -399,6 +399,8 @@ scored AS (
                / (sqrt({_SD_NORM_DUCK.format(c='v')})
                   * sqrt({_SD_NORM_DUCK.format(c='pv')})), 6) AS cos
   FROM train t CROSS JOIN panel p
+  WHERE {_SD_NORM_DUCK.format(c='v')} > 0
+    AND {_SD_NORM_DUCK.format(c='pv')} > 0
 )
 SELECT probe_id,
        CAST(count(CASE WHEN cos >= 0.99 THEN 1 END) AS BIGINT)
@@ -452,6 +454,11 @@ def q_semantic_decontamination(spark, sf_dir):
         .withColumn("dot", F.expr(_SD_DOT))
         .withColumn("n_v", F.expr(_SD_NORM.format(c="v")))
         .withColumn("n_p", F.expr(_SD_NORM.format(c="pv")))
+        # zero-norm guard: cosine is undefined for the zero vector, and
+        # the two engines disagree on double x/0 (ANSI Spark THROWS,
+        # DuckDB yields NULL) — excluding zero-norm rows is the one
+        # behavior both engines express identically
+        .filter((F.col("n_v") > 0) & (F.col("n_p") > 0))
         .withColumn(
             "cos",
             F.round(

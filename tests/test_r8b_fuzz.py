@@ -123,3 +123,37 @@ def test_fuzzed_top_ngram_matches_oracle(spark, corpus_dir, texts):
 @given(_texts)
 def test_fuzzed_dsir_matches_oracle(spark, corpus_dir, texts):
     _compare(spark, "dsir_importance_weights", texts, corpus_dir)
+
+
+def test_semantic_decontamination_zero_norm_guard(spark, corpus_dir):
+    """A zero-norm vector must not crash the query (ANSI Spark throws
+    on double x/0 where DuckDB yields NULL): zero vectors are excluded
+    from scoring on BOTH sides — a zero TRAIN vector disappears from
+    every probe's candidate set, a zero PANEL vector drops its probe
+    from the output entirely — and the two engines still hash-match."""
+    rows = []
+    for i in range(60):
+        if i == 7 or i == 50:  # zero train vector / zero panel vector
+            v = [0.0, 0.0, 0.0, 0.0]
+        else:
+            v = [float(i % 5 + 1), float(i % 3), 1.0, float(i % 7)]
+        rows.append((i, v))
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows], "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(corpus_dir, "embeddings.parquet")
+    )
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    name = "semantic_decontamination"
+    srows = sorted(tuple(r) for r in qs[name](spark, corpus_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{os.path.join(corpus_dir, 'embeddings.parquet')}/*.parquet'"
+    )
+    drows = sorted(map(tuple, con.execute(osql[name]).fetchall()))
+    assert srows == drows
+    probe_ids = {r[0] for r in srows}
+    assert 0 in probe_ids  # the healthy probe survives
+    assert 50 not in probe_ids  # the zero-norm probe is excluded
