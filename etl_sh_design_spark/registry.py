@@ -544,6 +544,11 @@ def q_mirror_union(spark, sf_dir):
 # hasher).
 _DRIVER_WINDOW_PRIORITY = [
     # --- round-8 additions: first driver signal for new queries ---
+    "perplexity_buckets",
+    "quality_retention_curve",
+    "normalized_dedup",
+    "embedding_dim_stats",
+    "source_cap_sample",
     "bigram_lm_perplexity",
     "kcenter_coreset",
     "top_ngram_coverage",
@@ -601,19 +606,19 @@ _DRIVER_WINDOW_PRIORITY = [
     "semi_anti_customers",
     "sessionization_events",
     "setops_mirror_union",
-    "text_quality",
-    "token_stats_by_source",
-    "tumbling_window_events",
-    "window_top3_orders",
-    # --- r4-last-green cohort, alphabetical prefix to fill to 50 ---
-    "a16_histogram_mean",
 ]
 # Round-8 window rationale (invariant: a query whose CODE changed this
 # round is always in-window — zero rotation debt; the r7 lapse on
-# embedding_neardup_blocked is repaid above): 15 new queries first
-# (the registry_r8b additions — bigram_lm_perplexity / kcenter_coreset
+# embedding_neardup_blocked is repaid above): 20 new queries first
+# (the registry_r8c additions — perplexity_buckets /
+# quality_retention_curve / normalized_dedup / embedding_dim_stats /
+# source_cap_sample — landed in the round-8 continuation session and
+# displaced the last five refresh slots: text_quality,
+# token_stats_by_source, tumbling_window_events, window_top3_orders,
+# a16_histogram_mean re-queue for r9; then the registry_r8b additions
+# — bigram_lm_perplexity / kcenter_coreset
 # / top_ngram_coverage / dsir_importance_weights /
-# semantic_decontamination — landed late-round and displaced the last
+# semantic_decontamination — which had displaced the last
 # five r4-refresh slots: dataset_split, decontamination,
 # dedup_keep_best, asof_events, a5_slot_state_counts re-queue for r9),
 # then the original 10 new queries
@@ -625,14 +630,11 @@ _DRIVER_WINDOW_PRIORITY = [
 # the r7 debt), then the 6 dee_faces-memo consumers (the memo keying
 # they all build through was re-keyed per ADVICE r7), then the
 # oldest-driver-signal refresh computed FROM CORRECTNESS_r01..r07
-# last-green rounds: the entire last-green-r3 cohort (25) plus the
-# alphabetical prefix of the last-green-r4 cohort (6, after
-# char_entropy_quality / quality_gate_admissions /
-# pii_redaction_sources / temperature_mixture_plan took four more
-# slots) to land at
-# EXACTLY 50. The r4 remainder (37), r5 (47) and r6 (11) cohorts queue
-# for r9+; every query is replayed each session by the local
-# dtype-hardened gate regardless (tests/test_driver_contract.py).
+# last-green rounds: the last-green-r3 cohort minus its five newest
+# displacements, to land at EXACTLY 50. The displaced refresh entries
+# plus the r4 remainder, r5 and r6 cohorts queue for r9+; every query
+# is replayed each session by the local dtype-hardened gate regardless
+# (tests/test_driver_contract.py).
 
 
 def _windowed(d: dict) -> dict:
@@ -668,6 +670,7 @@ def _load_extensions() -> None:
         registry_r7,
         registry_r8,
         registry_r8b,
+        registry_r8c,
         registry_tiling,
         registry_wide,
     )

@@ -47,8 +47,9 @@ _BG_PAIRS_DUCK = (
     "'cur': toks[i]})"
 )
 
-_BIGRAM_SQL = f"""
-WITH t AS (
+# The per-doc NLL CTE chain (through `pd`), shared with
+# registry_r8c's perplexity bucketing.
+DOC_NLL_CTES = f"""t AS (
   SELECT doc_id, source, {_TOKS_DUCK} AS toks FROM documents
   WHERE len({_TOKS_DUCK}) > 0
 ),
@@ -68,7 +69,10 @@ sc AS (
 pd AS (
   SELECT doc_id, source, round(avg(nll), 6) AS doc_nll
   FROM sc GROUP BY 1, 2
-),
+)"""
+
+_BIGRAM_SQL = f"""
+WITH {DOC_NLL_CTES},
 pd2 AS (SELECT *, round(power(2.0, doc_nll), 4) AS ppl FROM pd),
 g AS (SELECT round(avg(doc_nll), 6) AS corpus_nll FROM pd2)
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -79,26 +83,11 @@ FROM pd2 CROSS JOIN g GROUP BY 1
 """
 
 
-@query("bigram_lm_perplexity", _BIGRAM_SQL)
-def q_bigram_lm_perplexity(spark, sf_dir):
-    """Bigram-LM perplexity scoring (CCNet-style quality filter, the
-    real conditional-probability form): train an add-alpha-smoothed
-    bigram model ON the corpus, score every token's -log2 P(w|prev),
-    roll up per-doc perplexity, and report per-source mean perplexity
-    plus the fraction of docs whose NLL sits > 0.5 bits above the
-    corpus mean (the CCNet tail-cut shape).
-
-    Scale shape: the bigram pair stream is map-side (one array
-    transform + explode, no window function for the lag — position
-    pairing happens inside the row); model training is two
-    high-cardinality hash aggs with map-side partials; scoring joins
-    shuffle on (prev, cur) / prev like token_frequency_scores (AQE
-    broadcasts the model tables when small, handles them keyed when
-    vocab-sized); the vocab size and corpus-mean NLL are 1-row scalar
-    crossJoins (lint-whitelisted). Float discipline: per-doc NLL is
-    rounded to 6 dp before exp/aggregation on BOTH engines; log2 is
-    the only libm call and its per-token ulp error is ~1e-16 relative
-    against a 6-dp round."""
+def doc_nll_df(spark, sf_dir):
+    """The per-doc bigram NLL sub-plan (doc_id, source, doc_nll) —
+    the Spark twin of DOC_NLL_CTES, shared by `bigram_lm_perplexity`
+    and registry_r8c's `perplexity_buckets`. See
+    q_bigram_lm_perplexity's docstring for the scale shape."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", "source", F.expr(_TOKS).alias("toks")).filter(
         F.size("toks") > 0
@@ -123,9 +112,32 @@ def q_bigram_lm_perplexity(spark, sf_dir):
             ),
         )
     )
-    pd = sc.groupBy("doc_id", "source").agg(
+    return sc.groupBy("doc_id", "source").agg(
         F.round(F.avg("nll"), 6).alias("doc_nll")
     )
+
+
+@query("bigram_lm_perplexity", _BIGRAM_SQL)
+def q_bigram_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity scoring (CCNet-style quality filter, the
+    real conditional-probability form): train an add-alpha-smoothed
+    bigram model ON the corpus, score every token's -log2 P(w|prev),
+    roll up per-doc perplexity, and report per-source mean perplexity
+    plus the fraction of docs whose NLL sits > 0.5 bits above the
+    corpus mean (the CCNet tail-cut shape).
+
+    Scale shape: the bigram pair stream is map-side (one array
+    transform + explode, no window function for the lag — position
+    pairing happens inside the row); model training is two
+    high-cardinality hash aggs with map-side partials; scoring joins
+    shuffle on (prev, cur) / prev like token_frequency_scores (AQE
+    broadcasts the model tables when small, handles them keyed when
+    vocab-sized); the vocab size and corpus-mean NLL are 1-row scalar
+    crossJoins (lint-whitelisted). Float discipline: per-doc NLL is
+    rounded to 6 dp before exp/aggregation on BOTH engines; log2 is
+    the only libm call and its per-token ulp error is ~1e-16 relative
+    against a 6-dp round."""
+    pd = doc_nll_df(spark, sf_dir)
     pd2 = pd.withColumn("ppl", F.round(F.pow(F.lit(2.0), F.col("doc_nll")), 4))
     g = pd2.agg(F.round(F.avg("doc_nll"), 6).alias("corpus_nll"))
     return (

@@ -1,0 +1,100 @@
+"""Semantic invariants for the round-8c curation shapes
+(registry_r8c): perplexity bucketing, the quality retention curve,
+normalized dedup, embedding dimension stats, and the per-source cap.
+Cross-engine value equality is covered by test_driver_contract's full
+oracle replay; these pin the invariants a hash match alone would not
+explain."""
+
+from __future__ import annotations
+
+from etl_sh_design_spark.registry_r8c import (
+    _CAP_K,
+    q_embedding_dim_stats,
+    q_normalized_dedup,
+    q_perplexity_buckets,
+    q_quality_retention_curve,
+    q_source_cap_sample,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_perplexity_buckets_are_balanced_terciles(spark, duck):
+    out = {r["bucket"]: r for r in q_perplexity_buckets(spark, SF_SMOKE).collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    n_docs, = duck.execute(
+        r"""SELECT count(*) FROM documents
+        WHERE len(list_filter(string_split_regex(text, '\s+'),
+                              t -> t != '')) > 0"""
+    ).fetchone()
+    counts = {b: r["n_docs"] for b, r in out.items()}
+    assert sum(counts.values()) == n_docs
+    # terciles: each bucket holds ~n/3 (ties on the rounded NLL can
+    # push a few docs across a boundary, nothing more)
+    for b, c in counts.items():
+        assert abs(c - n_docs / 3) <= max(3, 0.1 * n_docs), (b, counts)
+    # fluency ordering is the bucketing key itself
+    assert out["head"]["mean_nll"] < out["middle"]["mean_nll"] < out["tail"]["mean_nll"]
+    assert out["head"]["mean_ppl"] < out["tail"]["mean_ppl"]
+
+
+def test_quality_retention_curve_is_monotone(spark):
+    rows = sorted(
+        q_quality_retention_curve(spark, SF_SMOKE).collect(),
+        key=lambda r: r["thr_pct"],
+    )
+    assert [r["thr_pct"] for r in rows] == list(range(0, 100, 10))
+    # thr=0 keeps everything
+    assert rows[0]["token_retention"] == 1.0
+    # both curves are non-increasing in the threshold
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["n_docs_kept"] <= lo["n_docs_kept"]
+        assert hi["token_retention"] <= lo["token_retention"]
+
+
+def test_normalized_dedup_catches_planted_variants(spark, duck):
+    rows = q_normalized_dedup(spark, SF_SMOKE).collect()
+    assert rows
+    planted = dict(
+        duck.execute(
+            "SELECT source, count(*) FROM documents WHERE doc_id % 10 = 0 GROUP BY 1"
+        ).fetchall()
+    )
+    base = dict(
+        duck.execute("SELECT source, count(*) FROM documents GROUP BY 1").fetchall()
+    )
+    for r in rows:
+        # corpus = originals + planted twins
+        assert r["n_docs"] == base[r["source"]] + planted.get(r["source"], 0)
+        # raw hashing sees every planted twin as unique text
+        assert r["n_exact"] == r["n_docs"]
+        # the normalized key collapses EVERY planted twin (and nothing
+        # else: sf docs are unique after normalization)
+        assert r["n_norm"] == base[r["source"]]
+        assert 0.0 <= r["norm_dup_ratio"] < 1.0
+
+
+def test_embedding_dim_stats_shape(spark, duck):
+    rows = q_embedding_dim_stats(spark, SF_SMOKE).collect()
+    dim, n_vecs = duck.execute(
+        "SELECT max(len(embedding)), count(*) FROM embeddings"
+    ).fetchone()
+    assert len(rows) == dim
+    assert sorted(r["dim"] for r in rows) == list(range(dim))
+    for r in rows:
+        assert r["n"] == n_vecs
+        assert r["min_x"] <= r["mean_x"] <= r["max_x"]
+        assert r["std_x"] >= 0.0
+
+
+def test_source_cap_sample_caps_every_source(spark):
+    rows = q_source_cap_sample(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] == min(_CAP_K, r["n_docs"])
+        assert 0.0 < r["token_retention"] <= 1.0
+        # the cap keeps the HIGHEST-quality docs; their token share
+        # can't be less than a uniform draw of the same doc count
+        # would give only in pathological corpora — don't over-assert,
+        # just sanity-bound it
+        if r["n_docs"] > r["n_kept"]:
+            assert r["token_retention"] < 1.0

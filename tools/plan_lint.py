@@ -130,6 +130,13 @@ WHITELIST: dict[str, dict[str, str]] = {
     "bigram_lm_perplexity": {
         "NESTED_LOOP": "1-row vocab-size + corpus-NLL scalars"
     },
+    "perplexity_buckets": {
+        "NESTED_LOOP": "1-row vocab-size + tercile-threshold scalars",
+        # the tercile rank plan windows over DISTINCT round-6dp NLL
+        # values — bounded by the VALUE DOMAIN (<= ~3e7 for a 0-30 bit
+        # range at 6 dp), not by corpus size, and the sort spills
+        "GLOBAL_WIN": "rank over value-domain-bounded distinct NLLs",
+    },
     "kcenter_coreset": {
         "NESTED_LOOP": "<=k-row center-set broadcast (greedy k-center rounds)"
     },
