@@ -191,9 +191,15 @@ def main() -> None:
         ("top_ngram_coverage", "docs", qs["top_ngram_coverage"]),
         ("dsir_importance_weights", "docs", qs["dsir_importance_weights"]),
         ("semantic_decontamination", "vecs", qs["semantic_decontamination"]),
+        # round-8c continuation additions: selection / normalization
+        ("perplexity_buckets", "docs", qs["perplexity_buckets"]),
+        ("quality_retention_curve", "docs", qs["quality_retention_curve"]),
+        ("normalized_dedup", "docs", qs["normalized_dedup"]),
+        ("embedding_dim_stats", "vecs", qs["embedding_dim_stats"]),
+        ("source_cap_sample", "docs", qs["source_cap_sample"]),
     ]
     if new_only:
-        plan = plan[-12:]
+        plan = plan[-17:]
     if "--r5b-only" in sys.argv:
         plan = plan[-7:-3]
     if "--r5c-only" in sys.argv:
@@ -204,6 +210,8 @@ def main() -> None:
     if "--r5c2-only" in sys.argv:
         plan = plan[-11:-5]
     if "--r8b-only" in sys.argv:
+        plan = plan[-10:-5]
+    if "--r8c-only" in sys.argv:
         plan = plan[-5:]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
