@@ -20,6 +20,11 @@ preprocessing curation shapes the pipeline family still lacked.
 - `source_cap_sample` — per-source document cap (the FineWeb-style
   per-domain cap): keep the top-K docs per source by quality, report
   the kept count and retained token share per source.
+- `dup_ngram_fraction` — the LAST Gopher repetition rule
+  (completing `doc_repetition` = duplicate passages and
+  `top_ngram_coverage` = top n-gram share): fraction of document
+  characters inside DUPLICATE word n-grams for n in 5..10, with the
+  published per-n breach thresholds 0.15/0.14/0.13/0.12/0.11/0.10.
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ from pyspark.sql import functions as F
 from etl_sh_design_spark.functions import text
 from etl_sh_design_spark.operators.percentile import grouped_percentiles
 from etl_sh_design_spark.registry import _t, query
+from etl_sh_design_spark.registry_pipeline import _TOKS, _TOKS_DUCK
 from etl_sh_design_spark.registry_r5b import _scored_docs_sql
 from etl_sh_design_spark.registry_r8b import DOC_NLL_CTES, doc_nll_df
 
@@ -351,4 +357,125 @@ def q_source_cap_sample(spark, sf_dir):
                 6,
             ),
         ).alias("token_retention"),
+    )
+
+
+# ---------------------------------------------- dup n-gram fraction
+# Gopher-published breach thresholds for the duplicate-n-gram rule
+_DUP_THR = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+# stride-1 n-gram stream, duplicates KEPT (unlike the MinHash
+# shingler's array_distinct — multiplicity IS the signal here)
+_DUP_GRAMS = (
+    "transform(sequence(1, size(toks) - n + 1), "
+    "i -> concat_ws(' ', slice(toks, i, n)))"
+)
+
+_DUP_THR_CASE = " ".join(
+    f"WHEN {n} THEN {thr}" for n, thr in _DUP_THR.items()
+)
+
+_DUP_SQL = f"""
+WITH t AS (SELECT doc_id, source, n_chars, {_TOKS_DUCK} AS toks FROM documents),
+nn AS (SELECT doc_id, source, n_chars, toks,
+              unnest([5, 6, 7, 8, 9, 10]) AS n FROM t),
+g AS (
+  SELECT doc_id, source, n_chars, n,
+         unnest(list_transform(range(1, len(toks) - n + 2),
+                i -> array_to_string(toks[i : i + n - 1], ' '))) AS gram
+  FROM nn WHERE len(toks) >= n
+),
+c AS (
+  SELECT doc_id, source, n_chars, n, gram, count(*) AS cnt
+  FROM g GROUP BY ALL
+),
+d AS (
+  SELECT doc_id, source, n,
+         least(1.0e0,
+               CAST(coalesce(sum(CASE WHEN cnt >= 2
+                                 THEN cnt * length(gram) END), 0)
+                    AS DOUBLE) / max(n_chars)) AS coverage
+  FROM c GROUP BY 1, 2, 3
+)
+SELECT source, n, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(coverage), 6) AS avg_coverage,
+       round(avg(CASE WHEN coverage > (CASE n {_DUP_THR_CASE} END)
+                 THEN 1.0e0 ELSE 0.0e0 END), 6) AS breach_ratio
+FROM d GROUP BY 1, 2
+"""
+
+
+@query("dup_ngram_fraction", _DUP_SQL)
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Duplicate n-gram character fraction — the last Gopher
+    repetition rule (Rae et al. 2021, Table A1): per document and
+    n in 5..10, the fraction of characters covered by word n-grams
+    that occur MORE THAN ONCE in the document (all occurrences
+    counted, capped at 1.0 since overlapping occurrences can exceed
+    the text length), aggregated per source with the published breach
+    thresholds (0.15 down to 0.10). Together with `doc_repetition`
+    (duplicate passages) and `top_ngram_coverage` (single most
+    frequent n-gram) this completes the published repetition battery.
+
+    Scale shape: MAP-ONLY on the Spark side — no gram ever reaches an
+    exchange. The n fan-out (x6) is a literal-array explode; the
+    stride-1 gram stream stays an IN-ROW array that one
+    array_sort + aggregate pass run-length encodes, accumulating
+    sum(run * length(gram)) over runs with run >= 2 (the same
+    one-sorted-pass idiom as functions/text.char_entropy, staged so
+    the tokenizing split evaluates once per row — Catalyst does no
+    CSE across HOF lambda bodies). The only shuffle is the 6-groups-
+    per-source rollup with map-side partials. The DuckDB twin keeps
+    the relational explode/group form — sum over distinct grams of
+    cnt * length(gram) with cnt >= 2 is algebraically the run-length
+    mass. Coverage is exact-integer until one correctly-rounded
+    division, so the breach comparison is bit-deterministic
+    cross-engine; the first run-length draft was the shuffle form and
+    measured 7.6 s at sf0.1 / 19.1 s at 10x — the map-only form is
+    what ships."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", "n_chars", F.expr(_TOKS).alias("toks")
+    ).withColumn(
+        "n", F.explode(F.array(*[F.lit(n) for n in range(5, 11)]))
+    )
+    grams = toks.filter(F.size("toks") >= F.col("n")).select(
+        "source",
+        "n_chars",
+        "n",
+        F.expr(f"array_sort({_DUP_GRAMS})").alias("gs"),
+    )
+    dup_mass = (
+        "aggregate(gs, "
+        "struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run, "
+        "CAST(0 AS BIGINT) AS mass), "
+        "(acc, g) -> struct(g AS prev, "
+        "IF(g = acc.prev, acc.run + 1, CAST(1 AS BIGINT)) AS run, "
+        "acc.mass + IF(g != acc.prev AND acc.run >= 2, "
+        "acc.run * length(acc.prev), CAST(0 AS BIGINT)) AS mass), "
+        "acc -> acc.mass + IF(acc.run >= 2, "
+        "acc.run * length(acc.prev), CAST(0 AS BIGINT)))"
+    )
+    cov = grams.select(
+        "source",
+        "n",
+        F.least(
+            F.lit(1.0),
+            F.expr(dup_mass).cast("double") / F.col("n_chars"),
+        ).alias("coverage"),
+    )
+    thr = F.col("n")
+    case = None
+    for n, t in _DUP_THR.items():
+        case = (
+            F.when(thr == n, F.lit(t))
+            if case is None
+            else case.when(thr == n, F.lit(t))
+        )
+    return cov.groupBy("source", "n").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("coverage"), 6).alias("avg_coverage"),
+        F.round(
+            F.avg((F.col("coverage") > case).cast("double")), 6
+        ).alias("breach_ratio"),
     )

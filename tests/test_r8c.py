@@ -98,3 +98,29 @@ def test_source_cap_sample_caps_every_source(spark):
         # just sanity-bound it
         if r["n_docs"] > r["n_kept"]:
             assert r["token_retention"] < 1.0
+
+
+def test_dup_ngram_fraction_shape_and_bounds(spark, duck):
+    from etl_sh_design_spark.registry_r8c import q_dup_ngram_fraction
+
+    rows = q_dup_ngram_fraction(spark, SF_SMOKE).collect()
+    assert rows
+    # every (source, n) cell reports exactly the docs long enough for n
+    eligible = {
+        (s, n): c
+        for s, n, c in duck.execute(
+            r"""SELECT source, n, count(*) FROM (
+              SELECT source, len(list_filter(string_split_regex(text, '\s+'),
+                                 t -> t != '')) AS n_toks FROM documents),
+              (SELECT unnest([5,6,7,8,9,10]) AS n)
+            WHERE n_toks >= n GROUP BY 1, 2"""
+        ).fetchall()
+    }
+    seen = set()
+    for r in rows:
+        assert 5 <= r["n"] <= 10
+        assert r["n_docs"] == eligible[(r["source"], r["n"])]
+        assert 0.0 <= r["avg_coverage"] <= 1.0
+        assert 0.0 <= r["breach_ratio"] <= 1.0
+        seen.add((r["source"], r["n"]))
+    assert seen == set(eligible)

@@ -197,9 +197,10 @@ def main() -> None:
         ("normalized_dedup", "docs", qs["normalized_dedup"]),
         ("embedding_dim_stats", "vecs", qs["embedding_dim_stats"]),
         ("source_cap_sample", "docs", qs["source_cap_sample"]),
+        ("dup_ngram_fraction", "docs", qs["dup_ngram_fraction"]),
     ]
     if new_only:
-        plan = plan[-17:]
+        plan = plan[-18:]
     if "--r5b-only" in sys.argv:
         plan = plan[-7:-3]
     if "--r5c-only" in sys.argv:
@@ -210,9 +211,9 @@ def main() -> None:
     if "--r5c2-only" in sys.argv:
         plan = plan[-11:-5]
     if "--r8b-only" in sys.argv:
-        plan = plan[-10:-5]
+        plan = plan[-11:-6]
     if "--r8c-only" in sys.argv:
-        plan = plan[-5:]
+        plan = plan[-6:]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
         for name, table, fn in plan:
