@@ -25,6 +25,19 @@ preprocessing curation shapes the pipeline family still lacked.
   `top_ngram_coverage` = top n-gram share): fraction of document
   characters inside DUPLICATE word n-grams for n in 5..10, with the
   published per-n breach thresholds 0.15/0.14/0.13/0.12/0.11/0.10.
+- `context_window_fit` — truncation planning: docs fitting whole and
+  token loss under truncate-to-window at 128/512/2048 tokens (the
+  LONG-doc side of the window-size decision; padding_waste prices the
+  short side, sequence_packing is the remedy).
+- `cross_source_leakage` — which source pairs share documents under
+  the normalized dedup key (the re-crawl / double-counting audit run
+  before assigning mixture weights), with deterministic cross-source
+  plants.
+- `hard_negative_mining` — contrastive-pair mining over the
+  embeddings: per probe anchor, the top same-label (positive) and
+  top different-label (hard negative) vectors and the margin — the
+  triplet/InfoNCE data-prep step, and class_separation's per-anchor
+  drill-down.
 """
 
 from __future__ import annotations
@@ -478,4 +491,247 @@ def q_dup_ngram_fraction(spark, sf_dir):
         F.round(
             F.avg((F.col("coverage") > case).cast("double")), 6
         ).alias("breach_ratio"),
+    )
+
+
+# ---------------------------------------------- context window fit
+_CW_SIZES = [128, 512, 2048]
+
+_CWF_SQL = f"""
+WITH t AS (SELECT doc_id, len({_TOKS_DUCK}) AS n_tok FROM documents),
+w AS (SELECT unnest({_CW_SIZES}) AS window_size),
+x AS (SELECT window_size, n_tok FROM t CROSS JOIN w)
+SELECT window_size,
+       CAST(count(CASE WHEN n_tok <= window_size THEN 1 END) AS BIGINT)
+         AS n_fit,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CASE WHEN sum(n_tok) > 0 THEN
+         round(CAST(sum(CASE WHEN n_tok > window_size
+                        THEN n_tok - window_size ELSE 0 END) AS DOUBLE)
+               / sum(n_tok), 6) END AS trunc_loss_ratio
+FROM x GROUP BY 1
+"""
+
+
+@query("context_window_fit", _CWF_SQL)
+def q_context_window_fit(spark, sf_dir):
+    """Context-window truncation planning: for each candidate training
+    window size (128 / 512 / 2048 tokens), how many documents fit
+    whole and what fraction of corpus TOKENS a truncate-to-window
+    policy would discard. Read next to `padding_waste` (which prices
+    the SHORT-doc side of the same decision) and `sequence_packing`
+    (the remedy): together they are the window-size design loop.
+
+    Scale shape: token count is one map-side expression; the x3
+    window fan-out is a literal-array explode; the rollup has exactly
+    3 groups with map-side partials (10-row-per-task shuffle at any
+    corpus size). All-integer until the final correctly-rounded
+    ratio."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(F.size(F.expr(_TOKS)).cast("bigint").alias("n_tok"))
+    x = t.withColumn(
+        "window_size", F.explode(F.array(*[F.lit(w) for w in _CW_SIZES]))
+    )
+    over = F.col("n_tok") > F.col("window_size")
+    return x.groupBy("window_size").agg(
+        F.count(F.when(~over, 1)).alias("n_fit"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.when(
+            F.sum("n_tok") > 0,
+            F.round(
+                F.sum(
+                    F.when(over, F.col("n_tok") - F.col("window_size")).otherwise(0)
+                ).cast("double")
+                / F.sum("n_tok"),
+                6,
+            ),
+        ).alias("trunc_loss_ratio"),
+    )
+
+
+# ---------------------------------------------- cross-source leakage
+# Planted fixture: every doc_id % 10 == 0 document gets a re-cased,
+# whitespace-padded twin attributed to a DIFFERENT source (the next
+# source in the per-doc ordering), so the normalized dedup key links
+# source pairs deterministically — the cross-SOURCE twin of
+# normalized_dedup's within-source plant.
+_XSL_PLANT_DUCK = """
+SELECT doc_id, source, text FROM documents
+UNION ALL
+SELECT d.doc_id + 2000000 AS doc_id, o.source,
+       upper(d.text) || '  ' AS text
+FROM documents d
+JOIN (SELECT doc_id, source FROM documents) o ON o.doc_id = d.doc_id + 1
+WHERE d.doc_id % 10 = 0
+"""
+
+_XSL_SQL = f"""
+WITH corpus AS ({_XSL_PLANT_DUCK}),
+h AS (SELECT source, md5({_NORM_DUCK}) AS h_norm FROM corpus),
+hs AS (SELECT DISTINCT h_norm, source FROM h),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.h_norm
+  FROM hs a JOIN hs b ON a.h_norm = b.h_norm AND a.source < b.source
+)
+SELECT source_a, source_b,
+       CAST(count(DISTINCT h_norm) AS BIGINT) AS n_shared_docs
+FROM p GROUP BY 1, 2
+"""
+
+
+@query("cross_source_leakage", _XSL_SQL)
+def q_cross_source_leakage(spark, sf_dir):
+    """Cross-source duplicate leakage matrix: which pairs of sources
+    share documents under the normalized dedup key (the audit run
+    before attributing mixture weights — a source whose content is
+    largely another source's re-crawl should not count twice).
+    Deterministic fixture: every doc_id % 10 == 0 document is planted
+    again under the NEXT doc's source (re-cased + padded), so every
+    reported pair traces to known plants on the test corpora.
+
+    Scale shape: normalization + md5 are map-side; the DISTINCT
+    (h_norm, source) projection and the per-hash source self-join
+    shuffle on the hash — and the join's per-key fan-out is bounded
+    by the number of SOURCES a hash appears in (the s^2 blowup is per
+    duplicated doc across s sources, with s <= |sources|, a
+    mixture-design constant), never by corpus size. The rollup
+    groups on source pairs — dimension-bounded output."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    nxt = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("source").alias("next_source"))
+    planted = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .join(nxt, "doc_id")
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.col("next_source").alias("source"),
+            F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    corpus = d.unionByName(planted)
+    hs = corpus.select(
+        "source", F.md5(F.expr(_NORM_SPARK)).alias("h_norm")
+    ).distinct()
+    a = hs.select(F.col("h_norm"), F.col("source").alias("source_a"))
+    b = hs.select(F.col("h_norm"), F.col("source").alias("source_b"))
+    p = a.join(b, "h_norm").filter(F.col("source_a") < F.col("source_b"))
+    return p.groupBy("source_a", "source_b").agg(
+        F.countDistinct("h_norm").alias("n_shared_docs")
+    )
+
+
+# --------------------------------------------- hard-negative mining
+from etl_sh_design_spark.registry_r8b import (  # noqa: E402
+    _SD_DOT,
+    _SD_DOT_DUCK,
+    _SD_NORM,
+    _SD_NORM_DUCK,
+)
+
+_HNM_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+p AS (SELECT vec_id AS a_id, label AS a_label, v AS pv FROM e
+      WHERE vec_id % 9 = 0 AND vec_id < 500),
+s AS (
+  SELECT a_id, a_label, t.vec_id, t.label,
+         round({_SD_DOT_DUCK}
+               / (sqrt({_SD_NORM_DUCK.format(c='v')})
+                  * sqrt({_SD_NORM_DUCK.format(c='pv')})), 6) AS cos
+  FROM e t CROSS JOIN p
+  WHERE t.vec_id != a_id
+    AND {_SD_NORM_DUCK.format(c='v')} > 0
+    AND {_SD_NORM_DUCK.format(c='pv')} > 0
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY a_id, (label = a_label)
+                               ORDER BY cos DESC, vec_id) AS rn
+  FROM s
+)
+SELECT a_id, a_label,
+       max(CASE WHEN label = a_label AND rn = 1 THEN vec_id END) AS pos_id,
+       max(CASE WHEN label = a_label AND rn = 1 THEN cos END) AS pos_cos,
+       max(CASE WHEN label != a_label AND rn = 1 THEN vec_id END) AS neg_id,
+       max(CASE WHEN label != a_label AND rn = 1 THEN cos END) AS neg_cos,
+       round(max(CASE WHEN label = a_label AND rn = 1 THEN cos END)
+             - max(CASE WHEN label != a_label AND rn = 1 THEN cos END), 6)
+         AS margin
+FROM r GROUP BY 1, 2
+"""
+
+
+@query("hard_negative_mining", _HNM_SQL)
+def q_hard_negative_mining(spark, sf_dir):
+    """Contrastive-pair mining for embedding-model training data: for
+    every anchor in a fixed probe panel (vec_id % 9 == 0), the most
+    similar SAME-label vector (the positive) and the most similar
+    DIFFERENT-label vector (the hard negative), plus the margin
+    between them — the mining step behind triplet/InfoNCE training
+    sets, and the per-anchor drill-down of `class_separation`'s
+    aggregate view (an anchor with a negative margin is exactly a
+    boundary violator worth hand-review).
+
+    Scale shape: the anchor panel is FIXED-SIZE (vec_id % 9 == 0
+    below id 500 — a mining batch, not a corpus fraction; the lesson
+    semantic_decontamination's 7.4x-at-10x first draft taught) and
+    broadcast against ONE map-only corpus scan (zip_with dot + norms
+    in-row). The top-1-per-(anchor, same-label) winner is a groupBy
+    max(struct(cos, -vec_id)) — NOT a window — so map-side partial
+    aggregation collapses each task's contribution to at most
+    2 x |panel| rows before the exchange (the window-form first draft
+    measured 7.2 MB -> 704 MB shuffle and 12 s -> 130 s wall at 10x
+    with a corpus-fraction panel; this form is panel-bounded). Mining
+    over ALL anchors at 100 TB steps down to the bucketed ANN ladder
+    (similarity_ann_ivf / _lsh), exactly as embedding_neardup
+    documents. Determinism: cosine rounded 6 dp BEFORE the max, and
+    the -vec_id struct field makes the winner total-ordered (the
+    DuckDB twin's row_number ORDER BY cos DESC, vec_id picks the same
+    row); zero-norm vectors are excluded on both engines (ANSI x/0
+    vs NULL divergence)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    panel = e.filter(
+        (F.col("vec_id") % 9 == 0) & (F.col("vec_id") < 500)
+    ).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("pv"),
+    )
+    s = (
+        e.crossJoin(F.broadcast(panel))
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .withColumn("dot", F.expr(_SD_DOT))
+        .withColumn("n_v", F.expr(_SD_NORM.format(c="v")))
+        .withColumn("n_p", F.expr(_SD_NORM.format(c="pv")))
+        .filter((F.col("n_v") > 0) & (F.col("n_p") > 0))
+        .withColumn(
+            "cos",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("n_v")) * F.sqrt(F.col("n_p"))), 6
+            ),
+        )
+        .withColumn("same", F.col("label") == F.col("a_label"))
+    )
+    best = s.groupBy("a_id", "a_label", "same").agg(
+        F.max(
+            F.struct(
+                F.col("cos").alias("cos"), (-F.col("vec_id")).alias("nv")
+            )
+        ).alias("b")
+    )
+    pos_id = F.max(F.when(F.col("same"), -F.col("b.nv")))
+    pos_cos = F.max(F.when(F.col("same"), F.col("b.cos")))
+    neg_id = F.max(F.when(~F.col("same"), -F.col("b.nv")))
+    neg_cos = F.max(F.when(~F.col("same"), F.col("b.cos")))
+    return best.groupBy("a_id", "a_label").agg(
+        pos_id.alias("pos_id"),
+        pos_cos.alias("pos_cos"),
+        neg_id.alias("neg_id"),
+        neg_cos.alias("neg_cos"),
+        F.round(pos_cos - neg_cos, 6).alias("margin"),
     )

@@ -124,3 +124,68 @@ def test_dup_ngram_fraction_shape_and_bounds(spark, duck):
         assert 0.0 <= r["breach_ratio"] <= 1.0
         seen.add((r["source"], r["n"]))
     assert seen == set(eligible)
+
+
+def test_context_window_fit_monotone(spark, duck):
+    from etl_sh_design_spark.registry_r8c import q_context_window_fit
+
+    rows = sorted(
+        q_context_window_fit(spark, SF_SMOKE).collect(),
+        key=lambda r: r["window_size"],
+    )
+    assert [r["window_size"] for r in rows] == [128, 512, 2048]
+    n_docs, = duck.execute("SELECT count(*) FROM documents").fetchone()
+    for r in rows:
+        assert r["n_docs"] == n_docs
+        assert 0 <= r["n_fit"] <= n_docs
+        assert 0.0 <= r["trunc_loss_ratio"] <= 1.0
+    # widening the window can only fit more docs and lose fewer tokens
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["n_fit"] >= lo["n_fit"]
+        assert hi["trunc_loss_ratio"] <= lo["trunc_loss_ratio"]
+
+
+def test_cross_source_leakage_traces_to_plants(spark, duck):
+    from etl_sh_design_spark.registry_r8c import q_cross_source_leakage
+
+    rows = q_cross_source_leakage(spark, SF_SMOKE).collect()
+    # expected pairs: for every doc_id%10==0 doc with a successor doc,
+    # the (doc source, successor source) pair — unordered, de-duplicated
+    # by normalized content within the pair
+    expected = duck.execute(
+        """
+        SELECT least(d.source, o.source), greatest(d.source, o.source),
+               count(DISTINCT md5(trim(regexp_replace(regexp_replace(
+                 lower(d.text), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))))
+        FROM documents d JOIN documents o ON o.doc_id = d.doc_id + 1
+        WHERE d.doc_id % 10 = 0 AND d.source != o.source
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    got = {(r["source_a"], r["source_b"]): r["n_shared_docs"] for r in rows}
+    for a, b, n in expected:
+        assert (a, b) in got
+        # plants guarantee AT LEAST these shared docs (natural dups could add)
+        assert got[(a, b)] >= min(n, 1)
+    for (a, b), n in got.items():
+        assert a < b and n >= 1
+
+
+def test_hard_negative_mining_invariants(spark, duck):
+    from etl_sh_design_spark.registry_r8c import q_hard_negative_mining
+
+    rows = q_hard_negative_mining(spark, SF_SMOKE).collect()
+    n_anchors, = duck.execute(
+        "SELECT count(*) FROM embeddings WHERE vec_id % 9 = 0"
+    ).fetchone()
+    assert len(rows) == n_anchors
+    for r in rows:
+        assert r["a_id"] % 9 == 0
+        # the positive and the negative are distinct vectors, never
+        # the anchor itself
+        assert r["pos_id"] != r["a_id"] and r["neg_id"] != r["a_id"]
+        if r["pos_id"] is not None and r["neg_id"] is not None:
+            assert r["pos_id"] != r["neg_id"]
+            assert -1.0 <= r["neg_cos"] <= 1.0
+            assert -1.0 <= r["pos_cos"] <= 1.0
+            assert abs((r["pos_cos"] - r["neg_cos"]) - r["margin"]) < 1e-9

@@ -163,3 +163,25 @@ def test_fuzzed_retention_curve_matches_oracle(spark, corpus_dir, texts):
 @given(_texts)
 def test_fuzzed_source_cap_matches_oracle(spark, corpus_dir, texts):
     _compare(spark, "source_cap_sample", texts, corpus_dir)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(_texts)
+def test_fuzzed_context_window_fit_matches_oracle(spark, corpus_dir, texts):
+    _compare(spark, "context_window_fit", texts, corpus_dir)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(_texts)
+def test_fuzzed_cross_source_leakage_matches_oracle(spark, corpus_dir, texts):
+    _compare(spark, "cross_source_leakage", texts, corpus_dir)

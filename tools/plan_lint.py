@@ -146,6 +146,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "semantic_decontamination": {
         "NESTED_LOOP": "eval-panel broadcast (10-probe side)"
     },
+    "hard_negative_mining": {
+        "NESTED_LOOP": "probe-panel broadcast (anchor side)"
+    },
     "ivfpq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "pq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "similarity_ann_ivf": {"NESTED_LOOP": "centroid broadcast"},

@@ -198,9 +198,12 @@ def main() -> None:
         ("embedding_dim_stats", "vecs", qs["embedding_dim_stats"]),
         ("source_cap_sample", "docs", qs["source_cap_sample"]),
         ("dup_ngram_fraction", "docs", qs["dup_ngram_fraction"]),
+        ("context_window_fit", "docs", qs["context_window_fit"]),
+        ("cross_source_leakage", "docs", qs["cross_source_leakage"]),
+        ("hard_negative_mining", "vecs", qs["hard_negative_mining"]),
     ]
     if new_only:
-        plan = plan[-18:]
+        plan = plan[-21:]
     if "--r5b-only" in sys.argv:
         plan = plan[-7:-3]
     if "--r5c-only" in sys.argv:
@@ -211,9 +214,9 @@ def main() -> None:
     if "--r5c2-only" in sys.argv:
         plan = plan[-11:-5]
     if "--r8b-only" in sys.argv:
-        plan = plan[-11:-6]
+        plan = plan[-14:-9]
     if "--r8c-only" in sys.argv:
-        plan = plan[-6:]
+        plan = plan[-9:]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
         for name, table, fn in plan:
