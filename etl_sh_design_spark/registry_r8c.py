@@ -38,6 +38,10 @@ preprocessing curation shapes the pipeline family still lacked.
   top different-label (hard negative) vectors and the margin — the
   triplet/InfoNCE data-prep step, and class_separation's per-anchor
   drill-down.
+- `vision_token_budget` — multimodal token accounting: per-source
+  vision (ViT patch) vs text token totals through the real
+  mapInPandas decode plumbing, the denominator a VLM packing step
+  needs.
 """
 
 from __future__ import annotations
@@ -734,4 +738,83 @@ def q_hard_negative_mining(spark, sf_dir):
         neg_id.alias("neg_id"),
         neg_cos.alias("neg_cos"),
         F.round(pos_cos - neg_cos, 6).alias("margin"),
+    )
+
+
+# ---------------------------------------------- vision token budget
+from etl_sh_design_spark.operators import multimodal  # noqa: E402
+
+_PATCH = 14  # ViT-style patch edge
+
+_VTB_SQL = f"""
+WITH img AS (
+  SELECT doc_id, source,
+         greatest(1, octet_length(encode(text)) % 640) AS width,
+         greatest(1, (octet_length(encode(text)) * 7) % 480) AS height,
+         len({_TOKS_DUCK}) AS text_tokens
+  FROM documents
+),
+t AS (
+  SELECT source,
+         ((width + {_PATCH - 1}) // {_PATCH})
+           * ((height + {_PATCH - 1}) // {_PATCH}) AS vision_tokens,
+         text_tokens
+  FROM img
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(vision_tokens) AS BIGINT) AS vision_tokens,
+       CAST(sum(text_tokens) AS BIGINT) AS text_tokens,
+       CASE WHEN sum(vision_tokens) + sum(text_tokens) > 0 THEN
+         round(CAST(sum(vision_tokens) AS DOUBLE)
+               / (sum(vision_tokens) + sum(text_tokens)), 6) END
+         AS vision_frac
+FROM t GROUP BY 1
+"""
+
+
+@query("vision_token_budget", _VTB_SQL)
+def q_vision_token_budget(spark, sf_dir):
+    """Multimodal token accounting — the budgeting step a VLM training
+    pipeline runs before packing: per source, the total VISION tokens
+    (ViT-style ceil(w/14) x ceil(h/14) patches per image, from the
+    decoded — here deterministically stubbed — image dimensions) next
+    to the total TEXT tokens, and the vision share of the combined
+    budget. Read beside `context_window_fit`/`sequence_packing`: a
+    multimodal sample's window cost is text + patches, and this table
+    is where that denominator comes from.
+
+    Scale shape: the decode runs through the REAL multimodal plumbing
+    (to_binary_table -> Arrow-batched mapInPandas, narrow, no
+    shuffle); patch arithmetic is exact-integer `div`; the join back
+    to the text token count is doc_id-keyed (co-partitioned scans of
+    the same table; AQE broadcasts the thinner side at small SF); the
+    rollup is source-keyed with map-side partials. The stubbed
+    dimensions are pure functions of the payload bytes, so the DuckDB
+    twin reproduces every value exactly (the multimodal_decode_stub
+    contract)."""
+    d = _t(spark, sf_dir, "documents")
+    img = multimodal.decode_image(
+        multimodal.to_binary_table(d), fake=True
+    ).select("doc_id", "width", "height")
+    txt = d.select(
+        "doc_id",
+        "source",
+        F.size(F.expr(_TOKS)).cast("bigint").alias("text_tokens"),
+    )
+    t = txt.join(img, "doc_id").select(
+        "source",
+        "text_tokens",
+        (
+            F.expr(f"(width + {_PATCH - 1}) div {_PATCH}")
+            * F.expr(f"(height + {_PATCH - 1}) div {_PATCH}")
+        ).cast("bigint").alias("vision_tokens"),
+    )
+    v, x = F.sum("vision_tokens"), F.sum("text_tokens")
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        v.cast("bigint").alias("vision_tokens"),
+        x.cast("bigint").alias("text_tokens"),
+        F.when(
+            v + x > 0, F.round(v.cast("double") / (v + x), 6)
+        ).alias("vision_frac"),
     )

@@ -189,3 +189,22 @@ def test_hard_negative_mining_invariants(spark, duck):
             assert -1.0 <= r["neg_cos"] <= 1.0
             assert -1.0 <= r["pos_cos"] <= 1.0
             assert abs((r["pos_cos"] - r["neg_cos"]) - r["margin"]) < 1e-9
+
+
+def test_vision_token_budget_reconciles(spark, duck):
+    from etl_sh_design_spark.registry_r8c import q_vision_token_budget
+
+    rows = q_vision_token_budget(spark, SF_SMOKE).collect()
+    assert rows
+    txt = dict(
+        duck.execute(
+            r"""SELECT source, sum(len(list_filter(
+                string_split_regex(text, '\s+'), t -> t != '')))
+            FROM documents GROUP BY 1"""
+        ).fetchall()
+    )
+    for r in rows:
+        assert r["text_tokens"] == txt[r["source"]]
+        # every stubbed image is at least 1x1 -> at least 1 patch/doc
+        assert r["vision_tokens"] >= r["n_docs"]
+        assert 0.0 < r["vision_frac"] < 1.0

@@ -201,9 +201,10 @@ def main() -> None:
         ("context_window_fit", "docs", qs["context_window_fit"]),
         ("cross_source_leakage", "docs", qs["cross_source_leakage"]),
         ("hard_negative_mining", "vecs", qs["hard_negative_mining"]),
+        ("vision_token_budget", "docs", qs["vision_token_budget"]),
     ]
     if new_only:
-        plan = plan[-21:]
+        plan = plan[-22:]
     if "--r5b-only" in sys.argv:
         plan = plan[-7:-3]
     if "--r5c-only" in sys.argv:
@@ -214,9 +215,9 @@ def main() -> None:
     if "--r5c2-only" in sys.argv:
         plan = plan[-11:-5]
     if "--r8b-only" in sys.argv:
-        plan = plan[-14:-9]
+        plan = plan[-15:-10]
     if "--r8c-only" in sys.argv:
-        plan = plan[-9:]
+        plan = plan[-10:]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
         for name, table, fn in plan:
