@@ -159,6 +159,11 @@ SF1_HEADLINE = [
     # and the PII-scrub audit
     "quality_gate_admissions",
     "pii_redaction_sources",
+    # round-8c continuation additions: the Gopher dup-n-gram battery
+    # (map-only run-length form) and the CCNet tercile selection
+    # (vocab-bounded shuffle + rank-plan thresholds)
+    "dup_ngram_fraction",
+    "perplexity_buckets",
     # the two quadratic-audit monsters stay LAST (budget-clip order)
     "ngram_jaccard_neardup",
     "semantic_dedup",
