@@ -42,6 +42,9 @@ preprocessing curation shapes the pipeline family still lacked.
   vision (ViT patch) vs text token totals through the real
   mapInPandas decode plumbing, the denominator a VLM packing step
   needs.
+- `hard_negative_mining_ivf` — the mining step through the IVF index
+  (nprobe=2): the documented step-down path for corpus scales where
+  the per-anchor full scan is no longer affordable, made real.
 """
 
 from __future__ import annotations
@@ -817,4 +820,150 @@ def q_vision_token_budget(spark, sf_dir):
         F.when(
             v + x > 0, F.round(v.cast("double") / (v + x), 6)
         ).alias("vision_frac"),
+    )
+
+
+# ------------------------------------- hard-negative mining, IVF path
+from etl_sh_design_spark.operators.similarity import (  # noqa: E402
+    _dot,
+    _norm,
+    ivf_assign,
+)
+from etl_sh_design_spark.registry_ext import _N_CENTROIDS, _VE  # noqa: E402
+
+_HNM_NPROBE = 2
+
+_HNM_IVF_SQL = f"""
+WITH ve AS ({_VE}),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ve GROUP BY 1),
+cents AS (SELECT vec_id AS cent_id, d, v FROM ve WHERE vec_id < {_N_CENTROIDS}),
+cnorms AS (SELECT cent_id, sqrt(sum(v * v)) AS cnrm FROM cents GROUP BY 1),
+assign_scored AS (
+  SELECT a.vec_id, c.cent_id,
+         round(sum(a.v * c.v) / (any_value(n.nrm) * any_value(cn.cnrm)), 6) AS sim
+  FROM ve a
+  JOIN cents c ON a.d = c.d
+  JOIN norms n ON n.vec_id = a.vec_id
+  JOIN cnorms cn ON cn.cent_id = c.cent_id
+  GROUP BY 1, 2
+),
+ranked_cells AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) AS rk
+  FROM assign_scored
+),
+assigned AS (SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE rk = 1),
+probes AS (SELECT vec_id, cent_id AS cell FROM ranked_cells
+           WHERE rk <= {_HNM_NPROBE} AND vec_id % 9 = 0 AND vec_id < 500),
+lab AS (SELECT vec_id, label FROM embeddings),
+cand AS (
+  SELECT q.vec_id AS a_id, ql.label AS a_label,
+         c.vec_id AS cid, cl.label AS c_label
+  FROM probes q
+  JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  JOIN lab ql ON ql.vec_id = q.vec_id
+  JOIN lab cl ON cl.vec_id = c.vec_id
+),
+dots AS (
+  SELECT cand.a_id, cand.a_label, cand.cid, cand.c_label,
+         sum(q.v * c.v) AS dot
+  FROM cand JOIN ve q ON q.vec_id = cand.a_id
+            JOIN ve c ON c.vec_id = cand.cid AND c.d = q.d
+  GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT a_id, a_label, cid, c_label,
+         round(dot / (nq.nrm * nc.nrm), 6) AS cos
+  FROM dots JOIN norms nq ON nq.vec_id = a_id
+            JOIN norms nc ON nc.vec_id = cid
+  WHERE nq.nrm > 0 AND nc.nrm > 0
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY a_id, (c_label = a_label)
+                               ORDER BY cos DESC, cid) AS rn
+  FROM scored
+)
+SELECT a_id, a_label,
+       max(CASE WHEN c_label = a_label AND rn = 1 THEN cid END) AS pos_id,
+       max(CASE WHEN c_label = a_label AND rn = 1 THEN cos END) AS pos_cos,
+       max(CASE WHEN c_label != a_label AND rn = 1 THEN cid END) AS neg_id,
+       max(CASE WHEN c_label != a_label AND rn = 1 THEN cos END) AS neg_cos
+FROM r GROUP BY 1, 2
+"""
+
+
+@query("hard_negative_mining_ivf", _HNM_IVF_SQL)
+def q_hard_negative_mining_ivf(spark, sf_dir):
+    """The documented step-down path of `hard_negative_mining` made
+    real: the same fixed anchor panel mined through the IVF index
+    (nprobe=2, 16 deterministic centroids) instead of a full corpus
+    scan — candidates come from a cell equi-join, so corpus cost per
+    anchor is its probed cells' occupancy, not N. This is the form
+    that runs when the mining batch is large or the corpus no longer
+    fits a per-anchor full scan; mined pairs are approximate exactly
+    the way `similarity_ann_ivf`'s neighbors are (recall traded
+    against the nprobe knob — measured for this index family in
+    SCALE.md's recall-at-scale table).
+
+    Scale shape: centroid assignment is a broadcast join +
+    per-vector top-1 (operators/similarity.ivf_assign); the anchor
+    panel probes its 2 nearest cells; candidate generation is the
+    cell equi-join; the per-(anchor, same-label) winner is the same
+    partial-agg max(struct) as the exact form — nothing is ever
+    ranked globally and no vector table is materialized to the
+    driver. Determinism: the exact contract of the IVF family
+    (round-6dp sims, id tie-breaks)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _N_CENTROIDS)
+    lab = e.select("vec_id", "label")
+    # anchor panel probes nprobe nearest cells (ivf_multiprobe idiom)
+    c = cents.select(
+        F.col("vec_id").alias("_cent_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_cv"),
+    )
+    anchors = e.filter(
+        (F.col("vec_id") % 9 == 0) & (F.col("vec_id") < 500)
+    ).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("pv"),
+    )
+    wq = W.partitionBy("a_id").orderBy(F.desc("_sim"), F.asc("_cent_id"))
+    probes = (
+        anchors.join(F.broadcast(c))
+        .withColumn(
+            "_sim",
+            F.round(_dot("pv", "_cv") / (_norm("pv") * _norm("_cv")), 6),
+        )
+        .withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= _HNM_NPROBE)
+        .select("a_id", "a_label", "pv", F.col("_cent_id").alias("cell"))
+    )
+    corpus = ivf_assign(e, cents).select(
+        F.col("vec_id"),
+        F.col("label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "cell",
+    )
+    s = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .filter((_norm("v") > 0) & (_norm("pv") > 0))
+        .withColumn(
+            "cos", F.round(_dot("pv", "v") / (_norm("pv") * _norm("v")), 6)
+        )
+        .withColumn("same", F.col("label") == F.col("a_label"))
+    )
+    best = s.groupBy("a_id", "a_label", "same").agg(
+        F.max(
+            F.struct(
+                F.col("cos").alias("cos"), (-F.col("vec_id")).alias("nv")
+            )
+        ).alias("b")
+    )
+    return best.groupBy("a_id", "a_label").agg(
+        F.max(F.when(F.col("same"), -F.col("b.nv"))).alias("pos_id"),
+        F.max(F.when(F.col("same"), F.col("b.cos"))).alias("pos_cos"),
+        F.max(F.when(~F.col("same"), -F.col("b.nv"))).alias("neg_id"),
+        F.max(F.when(~F.col("same"), F.col("b.cos"))).alias("neg_cos"),
     )

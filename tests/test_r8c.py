@@ -208,3 +208,28 @@ def test_vision_token_budget_reconciles(spark, duck):
         # every stubbed image is at least 1x1 -> at least 1 patch/doc
         assert r["vision_tokens"] >= r["n_docs"]
         assert 0.0 < r["vision_frac"] < 1.0
+
+
+def test_ivf_mining_is_cell_consistent_with_exact(spark):
+    """The IVF-mined positive/negative can only score <= the exact-
+    mined ones (cell restriction never invents a better candidate),
+    and every anchor still appears."""
+    from etl_sh_design_spark.registry_r8c import (
+        q_hard_negative_mining,
+        q_hard_negative_mining_ivf,
+    )
+
+    exact = {r["a_id"]: r for r in q_hard_negative_mining(spark, SF_SMOKE).collect()}
+    ivf = {r["a_id"]: r for r in q_hard_negative_mining_ivf(spark, SF_SMOKE).collect()}
+    assert set(ivf) == set(exact)
+    agree = 0
+    for a_id, r in ivf.items():
+        e = exact[a_id]
+        if r["pos_cos"] is not None and e["pos_cos"] is not None:
+            assert r["pos_cos"] <= e["pos_cos"] + 1e-9
+            agree += r["pos_id"] == e["pos_id"]
+        if r["neg_cos"] is not None and e["neg_cos"] is not None:
+            assert r["neg_cos"] <= e["neg_cos"] + 1e-9
+    # the index should find the true top-1 for a reasonable share of
+    # anchors (recall floor; exact agreement measured, not assumed)
+    assert agree >= len(ivf) // 4

@@ -149,6 +149,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "hard_negative_mining": {
         "NESTED_LOOP": "probe-panel broadcast (anchor side)"
     },
+    "hard_negative_mining_ivf": {
+        "NESTED_LOOP": "centroid + probe-panel broadcasts"
+    },
     "ivfpq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "pq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "similarity_ann_ivf": {"NESTED_LOOP": "centroid broadcast"},

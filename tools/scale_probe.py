@@ -202,9 +202,10 @@ def main() -> None:
         ("cross_source_leakage", "docs", qs["cross_source_leakage"]),
         ("hard_negative_mining", "vecs", qs["hard_negative_mining"]),
         ("vision_token_budget", "docs", qs["vision_token_budget"]),
+        ("hard_negative_mining_ivf", "vecs", qs["hard_negative_mining_ivf"]),
     ]
     if new_only:
-        plan = plan[-22:]
+        plan = plan[-23:]
     if "--r5b-only" in sys.argv:
         plan = plan[-7:-3]
     if "--r5c-only" in sys.argv:
@@ -215,9 +216,9 @@ def main() -> None:
     if "--r5c2-only" in sys.argv:
         plan = plan[-11:-5]
     if "--r8b-only" in sys.argv:
-        plan = plan[-15:-10]
+        plan = plan[-16:-11]
     if "--r8c-only" in sys.argv:
-        plan = plan[-10:]
+        plan = plan[-11:]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
         for name, table, fn in plan:
