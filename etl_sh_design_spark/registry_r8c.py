@@ -45,6 +45,10 @@ preprocessing curation shapes the pipeline family still lacked.
 - `hard_negative_mining_ivf` — the mining step through the IVF index
   (nprobe=2): the documented step-down path for corpus scales where
   the per-anchor full scan is no longer affordable, made real.
+- `leakage_safe_split` — cluster-aware train/val/test splitting
+  (split hashed on the near-dup cluster id, so paraphrases co-travel)
+  with a measured count of the clusters a naive per-doc split would
+  tear across split boundaries.
 """
 
 from __future__ import annotations
@@ -966,4 +970,90 @@ def q_hard_negative_mining_ivf(spark, sf_dir):
         F.max(F.when(F.col("same"), F.col("b.cos"))).alias("pos_cos"),
         F.max(F.when(~F.col("same"), -F.col("b.nv"))).alias("neg_id"),
         F.max(F.when(~F.col("same"), F.col("b.cos"))).alias("neg_cos"),
+    )
+
+
+# ---------------------------------------------- leakage-safe split
+from etl_sh_design_spark.operators.dedup import MD5_INT64_SQL, md5_int64  # noqa: E402
+from etl_sh_design_spark.registry_ext import (  # noqa: E402
+    _DEDUP_CLOSURE_CTE,
+    dedup_components,
+)
+
+_H_COMP = MD5_INT64_SQL.format(x="'split:' || CAST(component AS VARCHAR)")
+_H_DOC = MD5_INT64_SQL.format(x="'split:' || CAST(doc_id AS VARCHAR)")
+
+_LSS_SQL = (
+    _DEDUP_CLOSURE_CTE
+    + f"""
+, assign AS (
+  SELECT doc_id, component,
+         CASE WHEN {_H_COMP} % 100 < 90 THEN 'train'
+              WHEN {_H_COMP} % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN {_H_DOC} % 100 < 90 THEN 'train'
+              WHEN {_H_DOC} % 100 < 95 THEN 'val'
+              ELSE 'test' END AS naive_split
+  FROM comp
+),
+cl AS (
+  SELECT component, any_value(split) AS split,
+         count(*) AS n,
+         count(DISTINCT naive_split) AS n_naive_splits
+  FROM assign GROUP BY 1
+)
+SELECT split, CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN n_naive_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS naive_straddled_clusters
+FROM cl GROUP BY 1
+"""
+)
+
+
+@query("leakage_safe_split", _LSS_SQL)
+def q_leakage_safe_split(spark, sf_dir):
+    """Cluster-aware (leakage-safe) train/val/test splitting: assign
+    the split by hashing the near-dup CLUSTER's canonical id, so a
+    document and its near-duplicates always co-travel — the splitting
+    discipline that stops eval leakage through paraphrases the plain
+    per-doc hash split (`dataset_split`) cannot see. The output also
+    MEASURES the hazard: `naive_straddled_clusters` counts, per
+    split, the multi-doc clusters the naive doc-hash assignment
+    would have torn across split boundaries (each one a train/test
+    leak).
+
+    Scale shape: reuses the dedup family's memoized component
+    sub-plan (MinHash -> LSH bands -> threshold pairs -> min-label
+    components; every stage bucketed, operators/graph.py); the split
+    assignment is a map-side hash of the component id; the rollup
+    groups on 3 splits with map-side partials. Determinism: the
+    split hash is the registry's salted md5-int64 idiom — a pure
+    function of ids, stable across engines, runs, and incremental
+    re-processing."""
+    comp = dedup_components(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+    def _split(col):
+        h = md5_int64(F.concat(F.lit("split:"), col.cast("string"))) % 100
+        return F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+
+    assign = comp.select(
+        "doc_id",
+        "component",
+        _split(F.col("component")).alias("split"),
+        _split(F.col("doc_id")).alias("naive_split"),
+    )
+    cl = assign.groupBy("component").agg(
+        F.any_value("split").alias("split"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("naive_split").alias("n_naive_splits"),
+    )
+    return cl.groupBy("split").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum((F.col("n_naive_splits") > 1).cast("bigint")).alias(
+            "naive_straddled_clusters"
+        ),
     )

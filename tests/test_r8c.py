@@ -233,3 +233,23 @@ def test_ivf_mining_is_cell_consistent_with_exact(spark):
     # the index should find the true top-1 for a reasonable share of
     # anchors (recall floor; exact agreement measured, not assumed)
     assert agree >= len(ivf) // 4
+
+
+def test_leakage_safe_split_invariants(spark):
+    """Cluster-hash splitting cannot straddle by construction; the
+    naive-straddle audit must count >= 1 straddled cluster whenever a
+    multi-doc cluster's members hash apart (exercised by the planted
+    near-dup fixture), and split sizes reconcile."""
+    from etl_sh_design_spark.registry_ext import dedup_components
+    from etl_sh_design_spark.registry_r8c import q_leakage_safe_split
+
+    rows = q_leakage_safe_split(spark, SF_SMOKE).collect()
+    comp = dedup_components(spark, SF_SMOKE)
+    n_docs = comp.count()
+    n_clusters = comp.select("component").distinct().count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_clusters"] for r in rows) == n_clusters
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    for r in rows:
+        assert r["n_docs"] >= r["n_clusters"]
+        assert 0 <= r["naive_straddled_clusters"] <= r["n_clusters"]
