@@ -37,6 +37,7 @@ EAGER_BUILDERS = {
     "dedup_clusters": "union-find edge materialization (size-contracted)",
     "dedup_keep_best": "same union-find sub-plan",
     "dedup_size_histogram": "same union-find sub-plan",
+    "leakage_safe_split": "same union-find sub-plan (cluster-keyed split)",
     "incremental_neardup": "incremental snapshot loop",
     "incremental_refresh_pipeline": "incremental snapshot loop",
     "graph_components": "large-star/small-star rounds",
