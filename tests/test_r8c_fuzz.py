@@ -185,3 +185,27 @@ def test_fuzzed_context_window_fit_matches_oracle(spark, corpus_dir, texts):
 @given(_texts)
 def test_fuzzed_cross_source_leakage_matches_oracle(spark, corpus_dir, texts):
     _compare(spark, "cross_source_leakage", texts, corpus_dir)
+
+
+_LSS_DIR_SEQ = [0]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(_texts)
+def test_fuzzed_leakage_safe_split_matches_oracle(spark, corpus_dir, texts):
+    """Fuzz the recursive-closure + dual-hash split oracle. Each
+    example gets a FRESH sf_dir: the dedup component sub-plan is
+    memoized per (applicationId, sf_dir), so reusing one directory
+    would hand example N the components of example 1."""
+    _LSS_DIR_SEQ[0] += 1
+    _compare(
+        spark,
+        "leakage_safe_split",
+        texts,
+        os.path.join(corpus_dir, f"lss{_LSS_DIR_SEQ[0]}"),
+    )
