@@ -49,6 +49,9 @@ preprocessing curation shapes the pipeline family still lacked.
   (split hashed on the near-dup cluster id, so paraphrases co-travel)
   with a measured count of the clusters a naive per-doc split would
   tear across split boundaries.
+- `dedup_soft_weights` — soft deduplication accounting: per
+  near-dup-cluster size, raw vs 1/s-weighted effective token mass
+  (the down-weight-don't-drop alternative to hard dedup).
 """
 
 from __future__ import annotations
@@ -1056,4 +1059,67 @@ def q_leakage_safe_split(spark, sf_dir):
         F.sum((F.col("n_naive_splits") > 1).cast("bigint")).alias(
             "naive_straddled_clusters"
         ),
+    )
+
+
+# ---------------------------------------------- soft-dedup weights
+_SDW_SQL = (
+    _DEDUP_CLOSURE_CTE
+    + f"""
+, toks AS (
+  SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'),
+                    t -> t != '')) AS n_tok
+  FROM corpus
+),
+sized AS (
+  SELECT c.component, count(*) OVER (PARTITION BY c.component) AS size,
+         t.n_tok
+  FROM comp c JOIN toks t USING (doc_id)
+)
+SELECT size AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) / size AS BIGINT) AS n_clusters,
+       CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+       round(sum(CAST(n_tok AS DOUBLE) / size), 4) AS effective_tokens
+FROM sized GROUP BY 1
+"""
+)
+
+
+@query("dedup_soft_weights", _SDW_SQL)
+def q_dedup_soft_weights(spark, sf_dir):
+    """Soft deduplication accounting — the down-weight-don't-drop
+    alternative to hard dedup: every document in a near-dup cluster
+    of size s trains with weight 1/s, so a cluster contributes one
+    document's worth of gradient regardless of how many copies were
+    crawled. Per cluster size: docs, clusters, raw token mass, and
+    the EFFECTIVE token mass under 1/s weighting — the table that
+    prices how much of the corpus hard dedup would have deleted vs
+    how much signal soft dedup retains.
+
+    Scale shape: reuses the dedup family's memoized component
+    sub-plan; the size is a component-keyed window (cluster-bounded
+    partitions), the token count is map-side, and the rollup groups
+    on cluster size (a small integer domain) with map-side partials.
+    Exact integer arithmetic until the one weighted sum, rounded
+    4 dp on both engines."""
+    comp = dedup_components(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    from etl_sh_design_spark.registry_ext import _corpus_mutated
+
+    toks = _corpus_mutated(spark, sf_dir).select(
+        "doc_id", F.size(F.expr(_TOKS)).alias("n_tok")
+    )
+    wsz = W.partitionBy("component")
+    sized = comp.join(toks, "doc_id").withColumn(
+        "size", F.count(F.lit(1)).over(wsz)
+    )
+    return sized.groupBy(F.col("size").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) / F.first("size")).cast("bigint").alias("n_clusters"),
+        F.sum("n_tok").cast("bigint").alias("raw_tokens"),
+        F.round(
+            F.sum(F.col("n_tok").cast("double") / F.col("size")), 4
+        ).alias("effective_tokens"),
     )

@@ -38,6 +38,7 @@ EAGER_BUILDERS = {
     "dedup_keep_best": "same union-find sub-plan",
     "dedup_size_histogram": "same union-find sub-plan",
     "leakage_safe_split": "same union-find sub-plan (cluster-keyed split)",
+    "dedup_soft_weights": "same union-find sub-plan (1/s weighting)",
     "incremental_neardup": "incremental snapshot loop",
     "incremental_refresh_pipeline": "incremental snapshot loop",
     "graph_components": "large-star/small-star rounds",

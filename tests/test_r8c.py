@@ -253,3 +253,22 @@ def test_leakage_safe_split_invariants(spark):
     for r in rows:
         assert r["n_docs"] >= r["n_clusters"]
         assert 0 <= r["naive_straddled_clusters"] <= r["n_clusters"]
+
+
+def test_soft_dedup_weights_reconcile(spark):
+    """1/s weighting: effective tokens of a size-s bucket must equal
+    raw/s, singletons are untouched, and doc counts reconcile with the
+    component table."""
+    from etl_sh_design_spark.registry_ext import dedup_components
+    from etl_sh_design_spark.registry_r8c import q_dedup_soft_weights
+
+    rows = q_dedup_soft_weights(spark, SF_SMOKE).collect()
+    assert rows
+    comp_n = dedup_components(spark, SF_SMOKE).count()
+    assert sum(r["n_docs"] for r in rows) == comp_n
+    for r in rows:
+        s = r["cluster_size"]
+        assert r["n_docs"] == s * r["n_clusters"]
+        assert abs(r["effective_tokens"] - r["raw_tokens"] / s) < 0.01
+        if s == 1:
+            assert r["effective_tokens"] == r["raw_tokens"]
