@@ -552,6 +552,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "hard_negative_mining_ivf",
     "leakage_safe_split",
     "dedup_soft_weights",
+    "lsh_band_tuning",
     "vision_token_budget",
     "quality_retention_curve",
     "normalized_dedup",
@@ -605,22 +606,23 @@ _DRIVER_WINDOW_PRIORITY = [
     "pairwise_collapse_events",
     "partition_flavors",
     "pivot_returnflag_status",
-    "profile_disc_by_qty",
 ]
 # Round-8 window rationale (invariant: a query whose CODE changed this
 # round is always in-window — zero rotation debt; the r7 lapse on
-# embedding_neardup_blocked is repaid above): 28 new queries first
-# (the THIRTEEN registry_r8c additions — perplexity_buckets /
+# embedding_neardup_blocked is repaid above): 29 new queries first
+# (the FOURTEEN registry_r8c additions — perplexity_buckets /
 # dup_ngram_fraction / context_window_fit / cross_source_leakage /
 # hard_negative_mining / hard_negative_mining_ivf /
-# leakage_safe_split / dedup_soft_weights / vision_token_budget /
+# leakage_safe_split / dedup_soft_weights / lsh_band_tuning /
+# vision_token_budget /
 # quality_retention_curve / normalized_dedup / embedding_dim_stats /
 # source_cap_sample — landed in the round-8 continuation session and
 # displaced the last ten refresh slots: text_quality,
 # token_stats_by_source, tumbling_window_events, window_top3_orders,
 # a16_histogram_mean, setops_mirror_union, salted_agg_events,
 # semi_anti_customers, sessionization_events, rollup_revenue,
-# q5_region_revenue, q3_top_orders, q1_pricing_summary re-queue
+# q5_region_revenue, q3_top_orders, q1_pricing_summary,
+# profile_disc_by_qty re-queue
 # for r9; then the
 # registry_r8b additions
 # — bigram_lm_perplexity / kcenter_coreset

@@ -52,6 +52,9 @@ preprocessing curation shapes the pipeline family still lacked.
 - `dedup_soft_weights` — soft deduplication accounting: per
   near-dup-cluster size, raw vs 1/s-weighted effective token mass
   (the down-weight-don't-drop alternative to hard dedup).
+- `lsh_band_tuning` — the (bands, rows) design table: theoretical
+  S-curve collision probabilities next to measured candidate counts
+  for three splits of the same 16 hashes.
 """
 
 from __future__ import annotations
@@ -1122,4 +1125,126 @@ def q_dedup_soft_weights(spark, sf_dir):
         F.round(
             F.sum(F.col("n_tok").cast("double") / F.col("size")), 4
         ).alias("effective_tokens"),
+    )
+
+
+# ---------------------------------------------- LSH band tuning
+from etl_sh_design_spark.operators.dedup import word_shingles_sql  # noqa: E402
+from etl_sh_design_spark.registry_ext import (  # noqa: E402
+    CORPUS_MUTATED_SQL,
+    dedup_signatures,
+)
+
+_LBT_CONFIGS = [(8, 2), (4, 4), (2, 8)]  # (n_bands, band_rows), b*r = 16
+_H_SEED_SH = MD5_INT64_SQL.format(x="CAST(seed AS VARCHAR) || ':' || shingle")
+
+_LBT_SQL = f"""
+WITH corpus AS ({CORPUS_MUTATED_SQL}),
+sh AS ({word_shingles_sql("corpus")}),
+sig AS (
+  SELECT doc_id, seed, min({_H_SEED_SH}) AS minh
+  FROM sh CROSS JOIN (SELECT CAST(range AS INT) AS seed FROM range(0, 16))
+  GROUP BY 1, 2
+),
+configs AS (SELECT * FROM (VALUES (8, 2), (4, 4), (2, 8)) c(b, r)),
+bands AS (
+  SELECT c.b, c.r, s.doc_id, CAST(floor(s.seed / c.r) AS BIGINT) AS band,
+         string_agg(CAST(s.minh AS VARCHAR), ',' ORDER BY s.seed) AS band_key
+  FROM sig s CROSS JOIN configs c
+  GROUP BY 1, 2, 3, 4
+),
+cand AS (
+  SELECT DISTINCT x.b, x.r, x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.r = y.r AND x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+)
+SELECT c.b AS n_bands, c.r AS band_rows,
+       round(1 - power(1 - power(0.5, c.r), c.b), 6) AS p_at_05,
+       round(1 - power(1 - power(0.7, c.r), c.b), 6) AS p_at_07,
+       round(1 - power(1 - power(0.9, c.r), c.b), 6) AS p_at_09,
+       CAST(count(cand.id_a) AS BIGINT) AS n_candidates
+FROM configs c LEFT JOIN cand ON cand.b = c.b AND cand.r = c.r
+GROUP BY 1, 2
+"""
+
+
+@query("lsh_band_tuning", _LBT_SQL)
+def q_lsh_band_tuning(spark, sf_dir):
+    """The LSH banding design table — the tuning artifact every
+    MinHash-LSH deployment derives before fixing (bands, rows): for
+    each (b, r) split of the same 16 hashes, the THEORETICAL S-curve
+    collision probability 1-(1-J^r)^b at J in {0.5, 0.7, 0.9} next to
+    the MEASURED candidate-pair count on the corpus. Read beside
+    `minhash_estimate_error` (est-vs-exact) and `lsh_recall_eval`
+    (banding recall): together they close the sketch-quality
+    dashboard — (8,2) recalls weak pairs at the cost of candidates,
+    (2,8) prunes hard, (4,4) is the engine's shipped default.
+
+    Scale shape: ONE signature pass (the dedup family's memoized
+    table) feeds all three configurations; band keys are in-row array
+    slices, the per-config bucket self-joins shuffle band keys (hash
+    equi-joins on (band, band_key) — the same candidate generation
+    contract as minhash_lsh_pairs, x3), and each config collapses to
+    one count row. The theory columns are pure double arithmetic
+    computed identically by both engines (round 6 dp)."""
+    sig = dedup_signatures(spark, sf_dir)  # (doc_id, sig[16]) memoized
+    parts = []
+    for b, r in _LBT_CONFIGS:
+        band_structs = [
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[i].cast("string")
+                        for i in range(j * r, (j + 1) * r)
+                    ],
+                ).alias("band_key"),
+            )
+            for j in range(b)
+        ]
+        banded = sig.select(
+            "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+        ).select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+        a = banded.select(
+            F.col("doc_id").alias("id_a"), "band", "band_key"
+        )
+        bb = banded.select(
+            F.col("doc_id").alias("id_b"), "band", "band_key"
+        )
+        pairs = (
+            a.join(bb, ["band", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        parts.append(
+            pairs.agg(F.count(F.lit(1)).alias("n_candidates")).select(
+                F.lit(b).alias("n_bands"),
+                F.lit(r).alias("band_rows"),
+                F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    theory = lambda j: F.round(  # noqa: E731
+        1
+        - F.pow(
+            1 - F.pow(F.lit(j), F.col("band_rows")), F.col("n_bands")
+        ),
+        6,
+    )
+    return out.select(
+        "n_bands",
+        "band_rows",
+        theory(0.5).alias("p_at_05"),
+        theory(0.7).alias("p_at_07"),
+        theory(0.9).alias("p_at_09"),
+        "n_candidates",
     )

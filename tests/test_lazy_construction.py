@@ -39,6 +39,7 @@ EAGER_BUILDERS = {
     "dedup_size_histogram": "same union-find sub-plan",
     "leakage_safe_split": "same union-find sub-plan (cluster-keyed split)",
     "dedup_soft_weights": "same union-find sub-plan (1/s weighting)",
+    "lsh_band_tuning": "shared memoized signature table (one-time build)",
     "incremental_neardup": "incremental snapshot loop",
     "incremental_refresh_pipeline": "incremental snapshot loop",
     "graph_components": "large-star/small-star rounds",

@@ -272,3 +272,27 @@ def test_soft_dedup_weights_reconcile(spark):
         assert abs(r["effective_tokens"] - r["raw_tokens"] / s) < 0.01
         if s == 1:
             assert r["effective_tokens"] == r["raw_tokens"]
+
+
+def test_lsh_band_tuning_scurve_and_ordering(spark):
+    """Theory: more bands of fewer rows = higher collision
+    probability at every J; measured candidates must follow the same
+    ordering, and the (4,4) row must reproduce the shipped default's
+    candidate count."""
+    from etl_sh_design_spark.registry_ext import dedup_lsh_pairs
+    from etl_sh_design_spark.registry_r8c import q_lsh_band_tuning
+
+    rows = {
+        (r["n_bands"], r["band_rows"]): r
+        for r in q_lsh_band_tuning(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {(8, 2), (4, 4), (2, 8)}
+    for j in ("p_at_05", "p_at_07", "p_at_09"):
+        assert rows[(8, 2)][j] > rows[(4, 4)][j] > rows[(2, 8)][j]
+    for r in rows.values():
+        assert 0.0 < r["p_at_05"] < r["p_at_07"] < r["p_at_09"] <= 1.0
+    assert (
+        rows[(8, 2)]["n_candidates"]
+        >= rows[(4, 4)]["n_candidates"]
+        >= rows[(2, 8)]["n_candidates"]
+    )
