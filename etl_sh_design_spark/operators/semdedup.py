@@ -39,6 +39,28 @@ _DOT = (
     "cast(0.0 as double), (acc, x) -> acc + x)"
 )
 
+# Cell-size discipline (the SemDeDup paper's own recipe): k grows with
+# the corpus so the EXPECTED cell size stays bounded and the
+# within-cell quadratic stage is Σ|cell|² ≈ N · max_mean_cell_rows —
+# LINEAR in N — instead of N²/k_fixed. Same size-measured dispatch
+# contract as similarity.py's EMBED_BROADCAST_MAX_ROWS: one count() at
+# build time picks the strategy, and the switch point is a documented
+# constant. Below the switch (N <= k · bound) the caller's k is used
+# verbatim, so small-corpus results — and their SQL oracles, which
+# bake k in — are bit-identical to the undispatched operator. Above
+# it the cell structure (and therefore the approximate removal set)
+# changes with k_eff; that is the paper's stated accuracy/cost knob,
+# not a correctness deviation, and it is deterministic for a given N.
+SEMDEDUP_MAX_MEAN_CELL_ROWS = 1_000
+
+
+def semdedup_effective_k(n: int, k: int, max_mean_cell_rows: int) -> int:
+    """ceil(n / bound), floored at the caller's k. Pure so tests can
+    pin the dispatch math without a Spark session."""
+    if max_mean_cell_rows <= 0:
+        return k
+    return max(k, -(-n // max_mean_cell_rows))
+
 
 def semantic_dedup_profile(
     embeddings: DataFrame,
@@ -47,14 +69,25 @@ def semantic_dedup_profile(
     tau: float = 0.999,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_mean_cell_rows: int = SEMDEDUP_MAX_MEAN_CELL_ROWS,
 ) -> DataFrame:
     """Per-cell SemDeDup audit: (cluster, n_members, n_removed,
     n_kept). Cells come from `iterations` Lloyd rounds (same round
     structure as kmeans_cluster_profile: the final assignment uses the
-    PREVIOUS round's centroids, so the oracle's a2 CTE matches)."""
+    PREVIOUS round's centroids, so the oracle's a2 CTE matches).
+
+    k is a FLOOR: above N = k · max_mean_cell_rows the cell count
+    grows as ceil(N / max_mean_cell_rows) so the quadratic stage stays
+    linear in N (see SEMDEDUP_MAX_MEAN_CELL_ROWS). Pass
+    max_mean_cell_rows=0 to force the caller's k at any size (the
+    oracle-twin configuration)."""
     vecs = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
     ).localCheckpoint(eager=False)
+    # the count() that drives the dispatch also materializes the
+    # checkpoint every later stage reads — the probe is not an extra
+    # pass over the data
+    k = semdedup_effective_k(vecs.count(), k, max_mean_cell_rows)
     centroids = vecs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c")
     )

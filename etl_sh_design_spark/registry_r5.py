@@ -236,9 +236,12 @@ def q_semantic_dedup(spark, sf_dir):
     embeddings, then within-cell cosine pruning at tau=0.999,
     keeping the member FARTHEST from its centroid (the paper's
     keep-most-atypical rule). Per-cell audit: members / removed /
-    kept. The quadratic stage never crosses a cell boundary —
-    at 100 TB k scales with N so Σ|cell|² stays ~N²/k with one
-    cell-keyed shuffle; see operators/semdedup.py."""
+    kept. The quadratic stage never crosses a cell boundary, and
+    k=8 here is a FLOOR: semantic_dedup_profile's size-measured
+    dispatch (SEMDEDUP_MAX_MEAN_CELL_ROWS, operators/semdedup.py)
+    grows k as ceil(N/1000) above N=8000, keeping Σ|cell|² linear
+    in N. The oracle bakes k=8 in, which matches because the
+    sf0.01 corpus (550 vecs) sits below the switch point."""
     e = _t(spark, sf_dir, "embeddings")
     dup = e.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"

@@ -31,6 +31,54 @@ def test_semdedup_removes_exactly_injected_duplicates(spark):
     assert all(r["n_kept"] == r["n_members"] - r["n_removed"] for r in out)
 
 
+def test_semdedup_effective_k_dispatch_math():
+    """The size-measured dispatch contract: k is a floor, the switch
+    point is k * max_mean_cell_rows, above it k_eff = ceil(n/bound).
+    Pins the exact numbers the registry/oracle relies on: the sf0.01
+    injected corpus (550) and sf0.1 (2200) stay at k=8; the sf1 10x
+    corpus (24200) grows to 25 cells."""
+    from etl_sh_design_spark.operators.semdedup import (
+        SEMDEDUP_MAX_MEAN_CELL_ROWS,
+        semdedup_effective_k,
+    )
+
+    bound = SEMDEDUP_MAX_MEAN_CELL_ROWS
+    assert bound == 1000
+    assert semdedup_effective_k(550, 8, bound) == 8
+    assert semdedup_effective_k(2200, 8, bound) == 8
+    assert semdedup_effective_k(8000, 8, bound) == 8  # exactly at switch
+    assert semdedup_effective_k(8001, 8, bound) == 9
+    assert semdedup_effective_k(24200, 8, bound) == 25
+    assert semdedup_effective_k(24200, 8, 0) == 8  # dispatch disabled
+
+
+def test_semdedup_grow_k_still_removes_exact_duplicates(spark):
+    """Above the switch point the cell structure changes but the
+    correctness kernel must not: an exact copy assigns to the same
+    cell as its original under ANY centroid set, so forcing the
+    grown-k path (bound=50 -> k_eff=11 on the 550-vec corpus) must
+    still remove exactly the injected copies."""
+    from etl_sh_design_spark.operators.semdedup import (
+        semantic_dedup_profile,
+        semdedup_effective_k,
+    )
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    inj = emb.select("vec_id", "embedding").unionByName(dup)
+    n = inj.count()
+    k_eff = semdedup_effective_k(n, 8, 50)
+    assert k_eff > 8  # the test is only meaningful on the grown path
+    out = semantic_dedup_profile(inj, k=8, tau=0.999, max_mean_cell_rows=50).collect()
+    n_inj = dup.count()
+    assert sum(r["n_removed"] for r in out) == n_inj
+    assert sum(r["n_members"] for r in out) == n
+    # the grown path really did create more cells
+    assert len(out) > 8
+
+
 def test_quantile_sketch_hits_rank_statistic_bin(spark):
     """p50/p90/p99 must be the lower edge of the power-of-2 cent-bin
     that contains the exact rank statistic ceil(q*n) — i.e. the

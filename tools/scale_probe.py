@@ -117,21 +117,22 @@ def shuffle_write_bytes(spark) -> int:
 
 
 def _semdedup_probe(spark, sf_dir):
-    """SemDeDup under its scale contract: cells stay ~constant-size
-    because k grows with N (8 at 1x -> 80 at 10x; one seed per copy
-    per local id thanks to the vec_id remap in build_10x_embeddings).
-    The 1x path is exactly the registry query's pipeline."""
+    """SemDeDup exactly as the registry ships it: k=8 is a floor and
+    the operator's own size-measured dispatch
+    (SEMDEDUP_MAX_MEAN_CELL_ROWS, operators/semdedup.py) grows the
+    cell count above N=8000 — at the 10x corpus (24,200 vecs) the
+    dispatch picks k_eff=25 so Σ|cell|² stays linear in N. This probe
+    measures the SHIPPED dispatch, not a hand-tuned k."""
     from pyspark.sql import functions as F
 
     from etl_sh_design_spark.operators.semdedup import semantic_dedup_profile
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    k = 8 if sf_dir == SF01 else 80
     dup = e.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100_000_000).alias("vec_id"), "embedding"
     )
     return semantic_dedup_profile(
-        e.select("vec_id", "embedding").unionByName(dup), k=k, iterations=2
+        e.select("vec_id", "embedding").unionByName(dup), k=8, iterations=2
     )
 
 
