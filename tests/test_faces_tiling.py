@@ -73,6 +73,47 @@ class TestCommittedPins:
         )
         assert total == 3824
 
+    def test_flavor_literal_divergence_pinned(self, spark):
+        """THE documented deviation from the reference, pinned in the
+        configuration where it is observable (ADVICE r7 / VERDICT r8
+        item 2): the reference's two-pass check hardcodes
+        `partition[0] != 7` (ETL.py populate); the engine generalizes
+        to `!= max(flavors)` (plans/dee_faces.py _face_runs_plan).
+        Identical for the shipped {7,6,3}; for flavors=(14,11,6) with
+        with_maybe=True the literal-7 form demotes EVERY maybe-opening
+        run (7 is not a flavor, so the check always fires) while the
+        generalized form keeps runs whose partition opens with 14.
+
+        Pins all three behaviors so a silent change in any fails:
+        - golden generalized keeps 2 extra modules/face vs literal-7,
+        - golden literal-7 degenerates to the no-maybe machine here,
+        - the SPARK plan agrees with the GENERALIZED golden (the
+          engine's chosen semantics), not the literal-7 one.
+        """
+        cfg = G.TilingConfig(mod_h=42.5 / 2 + 0.5 + 0.6, flavors=(14, 11, 6))
+        gen = G.tile(cfg, "above", "module", with_maybe=True)["n_modules"]
+        lit = G.tile(
+            cfg, "above", "module", with_maybe=True, literal_seven=True
+        )["n_modules"]
+        no_maybe = G.tile(cfg, "above", "module", with_maybe=False)["n_modules"]
+        assert gen == 959
+        assert lit == 957
+        assert lit == no_maybe  # literal-7 reduces to pass-2 everywhere
+        # edge_x=6.0 explicitly: the golden's TilingConfig default is
+        # ETL.py populate's edge_x=6, the engine's EDGE_X=8 default is
+        # dee_geometry.py:379's — both real reference configurations
+        row = dee_faces.config_module_totals(
+            spark,
+            "alt_flavors_maybe",
+            faces=[("above", "module")],
+            flavors=(14, 11, 6),
+            with_maybe=True,
+            r_inner=315.0,
+            mod_h=42.5 / 2 + 0.5 + 0.6,
+            edge_x=6.0,
+        ).collect()[0]
+        assert row["n_modules"] == gen
+
 
 # ---------------------------------------------------------------------
 # 2. sequential machine == declarative chain rule

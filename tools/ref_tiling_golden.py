@@ -390,9 +390,17 @@ def tile(
     centering: str,
     face: str = "",
     with_maybe: bool = True,
+    literal_seven: bool = False,
 ) -> dict:
     """slots -> runs -> two-pass fallback -> partition placement;
-    returns the face's totals, slot states, and placed supermodules."""
+    returns the face's totals, slot states, and placed supermodules.
+
+    literal_seven=True is the REFERENCE-FIDELITY mode: the two-pass
+    check uses the reference's hardcoded `partition[0] != 7` (ETL.py
+    populate) instead of the generalized `!= max(flavors)`. Identical
+    for the shipped flavor set {7,6,3}; for any flavor set without 7
+    it demotes EVERY maybe-opening run. test_faces_tiling pins the
+    divergent configuration so a silent behavior change fails loudly."""
     slots = face_slots(cfg, orientation, centering, with_maybe)
     by_row: dict[int, list[Slot]] = {}
     for s in slots:
@@ -407,7 +415,7 @@ def tile(
     # two-pass check; `largest` generalizes that to any flavor set and
     # is identical for the shipped {7,6,3}. Non-default-flavor pins all
     # run with_maybe=False, where the check is unreachable.
-    largest = max(cfg.flavors)
+    largest = 7 if literal_seven else max(cfg.flavors)
     for row in sorted(by_row):
         row_slots = sorted(by_row[row], key=lambda s: s.col)
         runs = _split_runs(row_slots, ("yes", "maybe"))
