@@ -300,9 +300,16 @@ def main() -> None:
     sf1_timings: dict[str, float] = {}
     sf1_skipped: list[str] = []
     sf1_capped: list[str] = []
-    # single timed run per sf1 entry: the sf0.1 sweep already measures
-    # run-to-run spread; sf1 exists for the SCALE RATIO, and double
-    # runs were measured to blow the driver's bench window.
+    sf1_spread: dict[str, float] = {}
+    # single timed run per sf1 entry EXCEPT the four monsters
+    # (SF1_REPEAT below): the sf0.1 sweep already measures run-to-run
+    # spread for the cheap shapes; sf1 exists for the SCALE RATIO. The
+    # monsters get best-of-2 WITH a recorded per-entry spread (VERDICT
+    # r8 item 3) because their single-run variance bands (e.g.
+    # semantic_dedup 82-171 s across r7/r8 sweeps) were wide enough to
+    # hide a ~3x regression; the second run obeys the same budget
+    # start-gate and watchdog as the first, so a contended host
+    # degrades to a recorded single run, never a blown window.
     # The budget is a HARD wall-clock bound for the whole section
     # (builds included): an entry only STARTS while the remaining
     # budget covers its per-entry cap, so worst case = last admitted
@@ -342,14 +349,20 @@ def main() -> None:
 
         entry_cap = float(os.environ.get("SPARK_GRAFT_SF1_ENTRY_CAP", "120"))
         cap_override = {"semantic_dedup": max(entry_cap, 150.0)}
+        # the monsters: best-of-2 with recorded spread (see above).
+        # The optional pre_repeat hook makes the second run honest —
+        # dedup_family_shared_subplan is session-memoized, so without
+        # clearing the memo its repeat would time a dict lookup.
+        SF1_REPEAT = {
+            "dedup_family_shared_subplan",
+            "semantic_dedup",
+            "knn_label_accuracy",
+            "ngram_jaccard_neardup",
+        }
 
-        def _sf1_entry(name: str, run) -> None:
-            nonlocal sf1_overrun
-            cap = cap_override.get(name, entry_cap)
-            # start gate: remaining budget must cover this entry's cap
-            if time.perf_counter() - sf1_t0 > sf1_budget - cap:
-                sf1_skipped.append(name)
-                return
+        def _sf1_one_run(name: str, run, cap: float) -> float:
+            """One watchdogged execution; returns wall secs, -2 capped,
+            -1 failed."""
             group = f"sf1::{name}"
             spark.sparkContext.setJobGroup(group, group, interruptOnCancel=True)
             # cancelJobGroup is ONE-SHOT: it kills jobs in flight at
@@ -375,18 +388,42 @@ def main() -> None:
             t0 = time.perf_counter()
             try:
                 run()
-                sf1_timings[name] = round(time.perf_counter() - t0, 3)
+                return round(time.perf_counter() - t0, 3)
             except Exception as exc:
                 if time.perf_counter() - t0 >= cap:
-                    sf1_timings[name] = -2.0
-                    sf1_capped.append(name)
                     print(f"bench: sf1 {name} CAPPED at {cap}s", file=sys.stderr)
-                else:
-                    sf1_timings[name] = -1.0
-                    print(f"bench: sf1 {name} FAILED: {exc}", file=sys.stderr)
+                    return -2.0
+                print(f"bench: sf1 {name} FAILED: {exc}", file=sys.stderr)
+                return -1.0
             finally:
                 done.set()
                 spark.sparkContext.setJobGroup("", "")
+
+        def _sf1_entry(name: str, run, pre_repeat=None) -> None:
+            nonlocal sf1_overrun
+            cap = cap_override.get(name, entry_cap)
+            # start gate: remaining budget must cover this entry's cap
+            if time.perf_counter() - sf1_t0 > sf1_budget - cap:
+                sf1_skipped.append(name)
+                return
+            t1 = _sf1_one_run(name, run, cap)
+            sf1_timings[name] = t1
+            if t1 == -2.0:
+                sf1_capped.append(name)
+            # best-of-2 for the monsters: same start gate; a skipped
+            # repeat leaves the entry as a recorded single run
+            if (
+                name in SF1_REPEAT
+                and t1 >= 0
+                and time.perf_counter() - sf1_t0 <= sf1_budget - cap
+            ):
+                spark.catalog.clearCache()
+                if pre_repeat is not None:
+                    pre_repeat()
+                t2 = _sf1_one_run(name, run, cap)
+                if t2 >= 0:
+                    sf1_timings[name] = min(t1, t2)
+                    sf1_spread[name] = round(abs(t1 - t2), 3)
             # cancellation is cooperative, so an entry can still land
             # slightly past the budget; record that distinctly
             if time.perf_counter() - sf1_t0 > sf1_budget:
@@ -397,9 +434,18 @@ def main() -> None:
         # sub-plan as its own timed entry at sf1 too (the sf0.1 sweep
         # does the same), so minhash_lsh_neardup measures its
         # post-shared TAIL at both scales instead of tail-vs-family
+        def _clear_dedup_memo() -> None:
+            # repeat honesty: drop the session memo so run 2 rebuilds
+            # the shared sub-plan; run 2 then leaves the memo WARM for
+            # the downstream family tails, same as a single run did
+            _rext._DEDUP_PAIRS_CACHE.clear()
+            _rext._DEDUP_COMPONENTS_CACHE.clear()
+            _rext._DEDUP_SIGS_CACHE.clear()
+
         _sf1_entry(
             "dedup_family_shared_subplan",
             lambda: _rext.dedup_components(spark, SF10X).count(),
+            pre_repeat=_clear_dedup_memo,
         )
         for name in SF1_HEADLINE:
             _sf1_entry(
@@ -447,6 +493,10 @@ def main() -> None:
         "sf1_total": sf1_total,
         "sf1_skipped": sf1_skipped,
         "sf1_capped": sf1_capped,
+        # best-of-2 delta for the monsters (|t1 - t2|; absent when the
+        # budget gate skipped the repeat) — the same-sweep spread
+        # estimate that replaces the old cross-sweep variance bands
+        "sf1_spread": sf1_spread,
         "sf1_overrun": sf1_overrun,
         # NOTE: spread = second-best minus best since round 7 (robust
         # to one contention outlier); r6-and-earlier spreads were
@@ -474,6 +524,7 @@ def main() -> None:
                 "sf1": {
                     "total": sf1_total,
                     "queries": sf1_timings,
+                    "spread": sf1_spread,
                     "skipped": sf1_skipped,
                     "capped": sf1_capped,
                     "overrun": sf1_overrun,
