@@ -201,14 +201,23 @@ def q_quality_retention_curve(spark, sf_dir):
 
 # ------------------------------------------------ normalized dedup
 # The C4/CCNet dedup key: lowercase, strip punctuation, collapse
-# whitespace. Java and RE2 agree on ASCII [^\w\s].
+# whitespace. The whitespace class is EXPLICIT instead of \s because
+# the engines' \s disagree on one character: Java's includes U+000B
+# (vertical tab) while RE2's does not (ADVICE r8) — a document
+# containing \x0B would normalize differently cross-engine. The
+# explicit class is Java's definition, spelled identically in both.
+# Java \s: [ \t\n\x0B\f\r]. Spark SQL string literals eat one level
+# of backslash, so the Spark spelling doubles them; DuckDB's regexp
+# functions get the regex verbatim.
+_WS_SPARK = r"\\t\\n\\f\\r\\x0B "
+_WS_DUCK = r"\t\n\f\r\x0B "
 _NORM_SPARK = (
-    "trim(regexp_replace(regexp_replace(lower(text), '[^\\\\w\\\\s]', ''), "
-    "'\\\\s+', ' '))"
+    f"trim(regexp_replace(regexp_replace(lower(text), '[^\\\\w{_WS_SPARK}]', ''), "
+    f"'[{_WS_SPARK}]+', ' '))"
 )
 _NORM_DUCK = (
-    r"trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'), "
-    r"'\s+', ' ', 'g'))"
+    rf"trim(regexp_replace(regexp_replace(lower(text), '[^\w{_WS_DUCK}]', '', 'g'), "
+    rf"'[{_WS_DUCK}]+', ' ', 'g'))"
 )
 
 # Planted fixture (the registry's standard deterministic-variant

@@ -73,6 +73,35 @@ def test_normalized_dedup_catches_planted_variants(spark, duck):
         assert 0.0 <= r["norm_dup_ratio"] < 1.0
 
 
+def test_normalization_key_cross_engine_whitespace_edges(spark, duck):
+    """The whitespace class in the normalized-dedup key is explicit
+    because Java's \\s includes U+000B while RE2's does not (ADVICE
+    r8): pin byte-identical normalization on both engines for every
+    ASCII whitespace char, ESPECIALLY \\x0B, plus punctuation and
+    collapsing runs."""
+    from etl_sh_design_spark.registry_r8c import _NORM_DUCK, _NORM_SPARK
+
+    texts = [
+        "Hello,  World!",
+        "a\x0bb",
+        "tab\tand\nnewline\fff\rcr",
+        "mix \x0b\t x",
+        " \x0b ",
+        "no-ws",
+    ]
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    got_spark = [r[0] for r in sdf.selectExpr(_NORM_SPARK + " AS n").collect()]
+    got_duck = [
+        duck.execute(
+            f"SELECT {_NORM_DUCK} FROM (SELECT ? AS text)", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got_spark == got_duck
+    assert got_spark[1] == "a b"  # \x0B collapses like any whitespace
+    assert got_spark[4] == ""
+
+
 def test_embedding_dim_stats_shape(spark, duck):
     rows = q_embedding_dim_stats(spark, SF_SMOKE).collect()
     dim, n_vecs = duck.execute(
@@ -175,10 +204,19 @@ def test_hard_negative_mining_invariants(spark, duck):
     from etl_sh_design_spark.registry_r8c import q_hard_negative_mining
 
     rows = q_hard_negative_mining(spark, SF_SMOKE).collect()
+    # mirror the query's FULL panel predicate (vec_id % 9 = 0 AND
+    # vec_id < 500) — the old count omitted the < 500 cap and passed
+    # only because the smoke fixture has < 500 vectors (ADVICE r8). A
+    # zero-norm anchor produces no scored pair at all (the query drops
+    # n_p = 0 rows before grouping), so tolerate anchor dropout by
+    # counting only anchors with a non-zero norm.
     n_anchors, = duck.execute(
-        "SELECT count(*) FROM embeddings WHERE vec_id % 9 = 0"
+        """SELECT count(*) FROM embeddings
+           WHERE vec_id % 9 = 0 AND vec_id < 500
+             AND list_sum(list_transform(embedding, x -> x * x)) > 0"""
     ).fetchone()
     assert len(rows) == n_anchors
+    assert all(r["a_id"] < 500 for r in rows)
     for r in rows:
         assert r["a_id"] % 9 == 0
         # the positive and the negative are distinct vectors, never

@@ -68,6 +68,60 @@ def build_10x_embeddings(spark) -> None:
     out.write.mode("overwrite").parquet(f"{SF10X}/embeddings.parquet")
 
 
+CLUSTERED_1X = "/tmp/spark_graft_clustered_1x"
+CLUSTERED_10X = "/tmp/spark_graft_clustered_10x"
+
+
+def build_clustered_embeddings(
+    spark,
+    out_dir: str,
+    n_rows: int,
+    n_clusters: int = 20,
+    dim: int = 64,
+    sigma: float = 0.3,
+) -> None:
+    """Deterministic mixture-of-Gaussians embedding table (VERDICT r8
+    item 4): the testdata embeddings are near-isotropic, so SRP recall
+    there is just the fraction of corpus probed; THIS fixture has the
+    cluster structure real text/image embeddings have, which is the
+    regime ANN bucketing is actually for.
+
+    Same datagen discipline as etl_sh_design_spark/datagen.py: seeded
+    integer multiplicative hashing -> uniforms -> Box-Muller normals,
+    all Spark built-ins, no RNG state. vector = center(cluster) +
+    sigma * noise(vec, dim) with cluster = vec_id % n_clusters, so
+    growing n_rows 10x deepens every cluster without moving a center
+    (the clustered 1x and 10x corpora share their geometry exactly).
+    Per-dim N(0,1) centers give |center| ~ sqrt(dim) = 8; sigma=0.3
+    gives |noise| ~ 2.4, i.e. within-cluster angles ~0.3 rad vs
+    cross-cluster ~pi/2 — clustered but not degenerate."""
+    from pyspark.sql import functions as F
+
+    M1, C1 = 2654435761, 12345
+    M2, C2 = 2246822519, 54321
+    MOD = 1000003
+
+    def z(key: str, salt: int) -> str:
+        # Box-Muller from two seeded uniforms on the same integer key;
+        # +0.5 keeps u1 strictly inside (0,1) so ln() is finite
+        u1 = f"(pmod(({key}) * {M1} + {C1} + {salt}, {MOD}) + 0.5) / {MOD}"
+        u2 = f"(pmod(({key}) * {M2} + {C2} + {salt}, {MOD}) + 0.5) / {MOD}"
+        return f"sqrt(-2.0 * ln({u1})) * cos(2.0 * pi() * ({u2}))"
+
+    center = z(f"(vec_id % {n_clusters}) * {dim} + d", 7)
+    noise = z(f"vec_id * {dim} + d", 13)
+    spark.range(n_rows).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), d -> "
+            f"CAST({center} + {sigma} * ({noise}) AS FLOAT))"
+        ).alias("embedding"),
+        # label = the true mixture component, so label-eval harnesses
+        # (kNN accuracy, class separation) can run on this fixture too
+        (F.col("id") % n_clusters).cast("int").alias("label"),
+    ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
 def build_10x(spark) -> None:
     from pyspark.sql import functions as F
 
