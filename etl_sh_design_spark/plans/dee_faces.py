@@ -560,6 +560,122 @@ def _partition_lookup_for(spark: SparkSession, flavors: tuple[int, ...]) -> Data
     )
 
 
+def multi_config_module_totals_no_maybe(
+    spark: SparkSession, configs: list[dict]
+) -> DataFrame:
+    """Module totals for SEVERAL no-maybe configurations in ONE plan —
+    (config, n_modules), one row per config.
+
+    config_module_totals builds a full grid->flags->runs->lookup chain
+    per configuration, and each chain is its own Janino compile (the
+    cost on these dimension-sized tables is compilation, not data:
+    four chains measured ~7 s in a warm bench session, ~45 s cold).
+    Here every per-config scalar (mod_h, x0, col_step, r_in, r_out,
+    grid bounds) becomes a COLUMN of a broadcast config×face dim, so
+    all configurations share one grid scan, one window, one groupBy —
+    one compile. Restricted to with_maybe=False (all five committed
+    notebook pins): no maybe machine, no two-pass fallback, so a run
+    is just a maximal island of sm-fits slots.
+
+    Each `configs` entry: {label, faces: [(ori, cen)], mod_h,
+    r_inner, r_outer?, edge_x?, flavors?}. Module width / PB / RB
+    widths are the shared reference constants (every committed
+    notebook varies only the module x-extent and the annulus)."""
+    sm_w = MOD_W + PB_W
+    flavor_sets: dict[tuple[int, ...], int] = {}
+    dim_rows = []
+    max_cells = 0
+    for c in configs:
+        mod_h = float(c["mod_h"])
+        r_in = float(c["r_inner"])
+        r_out = float(c.get("r_outer", ETL_OUTER))
+        edge_x = float(c.get("edge_x", EDGE_X))
+        fl = tuple(sorted(c.get("flavors", (7, 6, 3)), reverse=True))
+        fl_id = flavor_sets.setdefault(fl, len(flavor_sets))
+        n_rows = int(2 * r_out / sm_w) + 2
+        n_cols = int(r_out / (mod_h + GAP)) + 2
+        max_cells = max(max_cells, n_rows * n_cols)
+        for ori, cen in c["faces"]:
+            if cen == "module":
+                y0 = sm_w / 2 - RB_W / 2 if ori == "above" else sm_w / 2 - PB_W - RB_W / 2
+            else:
+                y0 = -sm_w / 2 + PB_W / 2 if ori == "above" else sm_w / 2 - PB_W / 2
+            dim_rows.append(
+                (
+                    c["label"], f"{c['label']}:{ori}:{cen}", y0,
+                    mod_h / 2 + edge_x, mod_h + GAP, mod_h,
+                    r_in, r_out, n_rows, n_cols, n_rows // 2, fl_id,
+                )
+            )
+    cfg_dim = spark.createDataFrame(
+        dim_rows,
+        "config STRING, face STRING, y0 DOUBLE, x0 DOUBLE, col_step DOUBLE,"
+        " mod_h DOUBLE, r_in DOUBLE, r_out DOUBLE, n_rows INT, n_cols INT,"
+        " iy_center INT, fl INT",
+    )
+    lookup = None
+    for fl, fl_id in flavor_sets.items():
+        lk = (
+            _partition_lookup_for(spark, fl)
+            .select("n", "covered")
+            .distinct()
+            .withColumn("fl", F.lit(fl_id))
+        )
+        lookup = lk if lookup is None else lookup.unionByName(lk)
+    # shared id range sized to the LARGEST grid; each config decodes
+    # its own (iy, ix) from id with its own n_cols and drops ids past
+    # its own grid (same dimension-sized single-partition discipline
+    # as config_slots_plan)
+    slots = (
+        spark.range(max_cells)
+        .coalesce(1)
+        .crossJoin(F.broadcast(cfg_dim))
+        .filter(F.col("id") < F.col("n_rows") * F.col("n_cols"))
+        .withColumn("iy", (F.col("id") / F.col("n_cols")).cast("int"))
+        .withColumn("ix", F.pmod(F.col("id"), F.col("n_cols")).cast("int"))
+        .withColumn("xc", F.col("x0") + F.col("ix").cast("double") * F.col("col_step"))
+        .withColumn(
+            "yc",
+            F.col("y0") + (F.col("iy_center") - F.col("iy")).cast("double") * sm_w,
+        )
+    )
+    sm_ok = _annulus_ok(
+        F.col("xc") - F.col("mod_h") / 2,
+        F.col("yc") - sm_w / 2,
+        F.col("xc") + F.col("mod_h") / 2,
+        F.col("yc") + sm_w / 2,
+        F.col("r_in"),
+        F.col("r_out"),
+    )
+    avail = slots.filter(sm_ok).select(
+        "config", "face", "fl", "iy", "ix", F.lit("yes").alias("state")
+    )
+    runs = (
+        _runs_from(avail)
+        # _runs_from keys on (face, iy); face labels are config-unique
+        # here, so rejoin the per-face config/flavor ids via the dim
+        .join(
+            F.broadcast(cfg_dim.select("face", "config", "fl").distinct()), "face"
+        )
+    )
+    totals = (
+        runs.join(
+            F.broadcast(lookup),
+            (runs["fl"] == lookup["fl"]) & (runs["n_slots"] == lookup["n"]),
+            "left",
+        )
+        .groupBy("config")
+        .agg(F.sum(F.coalesce("covered", F.lit(0))).cast("bigint").alias("n_modules"))
+    )
+    # a config whose annulus admits no slot at all still gets its row
+    all_configs = cfg_dim.select("config").distinct()
+    return (
+        all_configs.join(totals, "config", "left")
+        .fillna({"n_modules": 0})
+        .select("config", "n_modules")
+    )
+
+
 def config_module_totals(
     spark: SparkSession,
     label: str,

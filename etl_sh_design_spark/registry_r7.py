@@ -153,40 +153,45 @@ def q_tile_notebook_pins(spark, sf_dir):
 
 
 def _notebook_pins_plan(spark):
-    mt = dee_faces.config_module_totals
-    # example_modules_x4 and ga_large_module_x2 are the SAME tiling
-    # (mod_h=44.2, r_inner=315, edge_x=6, all 4 orientations) — they
-    # differ only in the disk multiplier the notebooks applied, so one
-    # plan feeds both rows (each config_module_totals chain is a full
-    # Janino compile; five chains -> four)
-    large = mt(
-        spark, "ga_large_module_x2", _ALL4, with_maybe=False,
-        mod_h=44.2, r_inner=315.0, edge_x=6.0,
+    # ONE fused plan for all four underlying tilings (round-9 rewrite
+    # of the four-chain config_module_totals form: per-config scalars
+    # become columns of a broadcast dim, so the grid scan, window and
+    # lookup join compile ONCE — the old form paid a Janino compile
+    # per chain, ~7 s warm / ~45 s cold for four). The output rows are
+    # the base totals times each notebook's disk multiplier
+    # (example_modules_x4 and ga_large_module_x2 share a base tiling).
+    base = dee_faces.multi_config_module_totals_no_maybe(
+        spark,
+        [
+            dict(label="large", faces=_ALL4, mod_h=44.2, r_inner=315.0, edge_x=6.0),
+            dict(label="small", faces=_ALL4, mod_h=43.10, r_inner=315.0, edge_x=6.0),
+            dict(
+                label="descoped", faces=[("above", "pb")],
+                mod_h=44.2, r_inner=315.0, r_outer=1080.0, edge_x=6.0,
+            ),
+            dict(
+                label="flavors", faces=_ALL4, flavors=(14, 11, 6),
+                mod_h=42.5 / 2 + 0.5 + 0.6, r_inner=315.0, edge_x=6.0,
+            ),
+        ],
     )
-    parts = [
-        large.select(
-            F.lit("example_modules_x4").alias("config"),
-            (F.col("n_modules") * 4).alias("n_modules"),
-        ),
-        mt(
-            spark, "ga_small_module_x2", _ALL4, with_maybe=False,
-            mod_h=43.10, r_inner=315.0, edge_x=6.0,
-        ).select("config", (F.col("n_modules") * 2).alias("n_modules")),
-        large.select("config", (F.col("n_modules") * 2).alias("n_modules")),
-        mt(
-            spark, "descoped_above_pb", [("above", "pb")], with_maybe=False,
-            mod_h=44.2, r_inner=315.0, r_outer=1080.0, edge_x=6.0,
-        ),
-        mt(
-            spark, "ga_flavors_6_11_14", _ALL4, flavors=(14, 11, 6),
-            with_maybe=False,
-            mod_h=42.5 / 2 + 0.5 + 0.6, r_inner=315.0, edge_x=6.0,
-        ),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    out_dim = spark.createDataFrame(
+        [
+            ("example_modules_x4", "large", 4),
+            ("ga_large_module_x2", "large", 2),
+            ("ga_small_module_x2", "small", 2),
+            ("descoped_above_pb", "descoped", 1),
+            ("ga_flavors_6_11_14", "flavors", 1),
+        ],
+        "out_config STRING, base STRING, mult INT",
+    )
+    return (
+        base.join(F.broadcast(out_dim), base["config"] == out_dim["base"])
+        .select(
+            F.col("out_config").alias("config"),
+            (F.col("n_modules") * F.col("mult")).cast("bigint").alias("n_modules"),
+        )
+    )
 def _board_rollup_rows():
     rows = []
     for face, (_m, n_sm, fc) in REAL_TILING_PINNED.items():
