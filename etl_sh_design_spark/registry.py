@@ -543,106 +543,77 @@ def q_mirror_union(spark, sf_dir):
 # vs DuckDB with a dtype-class parity check matching the driver's
 # hasher).
 _DRIVER_WINDOW_PRIORITY = [
-    # --- round-8 additions: first driver signal for new queries ---
-    "perplexity_buckets",
-    "dup_ngram_fraction",
-    "context_window_fit",
-    "cross_source_leakage",
-    "hard_negative_mining",
-    "hard_negative_mining_ivf",
-    "leakage_safe_split",
-    "dedup_soft_weights",
-    "lsh_band_tuning",
-    "vision_token_budget",
-    "quality_retention_curve",
-    "normalized_dedup",
-    "embedding_dim_stats",
-    "source_cap_sample",
-    "bigram_lm_perplexity",
-    "kcenter_coreset",
-    "top_ngram_coverage",
-    "dsir_importance_weights",
-    "semantic_decontamination",
-    "quality_gate_admissions",
-    "pii_redaction_sources",
-    "temperature_mixture_plan",
-    "acceptance_multi_variant_hist",
-    "ann_multiprobe_recall",
-    "similarity_ann_ivf_multiprobe",
-    "bm25_topk",
-    "minhash_mapside_signatures",
-    "signature_dedup_groups",
-    "char_entropy_quality",
-    # --- round-8 rewrites needing re-green ---
-    # tile_slots_polygon: single-UDF polygon stage + first REAL oracle
-    # (corrected-bbox SQL; was the last meaningful rows-only row)
-    "tile_slots_polygon",
-    # tile_slots_real_bbox: shares the rewritten slots_real body
-    "tile_slots_real_bbox",
-    # embedding_neardup_blocked: ROTATION DEBT from round 7 — its
-    # blocked-GEMM pair table was rewritten map-side in 1d2e5a8 but the
-    # query was dropped from the r7 window as "unchanged"; its last
-    # driver green (r6) predates the code it tests (VERDICT r7 item 1)
-    "embedding_neardup_blocked",
-    # dee_faces memo infrastructure re-keyed (id(spark) ->
-    # applicationId + eviction, ADVICE r7): every consumer of the
-    # memoized slot/plan tables re-greens in-window
-    "tile_real_face_modules",
-    "tile_real_flavor_counts",
-    "tile_real_slot_states",
+    # --- round-9 code-touched queries: re-green first ---
+    # semantic_dedup: the operator gained the grow-k size-measured
+    # dispatch (SEMDEDUP_MAX_MEAN_CELL_ROWS); k=8 is now a floor
+    # tile_notebook_pins: four config chains fused into ONE
+    # multi-config plan (multi_config_module_totals_no_maybe)
+    # normalized_dedup / cross_source_leakage: the shared C4-key
+    # whitespace class went from \s to the explicit Java definition
+    # [ \t\n\f\r\x0B] on both engines (ADVICE r8)
+    "semantic_dedup",
     "tile_notebook_pins",
-    "tile_real_boards",
-    "boards_rollup",
-    # --- oldest-signal refresh: the full r3-last-green cohort (25) ---
-    "bpe_token_counts",
-    "fingerprint_docs",
-    "gaps_islands_events",
-    "histogram2d_qty_disc",
-    "histogram_price",
-    "lang_id_confusion",
-    "multimodal_decode_stub",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "pairwise_collapse_events",
-    "partition_flavors",
-    "pivot_returnflag_status",
+    "normalized_dedup",
+    "cross_source_leakage",
+    "profile_disc_by_qty",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "rollup_revenue",
+    "salted_agg_events",
+    "semi_anti_customers",
+    "sessionization_events",
+    "setops_mirror_union",
+    "text_quality",
+    "token_stats_by_source",
+    "tumbling_window_events",
+    "window_top3_orders",
+    "a16_histogram_mean",
+    "a5_slot_state_counts",
+    "asof_events",
+    "dataset_split",
+    "decontamination",
+    "dedup_keep_best",
+    "doc_repetition",
+    "ewma_events",
+    "funnel_interval_join",
+    "incremental_dedup",
+    "j4_sm_module_pairs",
+    "j5_rounded_equijoin",
+    "j6_ordinal_join",
+    "merge_upsert_customers",
+    "p21_flavor_surgery",
+    "p6_translate_probe",
+    "passage_dedup",
+    "pii_redaction",
+    "q13_custdist",
+    "q14_promo_ratio",
+    "q17_below_avg_qty",
+    "q18_large_orders",
+    "q19_disjunctive_parts",
+    "q22_idle_customers",
+    "q4_priority_exists",
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "quality_filter_chain",
+    "range_frame_events",
+    "resample_locf_events",
+    "rolling_median_events",
+    "salted_join_events",
+    "scd2_user_history",
 ]
-# Round-8 window rationale (invariant: a query whose CODE changed this
-# round is always in-window — zero rotation debt; the r7 lapse on
-# embedding_neardup_blocked is repaid above): 29 new queries first
-# (the FOURTEEN registry_r8c additions — perplexity_buckets /
-# dup_ngram_fraction / context_window_fit / cross_source_leakage /
-# hard_negative_mining / hard_negative_mining_ivf /
-# leakage_safe_split / dedup_soft_weights / lsh_band_tuning /
-# vision_token_budget /
-# quality_retention_curve / normalized_dedup / embedding_dim_stats /
-# source_cap_sample — landed in the round-8 continuation session and
-# displaced the last ten refresh slots: text_quality,
-# token_stats_by_source, tumbling_window_events, window_top3_orders,
-# a16_histogram_mean, setops_mirror_union, salted_agg_events,
-# semi_anti_customers, sessionization_events, rollup_revenue,
-# q5_region_revenue, q3_top_orders, q1_pricing_summary,
-# profile_disc_by_qty re-queue
-# for r9; then the
-# registry_r8b additions
-# — bigram_lm_perplexity / kcenter_coreset
-# / top_ngram_coverage / dsir_importance_weights /
-# semantic_decontamination — which had displaced the last
-# five r4-refresh slots: dataset_split, decontamination,
-# dedup_keep_best, asof_events, a5_slot_state_counts re-queue for r9),
-# then the original 10 new queries
-# (incl. the registry_r8 map-side-MinHash / streaming-dedup twins and
-# the streaming quality-gate batch twin quality_gate_admissions,
-# the PII-scrub audit pii_redaction_sources, and the temperature
-# mixture allocation temperature_mixture_plan),
-# then 3 rewrites (polygon tiling oracle upgrade + its bbox sibling +
-# the r7 debt), then the 6 dee_faces-memo consumers (the memo keying
-# they all build through was re-keyed per ADVICE r7), then the
-# oldest-driver-signal refresh computed FROM CORRECTNESS_r01..r07
-# last-green rounds: the last-green-r3 cohort minus its five newest
-# displacements, to land at EXACTLY 50. The displaced refresh entries
-# plus the r4 remainder, r5 and r6 cohorts queue for r9+; every query
-# is replayed each session by the local dtype-hardened gate regardless
+# Round-9 window rationale (invariant: a query whose CODE changed this
+# round is always in-window — zero rotation debt): the 4 code-touched
+# queries above front the window, then the oldest-driver-signal
+# refresh computed FROM CORRECTNESS_r01..r08 last-green rounds — the
+# COMPLETE last-green-r3 cohort (13: the r8 displacements re-queued as
+# promised) and the first 33 of the last-green-r4 cohort
+# (alphabetical), landing at EXACTLY 50. The r4 remainder
+# (sliding_window_events, string_date_revenue, tfidf_cosine_topk,
+# tile_flavor_counts, tile_runs, tile_slots, tile_supermodules,
+# top_bigrams, udtf_chunk_stats, zorder_layout) plus the r5/r6/r7
+# cohorts queue for r10+; every query is replayed each session by the
+# local dtype-hardened gate regardless
 # (tests/test_driver_contract.py).
 
 
