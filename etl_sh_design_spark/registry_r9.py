@@ -1,0 +1,268 @@
+"""Round-9 extension registry: LINE-level curation — the C4/FineWeb
+rules that operate on lines within a document, which the battery so
+far lacked (everything existing scores tokens, n-grams, or whole
+docs).
+
+- `line_quality_rules` — the FineWeb/C4 per-line signal battery,
+  aggregated per source: lines per doc, mean words per line, fraction
+  of lines ending in terminal punctuation, fraction of short
+  (bullet-ish, <4 word) lines, and the mean within-doc duplicate-line
+  fraction. These are the signals FineWeb thresholds to drop
+  list-like / navigation pages (Penedo et al. 2024; C4's "three
+  sentence" rule family, Raffel et al. 2020).
+- `c4_line_dedup` — C4's GLOBAL line deduplication (Raffel et al.
+  2020 §2.2: "we discarded any line that occurred more than [k=3]
+  times in the dataset"): every line occurring >= 3 times corpus-wide
+  is removed from every document, documents are reassembled in line
+  order, and the audit reports per-source removal counts plus a
+  checksum of the rebuilt corpus.
+
+Line fixture (the registry's standard deterministic-plant idiom): the
+synthetic documents are single-line, so both queries synthesize line
+structure identically on both engines — lines are consecutive 8-token
+groups, a terminal '.' is planted on line j of doc d when
+(d + j) % 3 == 0, and for the dedup query a byte-identical
+boilerplate line is appended to every doc_id % 5 == 0 document (the
+cross-doc duplicate the k>=3 rule must find; content lines collide
+across docs only by accident because the punctuation plant is
+doc-dependent).
+
+Scale shapes:
+- `line_quality_rules` is map-only + one |sources| agg: every line
+  statistic is computed with array higher-order functions on the doc
+  row — the lines never explode, so there is NO per-line shuffle.
+- `c4_line_dedup` is the real distributed shape: explode ->
+  map-side-combined count per line hash (|distinct lines| groups) ->
+  broadcast anti-join of the boilerplate set (lines repeated >= 3
+  times are vocabulary-sized by Zipf — the same bound as the shingle
+  df cap; a corpus where that set outgrows broadcast would switch the
+  anti-join to shuffle, same dispatch contract as
+  similarity.EMBED_BROADCAST_MAX_ROWS) -> one (doc)-keyed regroup to
+  reassemble. Two real shuffles, both linear in lines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark.operators.dedup import MD5_INT64_SQL, md5_int64
+from etl_sh_design_spark.registry import _t, query
+
+# ------------------------------------------------ shared line fixture
+# toks -> lines: consecutive 8-token groups; '.' planted on
+# (doc_id + j) % 3 == 0. Spark arrays are 1-based via slice(); DuckDB
+# lists are 1-based via list_slice(). sequence(0, -1) in Spark counts
+# DOWN, so the empty-doc case is guarded explicitly.
+_LINE_W = 8
+
+_LINES_SPARK = f"""
+CASE WHEN size(toks) = 0 THEN array()
+ELSE transform(
+  sequence(0, CAST(ceil(size(toks) / {_LINE_W}.0) AS INT) - 1),
+  j -> concat(
+    concat_ws(' ', slice(toks, j * {_LINE_W} + 1, {_LINE_W})),
+    CASE WHEN pmod(doc_id + j, 3) = 0 THEN '.' ELSE '' END))
+END
+"""
+
+_LINES_DUCK = f"""
+list_transform(
+  range(CAST(ceil(len(toks) / {_LINE_W}.0) AS INT)),
+  j -> array_to_string(list_slice(toks, j * {_LINE_W} + 1, j * {_LINE_W} + {_LINE_W}), ' ')
+       || CASE WHEN (doc_id + j) % 3 = 0 THEN '.' ELSE '' END)
+"""
+
+_TOKS_SPARK = "filter(split(text, ' '), t -> t != '')"
+_TOKS_DUCK = "list_filter(string_split(text, ' '), t -> t != '')"
+
+
+# ------------------------------------------------ line quality rules
+_LQR_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, {_TOKS_DUCK} AS toks FROM documents
+),
+l AS (
+  SELECT doc_id, source, {_LINES_DUCK} AS lines FROM t
+),
+d AS (
+  SELECT source,
+         len(lines) AS n_lines,
+         len(list_filter(lines, x -> x LIKE '%.')) AS n_punct,
+         len(list_filter(lines, x -> len(string_split(x, ' ')) < 4)) AS n_short,
+         list_sum(list_transform(lines, x -> len(list_filter(string_split(x, ' '), w -> w <> '')))) AS n_words,
+         CASE WHEN len(lines) = 0 THEN 0.0e0
+              ELSE 1.0e0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+         END AS dup_frac
+  FROM l
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       round(avg(n_lines), 6) AS mean_lines_per_doc,
+       round(CAST(sum(n_words) AS DOUBLE) / sum(n_lines), 6) AS mean_words_per_line,
+       round(CAST(sum(n_punct) AS DOUBLE) / sum(n_lines), 6) AS frac_lines_end_punct,
+       round(CAST(sum(n_short) AS DOUBLE) / sum(n_lines), 6) AS frac_short_lines,
+       round(avg(dup_frac), 6) AS mean_dup_line_fraction
+FROM d GROUP BY 1
+"""
+
+
+@query("line_quality_rules", _LQR_SQL)
+def q_line_quality_rules(spark, sf_dir):
+    """FineWeb/C4 line-signal battery per source (see module
+    docstring): line counts, words/line, terminal-punctuation and
+    short-line fractions, within-doc duplicate-line fraction. The
+    punctuation plant makes frac_lines_end_punct ~1/3 by
+    construction — the assertion target. Map-only: all per-line math
+    runs in array lambdas on the doc row; the only exchange is the
+    |sources| aggregate."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # project toks first so the split isn't re-evaluated per lambda
+    # element (the shingle-pipeline lesson, BASELINE.md round 1)
+    lines = (
+        d.select("doc_id", "source", F.expr(_TOKS_SPARK).alias("toks"))
+        .select("doc_id", "source", F.expr(f"({_LINES_SPARK})").alias("lines"))
+        .select(
+            "source",
+            F.size("lines").alias("n_lines"),
+            F.size(F.expr("filter(lines, x -> x LIKE '%.')")).alias("n_punct"),
+            F.size(
+                F.expr("filter(lines, x -> size(split(x, ' ')) < 4)")
+            ).alias("n_short"),
+            F.expr(
+                "aggregate(lines, 0, (acc, x) -> "
+                "acc + size(filter(split(x, ' '), w -> w != '')))"
+            ).alias("n_words"),
+            F.expr(
+                "CASE WHEN size(lines) = 0 THEN 0.0D ELSE "
+                "1.0D - CAST(size(array_distinct(lines)) AS DOUBLE) / size(lines) END"
+            ).alias("dup_frac"),
+        )
+    )
+    return lines.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        F.round(F.avg("n_lines"), 6).alias("mean_lines_per_doc"),
+        F.round(
+            F.sum("n_words").cast("double") / F.sum("n_lines"), 6
+        ).alias("mean_words_per_line"),
+        F.round(
+            F.sum("n_punct").cast("double") / F.sum("n_lines"), 6
+        ).alias("frac_lines_end_punct"),
+        F.round(
+            F.sum("n_short").cast("double") / F.sum("n_lines"), 6
+        ).alias("frac_short_lines"),
+        F.round(F.avg("dup_frac"), 6).alias("mean_dup_line_fraction"),
+    )
+
+
+# ---------------------------------------------------- C4 line dedup
+_BOILER = "please subscribe to our newsletter for updates today"
+_C4_K = 3  # C4's global repetition threshold
+
+_C4LD_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, {_TOKS_DUCK} AS toks FROM documents
+),
+l AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0
+              THEN list_append({_LINES_DUCK}, '{_BOILER}')
+              ELSE {_LINES_DUCK} END AS lines
+  FROM t
+),
+e AS (
+  SELECT doc_id, source, u.j AS pos, u.line,
+         {MD5_INT64_SQL.format(x="u.line")} AS line_key
+  FROM l, unnest(list_transform(range(len(lines)),
+                                j -> {{'j': j, 'line': lines[j + 1]}})) AS s(u)
+),
+cnt AS (
+  SELECT line_key, count(*) AS c FROM e GROUP BY 1
+),
+kept AS (
+  SELECT e.doc_id, e.source, e.pos, e.line
+  FROM e JOIN cnt USING (line_key)
+  WHERE cnt.c < {_C4_K}
+),
+rebuilt AS (
+  SELECT l.doc_id, l.source,
+         len(l.lines) AS n_lines,
+         coalesce(k.n_kept, 0) AS n_kept,
+         coalesce(k.text2, '') AS text2
+  FROM l LEFT JOIN (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(line, chr(10) ORDER BY pos) AS text2
+    FROM kept GROUP BY 1
+  ) k USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       CAST(sum(n_lines - n_kept) AS BIGINT) AS n_lines_removed,
+       CAST(sum(CASE WHEN n_kept < n_lines THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_changed,
+       CAST(sum({MD5_INT64_SQL.format(x="text2")} % 1000000007) AS BIGINT)
+         AS rebuilt_checksum
+FROM rebuilt GROUP BY 1
+"""
+
+
+@query("c4_line_dedup", _C4LD_SQL)
+def q_c4_line_dedup(spark, sf_dir):
+    """C4 global line dedup (module docstring): any line occurring
+    >= 3 times corpus-wide is removed from EVERY document; documents
+    are reassembled in line order and checksummed. The planted
+    boilerplate line (every doc_id % 5 == 0) is the guaranteed
+    removal; content lines are punctuation-salted per doc so natural
+    cross-doc collisions stay accidental. Plan: explode ->
+    map-combined count on the line hash -> broadcast anti-join of the
+    >= 3 set (Zipf: vocabulary-sized) -> one doc-keyed regroup."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = d.select(
+        "doc_id", "source", F.expr(_TOKS_SPARK).alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"CASE WHEN doc_id % 5 = 0 THEN "
+            f"array_append(({_LINES_SPARK}), '{_BOILER}') "
+            f"ELSE ({_LINES_SPARK}) END"
+        ).alias("lines"),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode("lines").alias("pos", "line")
+    ).withColumn("line_key", md5_int64(F.col("line")))
+    boiler = (
+        exploded.groupBy("line_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _C4_K)
+        .select("line_key")
+    )
+    kept = exploded.join(F.broadcast(boiler), "line_key", "left_anti")
+    rebuilt_tail = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text2"),
+    )
+    rebuilt = (
+        docs.select("doc_id", "source", F.size("lines").alias("n_lines"))
+        .join(rebuilt_tail, "doc_id", "left")
+        .fillna({"n_kept": 0, "text2": ""})
+    )
+    return rebuilt.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        (F.sum("n_lines") - F.sum("n_kept")).cast("bigint").alias("n_lines_removed"),
+        F.sum((F.col("n_kept") < F.col("n_lines")).cast("int"))
+        .cast("bigint")
+        .alias("n_docs_changed"),
+        F.sum(F.pmod(md5_int64(F.col("text2")), F.lit(1000000007)))
+        .cast("bigint")
+        .alias("rebuilt_checksum"),
+    )

@@ -1,0 +1,106 @@
+"""Goldens for the round-9 line-level curation additions
+(registry_r9): the FineWeb line-signal battery and C4 global line
+dedup — invariants the hash oracle can't express (plant arithmetic,
+cross-query consistency)."""
+
+from __future__ import annotations
+
+import math
+
+from etl_sh_design_spark.registry_r9 import (
+    _C4_K,
+    _LINE_W,
+    q_c4_line_dedup,
+    q_line_quality_rules,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _doc_tokens(duck):
+    return duck.execute(
+        """SELECT doc_id, source,
+                  len(list_filter(string_split(text, ' '), t -> t != ''))
+           FROM documents"""
+    ).fetchall()
+
+
+def test_line_quality_rules_plant_arithmetic(spark, duck):
+    """The fixture is fully deterministic, so the line counts and the
+    planted punctuation fraction are exactly computable from the raw
+    docs: n_lines = ceil(tokens/8) summed, and line j of doc d ends in
+    '.' iff (d + j) % 3 == 0."""
+    rows = {r["source"]: r for r in q_line_quality_rules(spark, SF_SMOKE).collect()}
+    exp_lines: dict[str, int] = {}
+    exp_punct: dict[str, int] = {}
+    exp_docs: dict[str, int] = {}
+    for doc_id, source, n_tok in _doc_tokens(duck):
+        n_lines = math.ceil(n_tok / _LINE_W)
+        exp_docs[source] = exp_docs.get(source, 0) + 1
+        exp_lines[source] = exp_lines.get(source, 0) + n_lines
+        exp_punct[source] = exp_punct.get(source, 0) + sum(
+            1 for j in range(n_lines) if (doc_id + j) % 3 == 0
+        )
+    assert set(rows) == set(exp_docs)
+    for src, r in rows.items():
+        assert r["n_docs"] == exp_docs[src]
+        assert r["n_lines"] == exp_lines[src]
+        assert abs(
+            r["frac_lines_end_punct"] - exp_punct[src] / exp_lines[src]
+        ) < 1e-6
+        # 8-token lines: words per line in (0, 8], short-line fraction
+        # bounded by one trailing short line per doc
+        assert 0 < r["mean_words_per_line"] <= _LINE_W
+        assert 0.0 <= r["frac_short_lines"] <= exp_docs[src] / exp_lines[src]
+        assert 0.0 <= r["mean_dup_line_fraction"] < 1.0
+
+
+def test_c4_line_dedup_removes_planted_boilerplate(spark, duck):
+    """The byte-identical boilerplate line is appended to every
+    doc_id % 5 == 0 document, so it occurs far above the k=3 threshold
+    and MUST be removed from every one of them: per source,
+    n_lines_removed >= #planted docs and n_docs_changed >= #planted
+    docs; totals reconcile with line_quality_rules + the plants."""
+    rows = {r["source"]: r for r in q_c4_line_dedup(spark, SF_SMOKE).collect()}
+    planted: dict[str, int] = {}
+    for doc_id, source, _ in _doc_tokens(duck):
+        if doc_id % 5 == 0:
+            planted[source] = planted.get(source, 0) + 1
+    assert sum(planted.values()) >= _C4_K  # the plant actually trips the rule
+    lq = {r["source"]: r for r in q_line_quality_rules(spark, SF_SMOKE).collect()}
+    for src, r in rows.items():
+        # corpus lines = content lines (line_quality fixture) + plants
+        assert r["n_lines"] == lq[src]["n_lines"] + planted.get(src, 0)
+        assert r["n_lines_removed"] >= planted.get(src, 0)
+        assert r["n_docs_changed"] >= planted.get(src, 0)
+        assert r["n_docs"] == lq[src]["n_docs"]
+        # removal can't exceed the corpus
+        assert r["n_lines_removed"] <= r["n_lines"]
+        assert 0 <= r["rebuilt_checksum"] < r["n_docs"] * 1000000007
+
+
+def test_c4_line_dedup_untouched_docs_keep_their_text(spark):
+    """A doc with no removed line must rebuild to its EXACT line
+    concatenation — spot-check by rebuilding one unchanged doc by
+    hand: run the pipeline pieces for a doc that is not % 5 == 0 and
+    whose lines are all unique corpus-wide."""
+    from pyspark.sql import functions as F
+
+    from etl_sh_design_spark.registry_r9 import _LINES_SPARK, _TOKS_SPARK
+
+    d = (
+        spark.read.parquet(SF_SMOKE + "/documents.parquet")
+        .select("doc_id", "source", "text")
+        .filter(F.col("doc_id") % 5 != 0)
+        .limit(1)
+    )
+    row = (
+        d.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+        .select("doc_id", F.expr(f"({_LINES_SPARK})").alias("lines"))
+        .collect()[0]
+    )
+    # every line is the 8-token slice with the (doc_id + j) % 3 plant
+    doc_id, lines = row["doc_id"], row["lines"]
+    for j, line in enumerate(lines):
+        assert line.endswith(".") == ((doc_id + j) % 3 == 0), (doc_id, j, line)
+        words = [w for w in line.rstrip(".").split(" ") if w]
+        assert 1 <= len(words) <= 8
