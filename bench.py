@@ -172,6 +172,10 @@ SF1_HEADLINE = [
     # (vocab-bounded shuffle + rank-plan thresholds)
     "dup_ngram_fraction",
     "perplexity_buckets",
+    # round-9 line-level additions: the map-only battery and the
+    # explode -> count -> anti-join -> regroup global line dedup
+    "line_quality_rules",
+    "c4_line_dedup",
     # the two quadratic-audit monsters stay LAST (budget-clip order)
     "ngram_jaccard_neardup",
     "semantic_dedup",

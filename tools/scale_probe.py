@@ -258,22 +258,28 @@ def main() -> None:
         ("hard_negative_mining", "vecs", qs["hard_negative_mining"]),
         ("vision_token_budget", "docs", qs["vision_token_budget"]),
         ("hard_negative_mining_ivf", "vecs", qs["hard_negative_mining_ivf"]),
+        # round-9 line-level additions: the map-only battery and the
+        # explode -> count -> anti-join -> regroup dedup
+        ("line_quality_rules", "docs", qs["line_quality_rules"]),
+        ("c4_line_dedup", "docs", qs["c4_line_dedup"]),
     ]
     if new_only:
-        plan = plan[-23:]
+        plan = plan[-25:]
     if "--r5b-only" in sys.argv:
-        plan = plan[-7:-3]
+        plan = plan[-9:-5]
     if "--r5c-only" in sys.argv:
         plan = [p for p in plan if p[0] in (
             "similarity_ann_lsh", "knn_label_accuracy", "class_separation",
             "bloom_decontamination",
         )]
     if "--r5c2-only" in sys.argv:
-        plan = plan[-11:-5]
+        plan = plan[-13:-7]
     if "--r8b-only" in sys.argv:
-        plan = plan[-16:-11]
+        plan = plan[-18:-13]
     if "--r8c-only" in sys.argv:
-        plan = plan[-11:]
+        plan = plan[-13:-2]
+    if "--r9-only" in sys.argv:
+        plan = plan[-2:]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
         for name, table, fn in plan:
