@@ -431,12 +431,18 @@ def main() -> None:
             sf1_timings[name] = t1
             if t1 == -2.0:
                 sf1_capped.append(name)
-            # best-of-2 for the monsters: same start gate; a skipped
-            # repeat leaves the entry as a recorded single run
+            # best-of-2 for the monsters: the repeat's start gate uses
+            # the MEASURED first run (2*t1 + 10 s slack) rather than
+            # the conservative watchdog cap — by the time the late
+            # monsters run, gating the repeat on the full cap (150 s
+            # for semantic_dedup) starved exactly the entry the spread
+            # was added for; the watchdog still bounds the repeat at
+            # `cap`, so the worst case stays budget-shaped
             if (
                 name in SF1_REPEAT
                 and t1 >= 0
-                and time.perf_counter() - sf1_t0 <= sf1_budget - cap
+                and time.perf_counter() - sf1_t0
+                <= sf1_budget - min(cap, 2 * t1 + 10)
             ):
                 spark.catalog.clearCache()
                 if pre_repeat is not None:
