@@ -546,6 +546,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # --- round-9 NEW queries: first driver signal ---
     "line_quality_rules",
     "c4_line_dedup",
+    "nfc_dedup_audit",
     # --- round-9 code-touched queries: re-green first ---
     # semantic_dedup: the operator gained the grow-k size-measured
     # dispatch (SEMDEDUP_MAX_MEAN_CELL_ROWS); k=8 is now a floor
@@ -601,7 +602,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "quality_filter_chain",
     "range_frame_events",
     "resample_locf_events",
-    "rolling_median_events",
 ]
 # Round-9 window rationale (invariant: a query whose CODE changed this
 # round is always in-window — zero rotation debt): the 4 code-touched
@@ -610,7 +610,7 @@ _DRIVER_WINDOW_PRIORITY = [
 # COMPLETE last-green-r3 cohort (13: the r8 displacements re-queued as
 # promised) and the first 33 of the last-green-r4 cohort
 # (alphabetical), landing at EXACTLY 50. The r4 remainder
-# (salted_join_events, scd2_user_history — displaced by the two new
+# (rolling_median_events, salted_join_events, scd2_user_history — displaced by the three new
 # r9 queries — plus sliding_window_events, string_date_revenue, tfidf_cosine_topk,
 # tile_flavor_counts, tile_runs, tile_slots, tile_supermodules,
 # top_bigrams, udtf_chunk_stats, zorder_layout) plus the r5/r6/r7

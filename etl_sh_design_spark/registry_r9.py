@@ -16,6 +16,11 @@ docs).
   is removed from every document, documents are reassembled in line
   order, and the audit reports per-source removal counts plus a
   checksum of the rebuilt corpus.
+- `nfc_dedup_audit` — unicode NFC normalization before hashing (the
+  CCNet/C4 preprocessing step): raw vs NFC-normalized distinct counts
+  over planted composed/decomposed twins. Spark has no built-in
+  normalizer, so the NFC step is an Arrow-batched pandas UDF
+  (unicodedata) mirrored by DuckDB's native nfc_normalize().
 
 Line fixture (the registry's standard deterministic-plant idiom): the
 synthetic documents are single-line, so both queries synthesize line
@@ -265,4 +270,101 @@ def q_c4_line_dedup(spark, sf_dir):
         F.sum(F.pmod(md5_int64(F.col("text2")), F.lit(1000000007)))
         .cast("bigint")
         .alias("rebuilt_checksum"),
+    )
+
+
+# ------------------------------------------- NFC-normalized dedup
+# Unicode NFC normalization is the preprocessing step CCNet/C4 run
+# before any text hashing (composed vs decomposed accents hash
+# differently but render identically). Spark has NO built-in unicode
+# normalizer, so this is one of the engine's few justified Python
+# islands: an Arrow-batched pandas UDF around unicodedata.normalize
+# (vectorized batch transfer, no per-row Python), mirrored by
+# DuckDB's native nfc_normalize() in the oracle — both implement
+# UAX #15, pinned byte-identical by the planted NFD/NFC twins.
+#
+# Plant: every doc_id % 11 == 0 document gets TWO twins that differ
+# ONLY in normalization form — +2e6 appends the COMPOSED marker
+# (char(233) = U+00E9), +3e6 appends the DECOMPOSED one
+# ('e' + char(769) = e + U+0301). Raw hashing sees two distinct
+# texts; NFC hashing collapses them. The markers are built from
+# escape-free primitives so no raw unicode sits in the source:
+# DuckDB chr() takes a CODEPOINT, but Spark's char() wraps at 256
+# (latin-1 semantics — char(769) is \\x01!), so the Spark side
+# decodes the UTF-8 BYTES instead (U+00E9 = C3A9, U+0301 = CC81).
+_NFC_MARK_SPARK_C = "concat(text, ' caf', decode(unhex('C3A9'), 'UTF-8'))"
+_NFC_MARK_SPARK_D = "concat(text, ' cafe', decode(unhex('CC81'), 'UTF-8'))"
+_NFC_MARK_DUCK_C = "text || ' caf' || chr(233)"
+_NFC_MARK_DUCK_D = "text || ' cafe' || chr(769)"
+
+_NFC_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, source, {_NFC_MARK_DUCK_C} FROM documents
+  WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, source, {_NFC_MARK_DUCK_D} FROM documents
+  WHERE doc_id % 11 = 0
+),
+h AS (
+  SELECT source, md5(text) AS h_raw, md5(nfc_normalize(text)) AS h_nfc
+  FROM corpus
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT h_raw) AS BIGINT) AS n_raw_distinct,
+       CAST(count(DISTINCT h_nfc) AS BIGINT) AS n_nfc_distinct,
+       round(1.0e0 - CAST(count(DISTINCT h_nfc) AS DOUBLE)
+             / count(DISTINCT h_raw), 6) AS nfc_dup_ratio
+FROM h GROUP BY 1
+"""
+
+
+@query("nfc_dedup_audit", _NFC_SQL)
+def q_nfc_dedup_audit(spark, sf_dir):
+    """Unicode-NFC dedup audit per source (see block comment): raw
+    vs NFC-normalized distinct counts over a corpus with planted
+    composed/decomposed twins. The normalizer is the engine's one
+    justified text UDF (Arrow-batched unicodedata.normalize — Spark
+    has no built-in); everything around it is codegen."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def nfc(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    plants = d.filter(F.col("doc_id") % 11 == 0)
+    corpus = (
+        d.unionByName(
+            plants.select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                "source",
+                F.expr(_NFC_MARK_SPARK_C).alias("text"),
+            )
+        )
+        .unionByName(
+            plants.select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                "source",
+                F.expr(_NFC_MARK_SPARK_D).alias("text"),
+            )
+        )
+    )
+    h = corpus.select(
+        "source",
+        F.md5("text").alias("h_raw"),
+        F.md5(nfc(F.col("text"))).alias("h_nfc"),
+    )
+    return h.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h_raw").alias("n_raw_distinct"),
+        F.countDistinct("h_nfc").alias("n_nfc_distinct"),
+        F.round(
+            1.0 - F.countDistinct("h_nfc").cast("double") / F.countDistinct("h_raw"),
+            6,
+        ).alias("nfc_dup_ratio"),
     )

@@ -78,6 +78,31 @@ def test_c4_line_dedup_removes_planted_boilerplate(spark, duck):
         assert 0 <= r["rebuilt_checksum"] < r["n_docs"] * 1000000007
 
 
+def test_nfc_dedup_collapses_exactly_the_planted_twins(spark, duck):
+    """The composed/decomposed plants are the ONLY NFC-collapsible
+    texts (the synthetic corpus is pure ASCII, already NFC), so per
+    source: n_docs = base + 2*planted, raw distinct = n_docs (every
+    plant differs bytewise), nfc distinct = n_docs - planted (each
+    plant PAIR collapses to one)."""
+    from etl_sh_design_spark.registry_r9 import q_nfc_dedup_audit
+
+    rows = {r["source"]: r for r in q_nfc_dedup_audit(spark, SF_SMOKE).collect()}
+    base = dict(
+        duck.execute("SELECT source, count(*) FROM documents GROUP BY 1").fetchall()
+    )
+    planted = dict(
+        duck.execute(
+            "SELECT source, count(*) FROM documents WHERE doc_id % 11 = 0 GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(rows) == set(base)
+    for src, r in rows.items():
+        p = planted.get(src, 0)
+        assert r["n_docs"] == base[src] + 2 * p
+        assert r["n_raw_distinct"] == r["n_docs"]
+        assert r["n_nfc_distinct"] == r["n_docs"] - p
+
+
 def test_clustered_fixture_shows_the_ann_regime(spark, tmp_path):
     """The mixture-of-Gaussians fixture (VERDICT r8 item 4) must keep
     showing the regime ANN bucketing is for: on clustered vectors,
