@@ -262,24 +262,25 @@ def main() -> None:
         # explode -> count -> anti-join -> regroup dedup
         ("line_quality_rules", "docs", qs["line_quality_rules"]),
         ("c4_line_dedup", "docs", qs["c4_line_dedup"]),
+        ("nfc_dedup_audit", "docs", qs["nfc_dedup_audit"]),
     ]
     if new_only:
-        plan = plan[-25:]
+        plan = plan[-26:]
     if "--r5b-only" in sys.argv:
-        plan = plan[-9:-5]
+        plan = plan[-10:-6]
     if "--r5c-only" in sys.argv:
         plan = [p for p in plan if p[0] in (
             "similarity_ann_lsh", "knn_label_accuracy", "class_separation",
             "bloom_decontamination",
         )]
     if "--r5c2-only" in sys.argv:
-        plan = plan[-13:-7]
+        plan = plan[-14:-8]
     if "--r8b-only" in sys.argv:
-        plan = plan[-18:-13]
+        plan = plan[-19:-14]
     if "--r8c-only" in sys.argv:
-        plan = plan[-13:-2]
+        plan = plan[-14:-3]
     if "--r9-only" in sys.argv:
-        plan = plan[-2:]
+        plan = plan[-3:]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
         for name, table, fn in plan:
