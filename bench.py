@@ -176,6 +176,7 @@ SF1_HEADLINE = [
     # explode -> count -> anti-join -> regroup global line dedup
     "line_quality_rules",
     "c4_line_dedup",
+    "nfc_dedup_audit",
     # the two quadratic-audit monsters stay LAST (budget-clip order)
     "ngram_jaccard_neardup",
     "semantic_dedup",
