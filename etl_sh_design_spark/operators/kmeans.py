@@ -46,6 +46,80 @@ def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _assign_gemm(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Same contract and SAME RESULTS as `_assign`, computed as a
+    vectorized NumPy kernel inside `mapInPandas` against the broadcast
+    centroid matrix — the assignment form for LARGE k·N products,
+    where the relational crossJoin's N x k expression rows (each a
+    64-element lambda fold) dominate (the SemDeDup paper's own
+    assignment is a GEMM for exactly this reason).
+
+    Equivalence discipline: the squared-distance accumulation loops
+    the DIMENSIONS in index order over row-vectorized adds, so the
+    float accumulation order per (vector, centroid) is IDENTICAL to
+    the relational fold; distances round to 6dp before the argmin and
+    ties break to the LOWEST cluster id (the centroid matrix is
+    sorted by cluster; np.argmin returns the first minimum). Path
+    equality is pinned by test_semdedup_quantile's gemm-parity golden.
+    np.round is banker's at the exact half-ULP boundary where Spark's
+    round is HALF_UP — the same measure-zero caveat as the
+    embedding_near_dup_pairs GEMM, which shares this kernel shape.
+
+    Per-task memory is batch_rows x k doubles (Arrow batch ~10k rows
+    x k=1000 cells at N=1e6 -> ~80 MB); centroids are k x dim —
+    driver-tiny at any corpus size."""
+    import numpy as np
+
+    spark = vecs.sparkSession
+    cents = sorted(
+        ((r["cluster"], list(r["c"])) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+    cluster_ids = np.array([c for c, _ in cents], dtype="int64")
+    cmat = np.array([v for _, v in cents], dtype="float64")  # k x dim
+    bc = spark.sparkContext.broadcast((cluster_ids, cmat))
+
+    def fn(batches):
+        import pandas as pd
+
+        ids_k, cm = bc.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            vm = np.vstack([np.asarray(x, dtype="float64") for x in batch["v"]])
+            acc = np.zeros((vm.shape[0], cm.shape[0]))
+            for d in range(cm.shape[1]):  # dimension order == fold order
+                diff = vm[:, d : d + 1] - cm[None, :, d]
+                acc += diff * diff
+            acc = np.round(acc, 6)
+            j = np.argmin(acc, axis=1)  # first min -> lowest cluster id
+            yield pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].to_numpy(dtype="int64"),
+                    "v": batch["v"],
+                    "cluster": ids_k[j].astype("int32"),
+                    "dist": acc[np.arange(len(j)), j],
+                }
+            )
+
+    return vecs.select("vec_id", "v").mapInPandas(
+        fn, "vec_id bigint, v array<double>, cluster int, dist double"
+    )
+
+
+# assignment-strategy switch: the relational crossJoin materializes
+# N x k expression rows per round (each a dim-length lambda fold) —
+# fine while the product is small, kernel-bound beyond it. Above this
+# product the GEMM form wins; below it, avoiding the cold Python
+# worker spin-up wins. Same size-measured dispatch contract as
+# similarity.EMBED_BROADCAST_MAX_ROWS / SEMDEDUP_MAX_MEAN_CELL_ROWS.
+# Measured crossover (round 9, semantic_dedup end-to-end, warm):
+# product 4.4k: 1.9 s relational vs 1.5 s GEMM warm / 3.4 cold (a
+# wash — stay relational for the cold-session oracle gate); 19k:
+# 4.1 vs 3.3 s; 605k: 20.4 vs 10.4 s; 5.9M: 26.0 vs 5.0 s.
+GEMM_ASSIGN_MIN_ROWS_X_CELLS = 10_000
+
+
 def _update(assigned: DataFrame) -> DataFrame:
     """Per-cluster mean vector, 6dp, reassembled in dimension order."""
     dims = assigned.select("cluster", F.posexplode("v").alias("pos", "x"))

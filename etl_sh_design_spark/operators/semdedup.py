@@ -32,7 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_sh_design_spark.operators.kmeans import _as_double, _assign, _update
+from etl_sh_design_spark.operators.kmeans import (
+    GEMM_ASSIGN_MIN_ROWS_X_CELLS,
+    _as_double,
+    _assign,
+    _assign_gemm,
+    _update,
+)
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
@@ -70,6 +76,7 @@ def semantic_dedup_profile(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_mean_cell_rows: int = SEMDEDUP_MAX_MEAN_CELL_ROWS,
+    gemm_min_product: int = GEMM_ASSIGN_MIN_ROWS_X_CELLS,
 ) -> DataFrame:
     """Per-cell SemDeDup audit: (cluster, n_members, n_removed,
     n_kept). Cells come from `iterations` Lloyd rounds (same round
@@ -80,20 +87,29 @@ def semantic_dedup_profile(
     grows as ceil(N / max_mean_cell_rows) so the quadratic stage stays
     linear in N (see SEMDEDUP_MAX_MEAN_CELL_ROWS). Pass
     max_mean_cell_rows=0 to force the caller's k at any size (the
-    oracle-twin configuration)."""
+    oracle-twin configuration).
+
+    Because k grows with N, the assignment product N·k_eff = N²/bound
+    eventually dominates; above `gemm_min_product` the per-round
+    assignment switches from the relational crossJoin to the
+    result-identical vectorized kernel (kmeans._assign_gemm — the
+    SemDeDup paper's own GEMM assignment), so BOTH stages of the
+    operator now carry their scale mitigation in code."""
     vecs = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
     ).localCheckpoint(eager=False)
     # the count() that drives the dispatch also materializes the
     # checkpoint every later stage reads — the probe is not an extra
     # pass over the data
-    k = semdedup_effective_k(vecs.count(), k, max_mean_cell_rows)
+    n = vecs.count()
+    k = semdedup_effective_k(n, k, max_mean_cell_rows)
+    assign = _assign_gemm if n * k >= gemm_min_product > 0 else _assign
     centroids = vecs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c")
     )
     assigned = None
     for _ in range(iterations):
-        assigned = _assign(vecs, centroids)
+        assigned = assign(vecs, centroids)
         centroids = _update(assigned).localCheckpoint(eager=False)
     # members: (vec_id, cluster, dist, v, nrm). The assignment already
     # carries v (kmeans._assign keeps it), so no join back to vecs.

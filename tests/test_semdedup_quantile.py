@@ -79,6 +79,30 @@ def test_semdedup_grow_k_still_removes_exact_duplicates(spark):
     assert len(out) > 8
 
 
+def test_semdedup_gemm_assignment_parity(spark):
+    """The GEMM assignment path (kmeans._assign_gemm, dispatched above
+    N*k_eff = GEMM_ASSIGN_MIN_ROWS_X_CELLS) must be RESULT-IDENTICAL
+    to the relational crossJoin fold — same dimension-order float
+    accumulation, same 6dp round, same lowest-cluster tie-break. Force
+    both paths on the oracle fixture and compare collected audits."""
+    from etl_sh_design_spark.operators.semdedup import semantic_dedup_profile
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    inj = emb.select("vec_id", "embedding").unionByName(dup)
+    rel = sorted(
+        tuple(r)
+        for r in semantic_dedup_profile(inj, k=8, gemm_min_product=0).collect()
+    )  # 0 disables the GEMM dispatch entirely
+    gemm = sorted(
+        tuple(r)
+        for r in semantic_dedup_profile(inj, k=8, gemm_min_product=1).collect()
+    )  # 1 forces GEMM at any size
+    assert rel == gemm
+
+
 def test_quantile_sketch_hits_rank_statistic_bin(spark):
     """p50/p90/p99 must be the lower edge of the power-of-2 cent-bin
     that contains the exact rank statistic ceil(q*n) — i.e. the
