@@ -4,6 +4,11 @@
 #
 #   bash tools/release_check.sh           # full gate (~20 min)
 #   bash tools/release_check.sh --fast    # skip pytest (~8 min)
+#   bash tools/release_check.sh --deep    # + full oracle replay at
+#                                           sf0.1 (10x the driver's
+#                                           gate; ~10 min extra —
+#                                           round 9 ran it clean:
+#                                           209/209)
 #
 # 1. plan lint      — every registered query's executed plan is free
 #                     of non-whitelisted scale anti-patterns
@@ -22,6 +27,11 @@ python tools/plan_lint.py
 
 echo "== [2/4] oracle replay (vanilla session, sf0.01) =="
 python tools/verify_all.py /root/testdata/sf0.01
+
+if [[ "${1:-}" == "--deep" ]]; then
+  echo "== [2b] deep oracle replay (sf0.1, 10x the gate) =="
+  python tools/verify_all.py /root/testdata/sf0.1
+fi
 
 echo "== [3/4] bench (sf0.1) =="
 python bench.py
