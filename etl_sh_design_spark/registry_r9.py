@@ -40,10 +40,12 @@ Scale shapes:
   map-side-combined count per line hash (|distinct lines| groups) ->
   broadcast anti-join of the boilerplate set (lines repeated >= 3
   times are vocabulary-sized by Zipf — the same bound as the shingle
-  df cap; a corpus where that set outgrows broadcast would switch the
-  anti-join to shuffle, same dispatch contract as
-  similarity.EMBED_BROADCAST_MAX_ROWS) -> one (doc)-keyed regroup to
-  reassemble. Two real shuffles, both linear in lines.
+  df cap. NOTE: there is NO size-measured dispatch here today; if a
+  corpus's repeated-line set outgrew broadcast, the one-line change
+  is dropping the F.broadcast hint so the anti-join plans as shuffle
+  — stated as a design note, not a shipped feature) -> one
+  (doc)-keyed regroup to reassemble. Two real shuffles, both linear
+  in lines.
 """
 
 from __future__ import annotations
