@@ -177,9 +177,14 @@ SF1_HEADLINE = [
     "line_quality_rules",
     "c4_line_dedup",
     "nfc_dedup_audit",
-    # the two quadratic-audit monsters stay LAST (budget-clip order)
-    "ngram_jaccard_neardup",
+    # the two heaviest audits stay LAST (budget-clip order).
+    # semantic_dedup runs BEFORE ngram since round 9: the grow-k +
+    # GEMM dispatches cut it from 82-171 s to ~20 s, and its
+    # same-sweep spread is the one VERDICT r8 asked for — so it gets
+    # start-gate priority; ngram's sf0.1 triple-run spread already
+    # characterizes it if a slow sweep clips the final slot.
     "semantic_dedup",
+    "ngram_jaccard_neardup",
 ]
 
 
@@ -370,7 +375,12 @@ def main() -> None:
         import threading
 
         entry_cap = float(os.environ.get("SPARK_GRAFT_SF1_ENTRY_CAP", "120"))
-        cap_override = {"semantic_dedup": max(entry_cap, 150.0)}
+        # semantic_dedup's old 150 s override predates the round-9
+        # grow-k/GEMM dispatches (it now measures ~20 s at sf1); the
+        # inflated cap starved its own START gate (needs budget-cap
+        # remaining), which is how the release-gate sweep skipped
+        # exactly the entry the spread field exists for
+        cap_override: dict[str, float] = {}
         # the monsters: best-of-2 with recorded spread (see above).
         # The optional pre_repeat hook makes the second run honest —
         # dedup_family_shared_subplan is session-memoized, so without
