@@ -46,6 +46,25 @@ def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+# One live centroid broadcast per SparkContext: each _assign_gemm call
+# unpersists the previous call's broadcast (unpersist, NOT destroy —
+# a still-lazy earlier plan that re-executes simply refetches the
+# value from the driver, so correctness is unaffected; only the
+# executor-cached blocks are reclaimed). Without this, one Lloyd
+# round per query per bench entry accumulates broadcast blocks for
+# the whole session (ADVICE r9).
+_GEMM_BC_LAST: dict = {}
+
+
+def _evict_prior_gemm_broadcast(sc) -> None:
+    prior = _GEMM_BC_LAST.pop(id(sc), None)
+    if prior is not None:
+        try:
+            prior.unpersist(blocking=False)
+        except Exception:
+            pass  # context already stopped — nothing to reclaim
+
+
 def _assign_gemm(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     """Same contract and SAME RESULTS as `_assign`, computed as a
     vectorized NumPy kernel inside `mapInPandas` against the broadcast
@@ -57,17 +76,20 @@ def _assign_gemm(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     Equivalence discipline: the squared-distance accumulation loops
     the DIMENSIONS in index order over row-vectorized adds, so the
     float accumulation order per (vector, centroid) is IDENTICAL to
-    the relational fold; distances round to 6dp before the argmin and
+    the relational fold; distances round to 6dp with exact HALF_UP
+    semantics (floor(x * 1e6 + 0.5) — valid because squared distances
+    are non-negative — matching Spark's round() at the half-ULP
+    boundary where np.round would go banker's) before the argmin, and
     ties break to the LOWEST cluster id (the centroid matrix is
     sorted by cluster; np.argmin returns the first minimum). Path
     equality is pinned by test_semdedup_quantile's gemm-parity golden.
-    np.round is banker's at the exact half-ULP boundary where Spark's
-    round is HALF_UP — the same measure-zero caveat as the
-    embedding_near_dup_pairs GEMM, which shares this kernel shape.
 
     Per-task memory is batch_rows x k doubles (Arrow batch ~10k rows
     x k=1000 cells at N=1e6 -> ~80 MB); centroids are k x dim —
-    driver-tiny at any corpus size."""
+    driver-tiny at any corpus size. One Lloyd round = one centroid
+    broadcast; the previous round's broadcast is unpersisted on the
+    next call (`_evict_prior_gemm_broadcast`) so long bench/scale
+    sessions don't accumulate broadcast blocks."""
     import numpy as np
 
     spark = vecs.sparkSession
@@ -77,7 +99,10 @@ def _assign_gemm(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     )
     cluster_ids = np.array([c for c, _ in cents], dtype="int64")
     cmat = np.array([v for _, v in cents], dtype="float64")  # k x dim
-    bc = spark.sparkContext.broadcast((cluster_ids, cmat))
+    sc = spark.sparkContext
+    _evict_prior_gemm_broadcast(sc)
+    bc = sc.broadcast((cluster_ids, cmat))
+    _GEMM_BC_LAST[id(sc)] = bc
 
     def fn(batches):
         import pandas as pd
@@ -91,7 +116,7 @@ def _assign_gemm(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
             for d in range(cm.shape[1]):  # dimension order == fold order
                 diff = vm[:, d : d + 1] - cm[None, :, d]
                 acc += diff * diff
-            acc = np.round(acc, 6)
+            acc = np.floor(acc * 1e6 + 0.5) / 1e6  # HALF_UP, non-negative
             j = np.argmin(acc, axis=1)  # first min -> lowest cluster id
             yield pd.DataFrame(
                 {

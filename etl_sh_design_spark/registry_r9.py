@@ -38,14 +38,14 @@ Scale shapes:
   row — the lines never explode, so there is NO per-line shuffle.
 - `c4_line_dedup` is the real distributed shape: explode ->
   map-side-combined count per line hash (|distinct lines| groups) ->
-  broadcast anti-join of the boilerplate set (lines repeated >= 3
-  times are vocabulary-sized by Zipf — the same bound as the shingle
-  df cap. NOTE: there is NO size-measured dispatch here today; if a
-  corpus's repeated-line set outgrew broadcast, the one-line change
-  is dropping the F.broadcast hint so the anti-join plans as shuffle
-  — stated as a design note, not a shipped feature) -> one
-  (doc)-keyed regroup to reassemble. Two real shuffles, both linear
-  in lines.
+  size-dispatched anti-join of the boilerplate set (one count() at
+  build time: broadcast up to LINE_DEDUP_BROADCAST_MAX_ROWS rows,
+  shuffle anti-join above — C4 itself dropped billions of repeated
+  lines, so the >= 3 set is NOT vocabulary-sized at the target scale;
+  see the constant's block comment) -> one (doc)-keyed regroup to
+  reassemble. Two real shuffles, both linear in lines; the two
+  anti-join paths are result-identical (forced-path golden in
+  tests/test_r9.py).
 """
 
 from __future__ import annotations
@@ -167,6 +167,22 @@ def q_line_quality_rules(spark, sf_dir):
 _BOILER = "please subscribe to our newsletter for updates today"
 _C4_K = 3  # C4's global repetition threshold
 
+# Boiler-set dispatch bound: the >= k repeated-line set may be
+# broadcast for the anti-join only up to this many rows (int64 keys:
+# 5M x 8 B ~= 40 MB serialized — same class as graph.py's 5M-edge
+# union-find bound). On vocabulary-sized corpora Zipf keeps the set
+# tiny and the broadcast wins; but C4 itself discarded BILLIONS of
+# repeated lines from a ~750 GB corpus, so at 100 TB the set is
+# data-sized and the anti-join MUST plan as a shuffle. One count() at
+# build time picks the strategy — the same size-measured-dispatch
+# contract as similarity.EMBED_BROADCAST_MAX_ROWS and
+# semdedup.SEMDEDUP_MAX_MEAN_CELL_ROWS — and the count is not an
+# extra pass: it materializes the localCheckpoint the anti-join then
+# reads, so the explode -> map-combined count runs once either way.
+# Both paths are result-identical (left_anti on the same key set);
+# pinned by tests/test_r9.py::test_c4_line_dedup_forced_shuffle_parity.
+LINE_DEDUP_BROADCAST_MAX_ROWS = 5_000_000
+
 _C4LD_SQL = f"""
 WITH t AS (
   SELECT doc_id, source, {_TOKS_DUCK} AS toks FROM documents
@@ -216,15 +232,20 @@ FROM rebuilt GROUP BY 1
 
 
 @query("c4_line_dedup", _C4LD_SQL)
-def q_c4_line_dedup(spark, sf_dir):
+def q_c4_line_dedup(
+    spark, sf_dir, broadcast_max_rows: int = LINE_DEDUP_BROADCAST_MAX_ROWS
+):
     """C4 global line dedup (module docstring): any line occurring
     >= 3 times corpus-wide is removed from EVERY document; documents
     are reassembled in line order and checksummed. The planted
     boilerplate line (every doc_id % 5 == 0) is the guaranteed
     removal; content lines are punctuation-salted per doc so natural
     cross-doc collisions stay accidental. Plan: explode ->
-    map-combined count on the line hash -> broadcast anti-join of the
-    >= 3 set (Zipf: vocabulary-sized) -> one doc-keyed regroup."""
+    map-combined count on the line hash -> size-dispatched anti-join
+    of the >= 3 set (broadcast up to LINE_DEDUP_BROADCAST_MAX_ROWS,
+    shuffle above — both paths result-identical) -> one doc-keyed
+    regroup. Pass broadcast_max_rows=0 to force the shuffle path
+    (the forced-path golden's configuration)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     docs = d.select(
         "doc_id", "source", F.expr(_TOKS_SPARK).alias("toks")
@@ -245,8 +266,22 @@ def q_c4_line_dedup(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= _C4_K)
         .select("line_key")
+        .localCheckpoint(eager=False)
     )
-    kept = exploded.join(F.broadcast(boiler), "line_key", "left_anti")
+    # the dispatch count() also materializes the checkpoint the
+    # anti-join reads — the probe is not an extra pass over the lines.
+    # Above the bound the shuffle_hash hint makes the no-broadcast
+    # contract deterministic (merely dropping the broadcast hint would
+    # let autoBroadcastJoinThreshold re-pick broadcast on a small-
+    # stats side — the exact failure mode the dispatch exists to rule
+    # out at scale).
+    n_boiler = boiler.count()
+    anti_side = (
+        F.broadcast(boiler)
+        if n_boiler <= broadcast_max_rows
+        else boiler.hint("shuffle_hash")
+    )
+    kept = exploded.join(anti_side, "line_key", "left_anti")
     rebuilt_tail = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.concat_ws(

@@ -166,3 +166,37 @@ def test_c4_line_dedup_untouched_docs_keep_their_text(spark):
         assert line.endswith(".") == ((doc_id + j) % 3 == 0), (doc_id, j, line)
         words = [w for w in line.rstrip(".").split(" ") if w]
         assert 1 <= len(words) <= 8
+
+
+def test_c4_line_dedup_forced_shuffle_parity(spark):
+    """Forced-path golden for the boiler-set dispatch
+    (LINE_DEDUP_BROADCAST_MAX_ROWS): broadcast_max_rows=0 forces the
+    shuffle anti-join, the default keeps the broadcast — the two
+    plans MUST produce identical audits (left_anti on the same key
+    set), and the forced plan must actually drop the broadcast
+    (no BroadcastHashJoin/BroadcastNestedLoopJoin anti node)."""
+    default = sorted(
+        (tuple(r) for r in q_c4_line_dedup(spark, SF_SMOKE).collect())
+    )
+    forced_df = q_c4_line_dedup(spark, SF_SMOKE, broadcast_max_rows=0)
+    plan = forced_df._jdf.queryExecution().executedPlan().toString()
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines, plan
+    assert all("Broadcast" not in ln for ln in anti_lines), anti_lines
+    forced = sorted(tuple(r) for r in forced_df.collect())
+    assert forced == default
+
+
+def test_c4_line_dedup_default_path_broadcasts(spark):
+    """On the smoke corpus the >= 3 set is far below the bound, so the
+    default dispatch must keep the broadcast anti-join (the fast
+    vocabulary-sized path stays the default)."""
+    plan = (
+        q_c4_line_dedup(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines, plan
+    assert any("Broadcast" in ln for ln in anti_lines), anti_lines
