@@ -543,78 +543,83 @@ def q_mirror_union(spark, sf_dir):
 # vs DuckDB with a dtype-class parity check matching the driver's
 # hasher).
 _DRIVER_WINDOW_PRIORITY = [
-    # --- round-9 NEW queries: first driver signal ---
-    "line_quality_rules",
+    # --- round-10 NEW queries: first driver signal ---
+    "hashed_quality_margin",
+    "pq_recall_audit",
+    # --- round-10 code-touched queries: re-green first ---
+    # c4_line_dedup: the >= 3-occurrence line set gained the
+    # size-measured broadcast/shuffle dispatch
+    # (LINE_DEDUP_BROADCAST_MAX_ROWS, registry_r9.py)
+    # semantic_dedup: the GEMM assignment kernel's 6dp rounding moved
+    # from np.round (banker's) to exact HALF_UP, and each Lloyd round
+    # now unpersists the previous centroid broadcast
+    # (operators/kmeans.py)
     "c4_line_dedup",
-    "nfc_dedup_audit",
-    # --- round-9 code-touched queries: re-green first ---
-    # semantic_dedup: the operator gained the grow-k size-measured
-    # dispatch (SEMDEDUP_MAX_MEAN_CELL_ROWS); k=8 is now a floor
-    # tile_notebook_pins: four config chains fused into ONE
-    # multi-config plan (multi_config_module_totals_no_maybe)
-    # normalized_dedup / cross_source_leakage: the shared C4-key
-    # whitespace class went from \s to the explicit Java definition
-    # [ \t\n\f\r\x0B] on both engines (ADVICE r8)
     "semantic_dedup",
-    "tile_notebook_pins",
-    "normalized_dedup",
-    "cross_source_leakage",
-    "profile_disc_by_qty",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "rollup_revenue",
-    "salted_agg_events",
-    "semi_anti_customers",
-    "sessionization_events",
-    "setops_mirror_union",
-    "text_quality",
-    "token_stats_by_source",
-    "tumbling_window_events",
-    "window_top3_orders",
-    "a16_histogram_mean",
-    "a5_slot_state_counts",
-    "asof_events",
-    "dataset_split",
-    "decontamination",
-    "dedup_keep_best",
-    "doc_repetition",
-    "ewma_events",
-    "funnel_interval_join",
-    "incremental_dedup",
-    "j4_sm_module_pairs",
-    "j5_rounded_equijoin",
-    "j6_ordinal_join",
-    "merge_upsert_customers",
-    "p21_flavor_surgery",
-    "p6_translate_probe",
-    "passage_dedup",
-    "pii_redaction",
-    "q13_custdist",
-    "q14_promo_ratio",
-    "q17_below_avg_qty",
-    "q18_large_orders",
-    "q19_disjunctive_parts",
-    "q22_idle_customers",
-    "q4_priority_exists",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "quality_filter_chain",
-    "range_frame_events",
-    "resample_locf_events",
+    # --- oldest-signal refresh: the COMPLETE last-green-r4 remainder
+    # (13, re-queued as promised in the r9 rationale) ---
+    "rolling_median_events",
+    "salted_join_events",
+    "scd2_user_history",
+    "sliding_window_events",
+    "string_date_revenue",
+    "tfidf_cosine_topk",
+    "tile_flavor_counts",
+    "tile_runs",
+    "tile_slots",
+    "tile_supermodules",
+    "top_bigrams",
+    "udtf_chunk_stats",
+    "zorder_layout",
+    # --- then the first 35 of the last-green-r5 cohort (alphabetical) ---
+    "ann_recall_at_k",
+    "approx_stats",
+    "bloom_decontamination",
+    "boilerplate_prefix_clusters",
+    "bpe_compression_curve",
+    "bpe_merge_learn",
+    "cms_token_frequency",
+    "corpus_snapshot_diff",
+    "cube_qty_marginals",
+    "curation_pipeline_e2e",
+    "dedup_size_histogram",
+    "doc_chunks",
+    "domain_mixture_sample",
+    "grouping_sets_revenue",
+    "incremental_neardup",
+    "ivfpq_ann_topk",
+    "json_props_rollup",
+    "mc_sanity_probe",
+    "ntile_acctbal",
+    "nullsafe_join_customers",
+    "occupancy_per_etroc",
+    "padding_waste",
+    "pagerank_hubs",
+    "pq_ann_topk",
+    "q11_important_parts",
+    "q12_priority_latency",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q20_part_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
 ]
-# Round-9 window rationale (invariant: a query whose CODE changed this
-# round is always in-window — zero rotation debt): the 4 code-touched
-# queries above front the window, then the oldest-driver-signal
-# refresh computed FROM CORRECTNESS_r01..r08 last-green rounds — the
-# COMPLETE last-green-r3 cohort (13: the r8 displacements re-queued as
-# promised) and the first 33 of the last-green-r4 cohort
-# (alphabetical), landing at EXACTLY 50. The r4 remainder
-# (rolling_median_events, salted_join_events, scd2_user_history — displaced by the three new
-# r9 queries — plus sliding_window_events, string_date_revenue, tfidf_cosine_topk,
-# tile_flavor_counts, tile_runs, tile_slots, tile_supermodules,
-# top_bigrams, udtf_chunk_stats, zorder_layout) plus the r5/r6/r7
-# cohorts queue for r10+; every query is replayed each session by the
+# Round-10 window rationale (invariant: a query whose CODE changed
+# this round is always in-window — zero rotation debt): the 2 NEW
+# r10 queries (registry_r10: hashed_quality_margin, pq_recall_audit)
+# and the 2 code-touched queries front the window, then the
+# oldest-driver-signal refresh computed FROM CORRECTNESS_r01..r09
+# last-green rounds — the COMPLETE last-green-r4 remainder (13,
+# re-queued as promised) and the first 33 of the last-green-r5 cohort
+# (alphabetical), landing at EXACTLY 50. The r5 remainder
+# (quantile_sketch_events, rank_distribution_orders,
+# regression_stats, sequence_packing, source_token_kl,
+# span_trim_audit, stratified_sample_customers, token_budget_selection,
+# token_frequency_scores, training_shard_manifest, vocab_coverage,
+# weighted_sample_docs, window_frames_orders) plus the r6/r7/r8
+# cohorts queue for r11+; every query is replayed each session by the
 # local dtype-hardened gate regardless
 # (tests/test_driver_contract.py).
 
@@ -654,6 +659,7 @@ def _load_extensions() -> None:
         registry_r8b,
         registry_r8c,
         registry_r9,
+        registry_r10,
         registry_tiling,
         registry_wide,
     )

@@ -89,6 +89,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "ann_multiprobe_recall": {"NESTED_LOOP": "10-probe brute side"},
     "similarity_topk": {"NESTED_LOOP": "10-probe brute side"},
     "knn_label_accuracy": {"NESTED_LOOP": "<=500-probe panel side"},
+    # exact-truth side scans the corpus once against the FIXED
+    # 10-query broadcast panel (same class as knn's panel scan)
+    "pq_recall_audit": {"NESTED_LOOP": "10-query exact-truth panel side"},
     "knn_label_accuracy_stratified": {
         "NESTED_LOOP": "<=500-probe hash-stratified panel side"
     },

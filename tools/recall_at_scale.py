@@ -58,12 +58,145 @@ def _ivf_recall(spark, sf_dir: str, k: int = 3, nprobe: int = 2) -> float:
     return round(hits / total, 3) if total else float("nan")
 
 
+def _exact_l2_topk(spark, sf_dir: str, k: int, n_queries: int):
+    """Exact squared-L2 top-k (self excluded) — the ground truth the
+    PQ ladder approximates (PQ/ADC ranks by L2, not cosine, so its
+    recall is measured against L2 truth; SRP/IVF recall above uses
+    cosine truth to match THEIR metric)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from etl_sh_design_spark.operators.pq import _sqdist
+
+    ev = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = ev.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d = (
+        ev.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("d", _sqdist("v", "qv"))
+    )
+    w = W.partitionBy("qid").orderBy("d", "vec_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "vec_id")
+    )
+
+
+def _pq_ladder_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 10):
+    """recall@k of pq_topk and ivfpq_topk vs exact L2 top-k (VERDICT
+    r9 missing #3: the compressed-code rows were absent from the
+    clustered table — residual quantization error concentrates near
+    cluster centers, so clustered data is exactly where their recall
+    degrades non-obviously)."""
+    from pyspark.sql import functions as F
+
+    from etl_sh_design_spark.operators import pq as pqmod
+    from etl_sh_design_spark.operators.pq import ivfpq_topk, pq_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = _exact_l2_topk(spark, sf_dir, k, n_queries)
+    total = exact.count()
+
+    def recall_of(fn) -> float:
+        ann = fn(e, k=k, n_queries=n_queries).select(
+            F.col("qid").alias("aqid"), F.col("neighbor_id").alias("acid")
+        )
+        hits = exact.join(
+            ann,
+            (exact.qid == ann.aqid) & (exact.vec_id == ann.acid),
+            "left_semi",
+        ).count()
+        spark.catalog.clearCache()
+        return round(hits / total, 3) if total else float("nan")
+
+    def recall_rerank(fn, R: int) -> float:
+        """ADC shortlist of R candidates, exact re-rank to top-k —
+        the production PQ deployment shape (the codes prune, floats
+        decide): recall is then bounded by P(true top-k in the
+        shortlist), not by quantization resolution."""
+        from pyspark.sql import Window as W
+
+        from etl_sh_design_spark.operators.pq import _sqdist
+
+        cand = fn(e, k=R, n_queries=n_queries).select(
+            "qid", F.col("neighbor_id").alias("vec_id")
+        )
+        ev = e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        qv = ev.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        )
+        scored = (
+            cand.join(ev, "vec_id")
+            .join(F.broadcast(qv), "qid")
+            .withColumn("d", _sqdist("qv", "v"))
+        )
+        w = W.partitionBy("qid").orderBy("d", "vec_id")
+        rr = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("qid", "vec_id")
+        )
+        hits = exact.join(rr, ["qid", "vec_id"], "left_semi").count()
+        spark.catalog.clearCache()
+        return round(hits / total, 3) if total else float("nan")
+
+    out = {
+        "pq_topk (M=4,K=16)": recall_of(pq_topk),
+        "ivfpq_topk (M=4,K=16,nprobe=1)": recall_of(ivfpq_topk),
+        "pq+exact-rerank (R=100)": recall_rerank(pq_topk, 100),
+        "pq+exact-rerank (R=1000)": recall_rerank(pq_topk, 1000),
+    }
+    # the recovery knob, measured: the shipped oracle-twin config
+    # (M=4 subspaces x K=16 codes) has 16 codes per 16-dim subspace —
+    # FEWER codes than the fixture's 20 cluster modes, so codes
+    # saturate at cluster identity, all same-cluster members tie in
+    # ADC, and ties break by vec_id: recall collapses as cluster depth
+    # grows. M=8 x K=64 (the Faiss-shaped config: 8-dim subspaces,
+    # ~3 codes per mode) restores within-cluster resolution. The
+    # operators read the module constants at call time, so the knob is
+    # a rebind here — the registry/oracle config is untouched.
+    saved = (pqmod.M, pqmod.SUBDIM, pqmod.KCODES)
+    try:
+        pqmod.M, pqmod.SUBDIM, pqmod.KCODES = 8, 8, 64
+        out["pq_topk (M=8,K=64)"] = recall_of(pq_topk)
+        out["ivfpq_topk (M=8,K=64,nprobe=1)"] = recall_of(ivfpq_topk)
+    finally:
+        pqmod.M, pqmod.SUBDIM, pqmod.KCODES = saved
+    return out
+
+
 def main() -> None:
     from etl_sh_design_spark import registry
     from etl_sh_design_spark.session import get_spark
 
+    pq_only = "--pq-only" in sys.argv
+
     spark = get_spark(app_name="recall_at_scale")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if pq_only:
+        # clustered PQ/IVF-PQ rows alone (the r10 addition) — the
+        # SRP/IVF rows are stable in SCALE.md and cost ~10 min to redo
+        build_clustered_embeddings(spark, CLUSTERED_1X, n_rows=2_000)
+        build_clustered_embeddings(spark, CLUSTERED_10X, n_rows=20_000)
+        print("\n| harness | corpus | wall s | mean recall@5 (L2 truth) |")
+        print("|---|---|---|---|")
+        for label, sf_dir in (("clustered 1x (2k)", CLUSTERED_1X),
+                              ("clustered 10x (20k)", CLUSTERED_10X)):
+            t0 = time.perf_counter()
+            rec = _pq_ladder_recall(spark, sf_dir)
+            dt = round(time.perf_counter() - t0, 1)
+            for name, r in rec.items():
+                print(f"| {name} | {label} | {dt} | {r} |")
+        return
+
     build_10x(spark)
     build_10x_embeddings(spark)
 
@@ -107,6 +240,11 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 1)
         crows.append(("ivf_multiprobe (in-tool, nprobe=2/16 cells)", label, dt, ivf))
         spark.catalog.clearCache()
+        # compressed-code rows (r10): recall vs EXACT L2 truth
+        t0 = time.perf_counter()
+        for name, r in _pq_ladder_recall(spark, sf_dir).items():
+            dt = round(time.perf_counter() - t0, 1)
+            crows.append((f"{name} (vs L2 truth, k=5)", label, dt, r))
 
     print("\n| harness | corpus | wall s | mean recall@3 |")
     print("|---|---|---|---|")

@@ -312,7 +312,22 @@ def main() -> None:
         # SHIPPED grow-k + GEMM dispatches
         build_10x_embeddings(spark)
         build_100x_embeddings(spark)
-        spark.read.parquet(f"{SF01}/embeddings.parquet").count()  # warm
+        # warm the whole semdedup codegen/Arrow path on a tiny slice so
+        # the 1x row measures data, not first-query JIT (measured: a
+        # cold 1x row reads 7.2 s vs ~3 s warm, corrupting the decade
+        # ratios the probe exists for)
+        from pyspark.sql import functions as F
+
+        from etl_sh_design_spark.operators.semdedup import semantic_dedup_profile
+
+        semantic_dedup_profile(
+            spark.read.parquet(f"{SF01}/embeddings.parquet")
+            .filter(F.col("vec_id") < 400)
+            .select("vec_id", "embedding"),
+            k=8,
+            iterations=2,
+        ).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
 
         def run(sf_dir):
             return lambda: _semdedup_probe(spark, sf_dir).write.format(
