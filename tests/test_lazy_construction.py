@@ -83,6 +83,11 @@ EAGER_BUILDERS = {
     "kmeans_profile)",
     "j6_ordinal_join": "checkpointed runs table shared by both join "
     "sides",
+    "c4_line_dedup": "size-measured boiler-set dispatch: one count() "
+    "picks broadcast vs shuffle anti-join and doubles as the "
+    "localCheckpoint materialization (LINE_DEDUP_BROADCAST_MAX_ROWS)",
+    "pq_recall_audit": "PQ + IVF-PQ codebook training (same trained-"
+    "centroid broadcasts as pq_ann_topk / ivfpq_ann_topk)",
 }
 
 # datasource schema-probe jobs (1 footer-read task on first scan of a
