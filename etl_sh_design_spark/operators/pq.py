@@ -420,3 +420,95 @@ FROM (
   FROM adc
 ) WHERE rk <= {k}
 """
+
+
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC shortlist + exact re-rank — the production PQ deployment
+    shape (Jegou et al. 2011 §V: the codes PRUNE, the floats DECIDE):
+    pq_topk retrieves `shortlist` candidates per query by ADC, then
+    the true squared-L2 distance re-ranks just those candidates to
+    the final top-k. Returns (qid, neighbor_id, rk, dist).
+
+    Why this exists as a first-class operator: the round-10 clustered
+    recall measurement (SCALE.md "PQ / IVF-PQ on CLUSTERED
+    embeddings") shows raw ADC top-k COLLAPSES on deep clusters —
+    codes saturate at cluster identity and whole clusters tie — while
+    shortlist + re-rank restores recall to 1.0 once `shortlist`
+    exceeds the ADC tie-class size (~ the dup-cluster depth). Size
+    `shortlist` to expected cluster depth, or cap depth first with
+    the coarse quantizer.
+
+    Scale contract on top of pq_topk's: the re-rank joins the
+    |queries| x shortlist candidate set (bounded, query-panel-sized)
+    back to the corpus on the vector id — one hash equi-join whose
+    probe side is KB-scale — then broadcasts the fixed query panel
+    for the exact distances; per-query state stays a bounded top-k.
+    Determinism: exact distances reuse `_sqdist` (6dp, in-order
+    fold); ties break to the lowest neighbor id."""
+    cand = pq_topk(
+        embeddings, k=shortlist, n_queries=n_queries, id_col=id_col,
+        vec_col=vec_col,
+    ).select("qid", F.col("neighbor_id").alias(id_col))
+    ev = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    qv = ev.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        cand.join(ev, id_col)
+        .join(F.broadcast(qv), "qid")
+        .withColumn("dist", _sqdist("qv", "v"))
+    )
+    w = W.partitionBy("qid").orderBy("dist", id_col)
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "qid",
+            F.col(id_col).alias("neighbor_id"),
+            "rk",
+            "dist",
+        )
+    )
+
+
+def pq_rerank_topk_oracle_sql(
+    k: int = 5, shortlist: int = 50, n_queries: int = 10
+) -> str:
+    """DuckDB twin of pq_rerank_topk: the pq_topk oracle at
+    k=shortlist as a CTE, re-ranked by exact 6dp squared L2."""
+    sqd = (
+        "round(list_sum(list_transform(range(1, len(q.qv) + 1), "
+        "i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i]))), 6)"
+    )
+    return f"""
+WITH cand AS ({pq_topk_oracle_sql(k=shortlist, n_queries=n_queries)}),
+vv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qq AS (
+  SELECT vec_id AS qid, v AS qv FROM vv WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT cand.qid, cand.neighbor_id, {sqd} AS dist
+  FROM cand
+  JOIN vv c ON c.vec_id = cand.neighbor_id
+  JOIN qq q ON q.qid = cand.qid
+)
+SELECT qid, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rk AS INT) AS rk, dist
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""

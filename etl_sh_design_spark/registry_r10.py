@@ -244,3 +244,22 @@ def q_pq_recall_audit(spark, sf_dir):
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+# ------------------------------------------------ PQ rerank top-k
+# The production deployment shape the recall audit above motivates
+# (SCALE.md round-10: raw ADC collapses on deep clusters; shortlist +
+# exact re-rank restores recall once R exceeds the tie-class size).
+from etl_sh_design_spark.operators.pq import (  # noqa: E402
+    pq_rerank_topk,
+    pq_rerank_topk_oracle_sql,
+)
+
+
+@query("pq_rerank_topk", pq_rerank_topk_oracle_sql(k=5, shortlist=50, n_queries=10))
+def q_pq_rerank_topk(spark, sf_dir):
+    """ADC shortlist (R=50) + exact re-rank to top-5 (operator
+    docstring: codes prune, floats decide — Jegou et al. 2011 §V)."""
+    return pq_rerank_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, shortlist=50, n_queries=10
+    )

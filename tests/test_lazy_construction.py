@@ -88,6 +88,7 @@ EAGER_BUILDERS = {
     "localCheckpoint materialization (LINE_DEDUP_BROADCAST_MAX_ROWS)",
     "pq_recall_audit": "PQ + IVF-PQ codebook training (same trained-"
     "centroid broadcasts as pq_ann_topk / ivfpq_ann_topk)",
+    "pq_rerank_topk": "PQ codebook training feeding the ADC shortlist",
 }
 
 # datasource schema-probe jobs (1 footer-read task on first scan of a

@@ -66,3 +66,54 @@ def test_pq_recall_audit_shape_and_bounds(spark):
         by_method[r["method"]].add(r["qid"])
     assert by_method["pq"] == set(range(_PQR_NQ))
     assert by_method["ivfpq"] == set(range(_PQR_NQ))
+
+
+def test_pq_rerank_dominates_raw_adc(spark):
+    """The re-rank operator's reason to exist, pinned as an
+    invariant: vs NumPy-recomputed exact L2 top-5 truth,
+    shortlist+re-rank recall must be >= raw ADC top-5 recall for
+    every query (the shortlist is a superset of the ADC top-5 and
+    exact distances re-rank it), and the re-ranked output must be
+    exactly the 5 exact-smallest members of its own shortlist."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_sh_design_spark.operators.pq import pq_rerank_topk, pq_topk
+
+    e = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    pdf = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype="int64")
+    m = np.vstack([np.asarray(x) for x in pdf["v"]])
+
+    def exact_topk_within(qid: int, pool: set[int] | None, k: int) -> list[int]:
+        qv = m[ids == qid][0]
+        d = ((m - qv) ** 2).sum(axis=1).round(6)
+        cand = [
+            (dd, int(i))
+            for dd, i in zip(d, ids)
+            if i != qid and (pool is None or int(i) in pool)
+        ]
+        cand.sort()
+        return [i for _, i in cand[:k]]
+
+    raw = pq_topk(e, k=5, n_queries=5).collect()
+    rr = pq_rerank_topk(e, k=5, shortlist=50, n_queries=5).collect()
+    short = pq_topk(e, k=50, n_queries=5).collect()
+    raw_by_q: dict[int, set[int]] = {}
+    rr_by_q: dict[int, list[int]] = {}
+    short_by_q: dict[int, set[int]] = {}
+    for r in raw:
+        raw_by_q.setdefault(r["qid"], set()).add(r["neighbor_id"])
+    for r in sorted(rr, key=lambda r: (r["qid"], r["rk"])):
+        rr_by_q.setdefault(r["qid"], []).append(r["neighbor_id"])
+    for r in short:
+        short_by_q.setdefault(r["qid"], set()).add(r["neighbor_id"])
+    for qid in range(5):
+        truth = set(exact_topk_within(qid, None, 5))
+        raw_recall = len(truth & raw_by_q[qid])
+        rr_recall = len(truth & set(rr_by_q[qid]))
+        assert rr_recall >= raw_recall, (qid, rr_recall, raw_recall)
+        # the re-ranked list IS the exact top-5 of its shortlist
+        assert rr_by_q[qid] == exact_topk_within(qid, short_by_q[qid], 5), qid

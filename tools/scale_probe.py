@@ -426,24 +426,32 @@ def main() -> None:
         ("line_quality_rules", "docs", qs["line_quality_rules"]),
         ("c4_line_dedup", "docs", qs["c4_line_dedup"]),
         ("nfc_dedup_audit", "docs", qs["nfc_dedup_audit"]),
+        # round-10 additions: the classifier-gate shape and the
+        # shortlist+re-rank PQ deployment shape
+        ("hashed_quality_margin", "docs", qs["hashed_quality_margin"]),
+        ("pq_rerank_topk", "vecs", qs["pq_rerank_topk"]),
     ]
+    # tail-relative slices shift by 2 with the round-10 additions —
+    # offsets updated in lockstep with the plan list above
     if new_only:
-        plan = plan[-26:]
+        plan = plan[-28:]
     if "--r5b-only" in sys.argv:
-        plan = plan[-10:-6]
+        plan = plan[-12:-8]
     if "--r5c-only" in sys.argv:
         plan = [p for p in plan if p[0] in (
             "similarity_ann_lsh", "knn_label_accuracy", "class_separation",
             "bloom_decontamination",
         )]
     if "--r5c2-only" in sys.argv:
-        plan = plan[-14:-8]
+        plan = plan[-16:-10]
     if "--r8b-only" in sys.argv:
-        plan = plan[-19:-14]
+        plan = plan[-21:-16]
     if "--r8c-only" in sys.argv:
-        plan = plan[-14:-3]
+        plan = plan[-16:-5]
     if "--r9-only" in sys.argv:
-        plan = plan[-3:]
+        plan = plan[-5:-2]
+    if "--r10-only" in sys.argv:
+        plan = plan[-2:]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
         for name, table, fn in plan:
