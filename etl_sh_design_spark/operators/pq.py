@@ -232,24 +232,37 @@ def ivfpq_topk(
     n_queries: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-PQ (the Faiss-style production index, nprobe=1): coarse
-    cosine cells + product quantization of the RESIDUAL vectors.
+    """IVF-PQ (the Faiss-style production index): coarse cosine cells
+    + product quantization of the RESIDUAL vectors, probing the
+    query's top-`nprobe` cells (nprobe=1 — the default and the
+    oracle-twin configuration — is exactly the pre-round-10 operator:
+    the top-1 probed cell IS the assigned cell and the residual is
+    identical).
 
     Why residuals: within a cell, vectors share the coarse centroid's
     direction; subtracting it concentrates the remaining variance so
     the same code budget quantizes finer (Jegou et al. 2011, §IV).
+    Why multi-probe: the round-10 clustered recall table (SCALE.md)
+    shows nprobe=1 dropping whole clusters when coarse cells and true
+    clusters disagree; probing nprobe cells multiplies only the
+    QUERY-side LUT (|queries| x nprobe x M x K rows — broadcast), the
+    corpus codes are scanned by the same cell equi-key.
 
     Scale contract on top of pq_topk's: the coarse table is N_COARSE
     rows (broadcast); cell assignment is one broadcast join + argmax;
-    the ADC scan touches ONLY the query's cell (the cell equi-key cuts
-    the scored set by ~N_COARSE regardless of corpus size). Coarse
-    centroids here are a deterministic seed (vectors 0..N_COARSE-1);
-    at scale you would k-means|| them without touching the shape.
+    the ADC scan touches ONLY the probed cells (the cell equi-key cuts
+    the scored set to ~nprobe/N_COARSE of the corpus regardless of
+    size). Coarse centroids here are a deterministic seed (vectors
+    0..N_COARSE-1); at scale you would k-means|| them without
+    touching the shape.
 
-    Determinism: cosine rounded 6dp before the argmax (ties -> lowest
-    cell); residual arithmetic is raw IEEE (exact both engines); the
-    PQ stages inherit pq_train_encode's contract."""
+    Determinism: cosine rounded 6dp before the probe ranking (ties ->
+    lowest cell); residual arithmetic is raw IEEE (exact both
+    engines); each corpus vector lives in exactly one cell, so a
+    neighbor never appears twice across probes; the PQ stages inherit
+    pq_train_encode's contract."""
     from etl_sh_design_spark.operators.similarity import _dot, _dvec, _norm
 
     v = embeddings.select(
@@ -279,20 +292,40 @@ def ivfpq_topk(
     codebooks, codes = pq_train_encode(resid, id_col="vec_id", vec_col="r")
     codes_cells = codes.join(resid.select("vec_id", "cell"), "vec_id")
 
-    qres = resid.filter(F.col("vec_id") < n_queries)
-    qsub = _subvectors(qres, "vec_id", "r").select(
-        F.col("vec_id").alias("qid"), "s", F.col("sv").alias("qv")
+    # top-nprobe cells per query (same rounded-cosine ranking and
+    # lowest-cell tie rule as the corpus assignment; nprobe=1 probes
+    # exactly the assigned cell), with the query residual recomputed
+    # against EACH probed cell's centroid
+    wprobe = W.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cell").asc()
     )
-    qcell = qres.select(F.col("vec_id").alias("qid"), F.col("cell").alias("q_cell"))
-    lut = (
-        qsub.join(F.broadcast(codebooks), "s")
+    qprobe = (
+        scored.filter(F.col("vec_id") < n_queries)
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= nprobe)
         .select(
-            "qid",
-            "s",
-            "cluster",
-            F.round(_sqdist("qv", "c") * 1e6).cast("bigint").alias("pmicro"),
+            F.col("vec_id").alias("qid"),
+            F.col("cell").alias("q_cell"),
+            F.zip_with("v", "cv", lambda x, y: x - y).alias("r"),
         )
-        .join(F.broadcast(qcell), "qid")
+    )
+    qsub = qprobe.select(
+        "qid",
+        "q_cell",
+        F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("s"),
+        "r",
+    ).select(
+        "qid",
+        "q_cell",
+        "s",
+        F.expr(f"slice(r, s * {SUBDIM} + 1, {SUBDIM})").alias("qv"),
+    )
+    lut = qsub.join(F.broadcast(codebooks), "s").select(
+        "qid",
+        "q_cell",
+        "s",
+        "cluster",
+        F.round(_sqdist("qv", "c") * 1e6).cast("bigint").alias("pmicro"),
     )
     adc = (
         codes_cells.join(
@@ -318,7 +351,7 @@ def ivfpq_topk(
     )
 
 
-def ivfpq_topk_oracle_sql(k: int = 5, n_queries: int = 10) -> str:
+def ivfpq_topk_oracle_sql(k: int = 5, n_queries: int = 10, nprobe: int = 1) -> str:
     """DuckDB twin of ivfpq_topk over the `embeddings` view. The dot
     products and distance folds run in index order (list_sum of an
     index-range transform), matching Spark's in-order aggregate()."""
@@ -344,7 +377,7 @@ cents AS (
   SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM v WHERE vec_id < {N_COARSE}
 ),
 scored AS (
-  SELECT a.vec_id, c.cell, a.v,
+  SELECT a.vec_id, c.cell, a.v, c.cv,
          round({dot('a.v', 'c.cv')} / (sqrt({dot('a.v', 'a.v')}) * sqrt({dot('c.cv', 'c.cv')})), 6) AS sim
   FROM v a CROSS JOIN cents c
 ),
@@ -398,13 +431,24 @@ enc AS (
 enc_cells AS (
   SELECT e.vec_id, e.s, e.code, r.cell FROM enc e JOIN resid r ON e.vec_id = r.vec_id
 ),
-q AS (SELECT vec_id AS qid, s, sv AS qv FROM sub WHERE vec_id < {n_queries}),
-qcell AS (SELECT vec_id AS qid, cell AS q_cell FROM resid WHERE vec_id < {n_queries}),
+qprobe AS (
+  SELECT vec_id AS qid, cell AS q_cell,
+         list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS r
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+    FROM scored WHERE vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+),
+qsub AS (
+  SELECT qid, q_cell, CAST(sr.s AS INT) AS s,
+         r[sr.s * {SUBDIM} + 1 : sr.s * {SUBDIM} + {SUBDIM}] AS qv
+  FROM qprobe CROSS JOIN (SELECT unnest(range({M})) AS s) sr
+),
 lut AS (
-  SELECT q.qid, q.s, cb.cluster,
-         CAST(round({sqd('q.qv', 'cb.c')} * 1e6) AS BIGINT) AS pmicro,
-         qc.q_cell
-  FROM q JOIN cb ON q.s = cb.s JOIN qcell qc ON qc.qid = q.qid
+  SELECT q.qid, q.q_cell, q.s, cb.cluster,
+         CAST(round({sqd('q.qv', 'cb.c')} * 1e6) AS BIGINT) AS pmicro
+  FROM qsub q JOIN cb ON q.s = cb.s
 ),
 adc AS (
   SELECT l.qid, e.vec_id, CAST(sum(l.pmicro) AS BIGINT) AS adc_micro

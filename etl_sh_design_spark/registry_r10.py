@@ -263,3 +263,27 @@ def q_pq_rerank_topk(spark, sf_dir):
     return pq_rerank_topk(
         _t(spark, sf_dir, "embeddings"), k=5, shortlist=50, n_queries=10
     )
+
+
+# ------------------------------------------ IVF-PQ multi-probe
+from etl_sh_design_spark.operators.pq import (  # noqa: E402
+    ivfpq_topk,
+    ivfpq_topk_oracle_sql,
+)
+
+
+@query(
+    "ivfpq_multiprobe_topk",
+    ivfpq_topk_oracle_sql(k=5, n_queries=10, nprobe=2),
+)
+def q_ivfpq_multiprobe_topk(spark, sf_dir):
+    """IVF-PQ probing the query's top-2 coarse cells (operator
+    docstring: multi-probe multiplies only the query-side LUT; the
+    clustered recall table shows nprobe=1 dropping whole clusters).
+    On the shipped near-isotropic corpus the top-5 happens to match
+    nprobe=1 — the oracle pins the multi-probe PLAN's semantics
+    (probe ranking, per-cell residual LUT, cross-cell ADC merge), and
+    the candidate volume is plan-asserted in tests/test_r10.py."""
+    return ivfpq_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, n_queries=10, nprobe=2
+    )

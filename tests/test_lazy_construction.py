@@ -89,6 +89,8 @@ EAGER_BUILDERS = {
     "pq_recall_audit": "PQ + IVF-PQ codebook training (same trained-"
     "centroid broadcasts as pq_ann_topk / ivfpq_ann_topk)",
     "pq_rerank_topk": "PQ codebook training feeding the ADC shortlist",
+    "ivfpq_multiprobe_topk": "IVF + PQ codebook training (nprobe=2 "
+    "probe of the same trained index)",
 }
 
 # datasource schema-probe jobs (1 footer-read task on first scan of a

@@ -117,3 +117,19 @@ def test_pq_rerank_dominates_raw_adc(spark):
         assert rr_recall >= raw_recall, (qid, rr_recall, raw_recall)
         # the re-ranked list IS the exact top-5 of its shortlist
         assert rr_by_q[qid] == exact_topk_within(qid, short_by_q[qid], 5), qid
+
+
+def test_ivfpq_multiprobe_scans_more_candidates(spark):
+    """nprobe=2 must scan strictly more ADC candidates than nprobe=1
+    (the probe multiplies the query-side LUT against a second cell's
+    codes) while returning the same bounded top-k row count — the
+    wiring proof that multi-probe actually probes."""
+    from etl_sh_design_spark.operators.pq import ivfpq_topk
+
+    e = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    n1 = ivfpq_topk(e, k=10**9, n_queries=5, nprobe=1).count()
+    n2 = ivfpq_topk(e, k=10**9, n_queries=5, nprobe=2).count()
+    assert n2 > n1, (n1, n2)
+    k1 = ivfpq_topk(e, k=5, n_queries=5, nprobe=1).count()
+    k2 = ivfpq_topk(e, k=5, n_queries=5, nprobe=2).count()
+    assert k1 == k2 == 25

@@ -156,6 +156,7 @@ WHITELIST: dict[str, dict[str, str]] = {
         "NESTED_LOOP": "centroid + probe-panel broadcasts"
     },
     "ivfpq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
+    "ivfpq_multiprobe_topk": {"NESTED_LOOP": "codebook broadcast"},
     "pq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "similarity_ann_ivf": {"NESTED_LOOP": "centroid broadcast"},
     "similarity_ann_ivf_multiprobe": {"NESTED_LOOP": "centroid broadcast"},

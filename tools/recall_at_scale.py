@@ -162,11 +162,17 @@ def _pq_ladder_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 10):
     # ~3 codes per mode) restores within-cluster resolution. The
     # operators read the module constants at call time, so the knob is
     # a rebind here — the registry/oracle config is untouched.
+    out["ivfpq_topk (M=4,K=16,nprobe=2)"] = recall_of(
+        lambda *a, **kw: ivfpq_topk(*a, nprobe=2, **kw)
+    )
     saved = (pqmod.M, pqmod.SUBDIM, pqmod.KCODES)
     try:
         pqmod.M, pqmod.SUBDIM, pqmod.KCODES = 8, 8, 64
         out["pq_topk (M=8,K=64)"] = recall_of(pq_topk)
         out["ivfpq_topk (M=8,K=64,nprobe=1)"] = recall_of(ivfpq_topk)
+        out["ivfpq_topk (M=8,K=64,nprobe=2)"] = recall_of(
+            lambda *a, **kw: ivfpq_topk(*a, nprobe=2, **kw)
+        )
     finally:
         pqmod.M, pqmod.SUBDIM, pqmod.KCODES = saved
     return out
