@@ -203,6 +203,11 @@ SF1_HEADLINE = [
     "line_quality_rules",
     "c4_line_dedup",
     "nfc_dedup_audit",
+    # round-10 additions: the map-only classifier gate and the
+    # shortlist+re-rank PQ deployment shape (10x-probed flat walls;
+    # both well inside the per-entry cap)
+    "hashed_quality_margin",
+    "pq_rerank_topk",
     # the two heaviest audits stay LAST (budget-clip order).
     # semantic_dedup runs BEFORE ngram since round 9: the grow-k +
     # GEMM dispatches cut it from 82-171 s to ~20 s, and its

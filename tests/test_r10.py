@@ -133,3 +133,53 @@ def test_ivfpq_multiprobe_scans_more_candidates(spark):
     k1 = ivfpq_topk(e, k=5, n_queries=5, nprobe=1).count()
     k2 = ivfpq_topk(e, k=5, n_queries=5, nprobe=2).count()
     assert k1 == k2 == 25
+
+
+def test_hashed_quality_margin_weight_swap_path(spark):
+    """The module docstring claims the surrogate hash-weights swap for
+    a trained weight ARRAY without touching the plan — prove it: a
+    1024-element literal array (holding exactly the surrogate values)
+    looked up by bucket via element_at reproduces every per-source row
+    bit-for-bit. This is the plan a real fastText export would run
+    (weights broadcast as a literal/small table; featurization and
+    aggregation unchanged)."""
+    from pyspark.sql import functions as F
+
+    from etl_sh_design_spark.registry_r10 import (
+        _MD5_SPARK,
+        _TOKS,
+        q_hashed_quality_margin,
+    )
+
+    weights = [((b * _QM + _QC) % 1001) - 500 for b in range(_QB)]
+    arr = "array(" + ",".join(str(w) for w in weights) + ")"
+    w_lookup = f"element_at({arr}, CAST(pmod({_MD5_SPARK}, {_QB}) AS INT) + 1)"
+    d = spark.read.parquet(SF_SMOKE + "/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    m = (
+        d.select("source", F.expr(f"({_TOKS})").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "source",
+            F.expr(
+                f"CAST(round(aggregate(toks, 0L, (acc, t) -> acc + ({w_lookup}))"
+                f" * 1e6 / (1000.0 * size(toks))) AS BIGINT)"
+            ).alias("margin_micro"),
+        )
+    )
+    swapped = m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("margin_micro").cast("double") / F.count(F.lit(1)) / F.lit(1e6), 6
+        ).alias("mean_margin"),
+        F.sum((F.col("margin_micro") > 0).cast("int")).cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum((F.col("margin_micro") > 0).cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("keep_rate"),
+    )
+    a = sorted(tuple(r) for r in swapped.collect())
+    b = sorted(tuple(r) for r in q_hashed_quality_margin(spark, SF_SMOKE).collect())
+    assert a == b
