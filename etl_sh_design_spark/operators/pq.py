@@ -556,3 +556,79 @@ FROM (
   FROM scored
 ) WHERE rk <= {k}
 """
+
+
+def ivfpq_rerank_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-PQ shortlist + exact re-rank — the full Faiss deployment
+    stack (coarse cells prune the corpus, residual codes prune the
+    cell, floats decide): ivfpq_topk retrieves `shortlist` candidates
+    per query from the probed cells, then true squared-L2 re-ranks
+    them to the final top-k. Returns (qid, neighbor_id, rk, dist).
+    Same recall sizing rule as pq_rerank_topk (SCALE.md round 10:
+    shortlist must exceed the ADC tie-class size), with the probe
+    count bounding how much of the corpus the shortlist can draw
+    from. Scale contract: ivfpq_topk's + one bounded candidate
+    join-back (|queries| x shortlist probe side)."""
+    cand = ivfpq_topk(
+        embeddings, k=shortlist, n_queries=n_queries, id_col=id_col,
+        vec_col=vec_col, nprobe=nprobe,
+    ).select("qid", F.col("neighbor_id").alias(id_col))
+    ev = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    qv = ev.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        cand.join(ev, id_col)
+        .join(F.broadcast(qv), "qid")
+        .withColumn("dist", _sqdist("qv", "v"))
+    )
+    w = W.partitionBy("qid").orderBy("dist", id_col)
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col(id_col).alias("neighbor_id"), "rk", "dist")
+    )
+
+
+def ivfpq_rerank_topk_oracle_sql(
+    k: int = 5, shortlist: int = 50, n_queries: int = 10, nprobe: int = 1
+) -> str:
+    """DuckDB twin of ivfpq_rerank_topk: the ivfpq oracle at
+    k=shortlist as a CTE, re-ranked by exact 6dp squared L2."""
+    sqd = (
+        "round(list_sum(list_transform(range(1, len(q.qv) + 1), "
+        "i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i]))), 6)"
+    )
+    return f"""
+WITH cand AS ({ivfpq_topk_oracle_sql(k=shortlist, n_queries=n_queries, nprobe=nprobe)}),
+vv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qq AS (
+  SELECT vec_id AS qid, v AS qv FROM vv WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT cand.qid, cand.neighbor_id, {sqd} AS dist
+  FROM cand
+  JOIN vv c ON c.vec_id = cand.neighbor_id
+  JOIN qq q ON q.qid = cand.qid
+)
+SELECT qid, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rk AS INT) AS rk, dist
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""

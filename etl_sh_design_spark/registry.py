@@ -548,6 +548,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pq_recall_audit",
     "pq_rerank_topk",
     "ivfpq_multiprobe_topk",
+    "ivfpq_rerank_topk",
     # --- round-10 code-touched queries: re-green first ---
     # c4_line_dedup: the >= 3-occurrence line set gained the
     # size-measured broadcast/shuffle dispatch
@@ -604,17 +605,17 @@ _DRIVER_WINDOW_PRIORITY = [
     "q16_supplier_counts",
     "q20_part_suppliers",
     "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
 ]
 # Round-10 window rationale (invariant: a query whose CODE changed
-# this round is always in-window — zero rotation debt): the 4 NEW
+# this round is always in-window — zero rotation debt): the 5 NEW
 # r10 queries (registry_r10: hashed_quality_margin, pq_recall_audit,
-# pq_rerank_topk, ivfpq_multiprobe_topk) and the 2 code-touched
-# queries front the window, then the oldest-driver-signal refresh
-# computed FROM CORRECTNESS_r01..r09 last-green rounds — the
-# COMPLETE last-green-r4 remainder (13, re-queued as promised) and
-# the first 31 of the last-green-r5 cohort (alphabetical), landing
-# at EXACTLY 50. The r5 remainder (q8_market_share,
+# pq_rerank_topk, ivfpq_multiprobe_topk, ivfpq_rerank_topk) and the
+# 2 code-touched queries front the window, then the
+# oldest-driver-signal refresh computed FROM CORRECTNESS_r01..r09
+# last-green rounds — the COMPLETE last-green-r4 remainder (13,
+# re-queued as promised) and the first 30 of the last-green-r5
+# cohort (alphabetical), landing at EXACTLY 50. The r5 remainder
+# (q2_min_cost_supplier, q8_market_share,
 # q9_product_profit, quantile_sketch_events,
 # rank_distribution_orders,
 # regression_stats, sequence_packing, source_token_kl,

@@ -287,3 +287,23 @@ def q_ivfpq_multiprobe_topk(spark, sf_dir):
     return ivfpq_topk(
         _t(spark, sf_dir, "embeddings"), k=5, n_queries=10, nprobe=2
     )
+
+
+# ----------------------------------------- IVF-PQ rerank top-k
+from etl_sh_design_spark.operators.pq import (  # noqa: E402
+    ivfpq_rerank_topk,
+    ivfpq_rerank_topk_oracle_sql,
+)
+
+
+@query(
+    "ivfpq_rerank_topk",
+    ivfpq_rerank_topk_oracle_sql(k=5, shortlist=50, n_queries=10, nprobe=2),
+)
+def q_ivfpq_rerank_topk(spark, sf_dir):
+    """Full Faiss deployment stack: IVF-PQ (nprobe=2) shortlist of 50,
+    exact L2 re-rank to top-5 (operator docstring)."""
+    return ivfpq_rerank_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, shortlist=50, n_queries=10,
+        nprobe=2,
+    )

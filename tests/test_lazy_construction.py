@@ -91,6 +91,8 @@ EAGER_BUILDERS = {
     "pq_rerank_topk": "PQ codebook training feeding the ADC shortlist",
     "ivfpq_multiprobe_topk": "IVF + PQ codebook training (nprobe=2 "
     "probe of the same trained index)",
+    "ivfpq_rerank_topk": "IVF + PQ codebook training feeding the "
+    "ADC shortlist",
 }
 
 # datasource schema-probe jobs (1 footer-read task on first scan of a
