@@ -81,8 +81,12 @@ def _assign_gemm(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     are non-negative — matching Spark's round() at the half-ULP
     boundary where np.round would go banker's) before the argmin, and
     ties break to the LOWEST cluster id (the centroid matrix is
-    sorted by cluster; np.argmin returns the first minimum). Path
-    equality is pinned by test_semdedup_quantile's gemm-parity golden.
+    sorted by cluster; np.argmin returns the first minimum). Residual
+    FP caveat: Spark's round() rounds the exact decimal value of the
+    double, while floor(x*1e6+0.5) rounds the FP product x*1e6, whose
+    own rounding can land a half-ULP case on the other side of .5 —
+    a measure-zero divergence no fixture has produced; path equality
+    is pinned by test_semdedup_quantile's gemm-parity golden.
 
     Per-task memory is batch_rows x k doubles (Arrow batch ~10k rows
     x k=1000 cells at N=1e6 -> ~80 MB); centroids are k x dim —
@@ -116,7 +120,8 @@ def _assign_gemm(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
             for d in range(cm.shape[1]):  # dimension order == fold order
                 diff = vm[:, d : d + 1] - cm[None, :, d]
                 acc += diff * diff
-            acc = np.floor(acc * 1e6 + 0.5) / 1e6  # HALF_UP, non-negative
+            # HALF_UP on the FP product (see docstring's residual caveat)
+            acc = np.floor(acc * 1e6 + 0.5) / 1e6
             j = np.argmin(acc, axis=1)  # first min -> lowest cluster id
             yield pd.DataFrame(
                 {

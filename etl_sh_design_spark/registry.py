@@ -574,7 +574,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "top_bigrams",
     "udtf_chunk_stats",
     "zorder_layout",
-    # --- then the first 35 of the last-green-r5 cohort (alphabetical) ---
+    # --- then the first 30 of the last-green-r5 cohort (alphabetical) ---
     "ann_recall_at_k",
     "approx_stats",
     "bloom_decontamination",

@@ -246,10 +246,14 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 1)
         crows.append(("ivf_multiprobe (in-tool, nprobe=2/16 cells)", label, dt, ivf))
         spark.catalog.clearCache()
-        # compressed-code rows (r10): recall vs EXACT L2 truth
+        # compressed-code rows (r10): recall vs EXACT L2 truth. One
+        # wall reading for the whole ladder (the rungs share the PQ
+        # family build, so per-rung walls are not separable here);
+        # every ladder row reports that same whole-ladder wall.
         t0 = time.perf_counter()
-        for name, r in _pq_ladder_recall(spark, sf_dir).items():
-            dt = round(time.perf_counter() - t0, 1)
+        ladder = _pq_ladder_recall(spark, sf_dir)
+        dt = round(time.perf_counter() - t0, 1)
+        for name, r in ladder.items():
             crows.append((f"{name} (vs L2 truth, k=5)", label, dt, r))
 
     print("\n| harness | corpus | wall s | mean recall@3 |")
