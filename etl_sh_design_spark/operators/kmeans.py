@@ -65,7 +65,25 @@ def _evict_prior_gemm_broadcast(sc) -> None:
             pass  # context already stopped — nothing to reclaim
 
 
-def _assign_gemm(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+# Centroid-block shard width for the GEMM assignment kernel: the
+# kernel's working set is batch_rows x block doubles x ~3 temporaries
+# (acc, diff, and the argmin scratch), so with Arrow's default 10k-row
+# batches a 1024-wide block bounds per-task peak at ~250 MB however
+# large k grows — the memory half of the capped-k assignment rung
+# (SEMDEDUP_MAX_K caps the WORK; this caps the FOOTPRINT at any k).
+# For k <= block the loop runs once and is byte-identical to the
+# pre-r11 unblocked kernel. Exact parity of the blocked path is pinned
+# by test_r11's gemm-block golden: within a block np.argmin takes the
+# FIRST minimum (lowest cluster id — the centroid matrix is sorted),
+# and across blocks the running best updates on STRICT less-than, so
+# the earlier (lower-id) block keeps ties — together exactly the
+# global first-minimum rule of the unblocked kernel and `_assign`.
+GEMM_CENTROID_BLOCK = 1_024
+
+
+def _assign_gemm(
+    vecs: DataFrame, centroids: DataFrame, block: int = GEMM_CENTROID_BLOCK
+) -> DataFrame:
     """Same contract and SAME RESULTS as `_assign`, computed as a
     vectorized NumPy kernel inside `mapInPandas` against the broadcast
     centroid matrix — the assignment form for LARGE k·N products,
@@ -88,8 +106,10 @@ def _assign_gemm(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     a measure-zero divergence no fixture has produced; path equality
     is pinned by test_semdedup_quantile's gemm-parity golden.
 
-    Per-task memory is batch_rows x k doubles (Arrow batch ~10k rows
-    x k=1000 cells at N=1e6 -> ~80 MB); centroids are k x dim —
+    Per-task memory is batch_rows x min(k, block) doubles — the
+    centroid matrix is sharded into `block`-wide slices inside the
+    kernel (GEMM_CENTROID_BLOCK), so the working set stays ~250 MB
+    per task however large k grows; centroids are k x dim —
     driver-tiny at any corpus size. One Lloyd round = one centroid
     broadcast; the previous round's broadcast is unpersisted on the
     next call (`_evict_prior_gemm_broadcast`) so long bench/scale
@@ -116,19 +136,29 @@ def _assign_gemm(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
             if len(batch) == 0:
                 continue
             vm = np.vstack([np.asarray(x, dtype="float64") for x in batch["v"]])
-            acc = np.zeros((vm.shape[0], cm.shape[0]))
-            for d in range(cm.shape[1]):  # dimension order == fold order
-                diff = vm[:, d : d + 1] - cm[None, :, d]
-                acc += diff * diff
-            # HALF_UP on the FP product (see docstring's residual caveat)
-            acc = np.floor(acc * 1e6 + 0.5) / 1e6
-            j = np.argmin(acc, axis=1)  # first min -> lowest cluster id
+            best_d = np.full(vm.shape[0], np.inf)
+            best_p = np.zeros(vm.shape[0], dtype="int64")
+            # centroid blocks in ascending cluster-id order (the matrix
+            # is sorted), bounding the working set at rows x block
+            for b0 in range(0, cm.shape[0], block):
+                cb = cm[b0 : b0 + block]
+                acc = np.zeros((vm.shape[0], cb.shape[0]))
+                for d in range(cb.shape[1]):  # dimension order == fold order
+                    diff = vm[:, d : d + 1] - cb[None, :, d]
+                    acc += diff * diff
+                # HALF_UP on the FP product (see docstring's residual caveat)
+                acc = np.floor(acc * 1e6 + 0.5) / 1e6
+                j = np.argmin(acc, axis=1)  # first min -> lowest id in block
+                dmin = acc[np.arange(len(j)), j]
+                upd = dmin < best_d  # strict: earlier block keeps ties
+                best_d[upd] = dmin[upd]
+                best_p[upd] = b0 + j[upd]
             yield pd.DataFrame(
                 {
                     "vec_id": batch["vec_id"].to_numpy(dtype="int64"),
                     "v": batch["v"],
-                    "cluster": ids_k[j].astype("int32"),
-                    "dist": acc[np.arange(len(j)), j],
+                    "cluster": ids_k[best_p].astype("int32"),
+                    "dist": best_d,
                 }
             )
 

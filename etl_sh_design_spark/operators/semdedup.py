@@ -59,13 +59,129 @@ _DOT = (
 # not a correctness deviation, and it is deterministic for a given N.
 SEMDEDUP_MAX_MEAN_CELL_ROWS = 1_000
 
+# The capped-k rung (round 11; SCALE.md "semantic_dedup"): grow-k
+# alone leaves BOTH stages super-linear — k_eff = ceil(N/bound) puts
+# N·k_eff = N²/bound distance evals in every Lloyd round, and the
+# within-cell pair stage stays N·bound relational pair rows, each a
+# 64-element lambda fold (the r11 stage breakdown at the 100x corpus:
+# 207.7 of 217.5 s was the PAIR stage, not assignment). Above
+# SEMDEDUP_MAX_K cells the operator changes regime:
+# - k growth stops, so assignment is O(N · MAX_K) — linear — with the
+#   GEMM kernel's centroid-block sharding bounding its footprint;
+# - the pairwise stage moves to a vectorized per-cell kernel
+#   (_cell_stats_gemm) with a candidate horizon: each member is
+#   compared against at most SEMDEDUP_CANDIDATE_CAP of its cell's
+#   strongest removers (top-CAP by keep order — dist DESC, vec_id
+#   ASC — exactly the members that outrank the most others), keeping
+#   pair work O(N · CAP) with the per-pair cost vectorized instead of
+#   a lambda fold.
+# Like the grow-k knob itself, the capped regime is the paper's
+# stated accuracy/cost trade (SemDeDup clusters with fixed k ≪ N at
+# web scale): a removal is missed only when a member's ONLY
+# sufficiently-similar outrankers sit below the top-CAP of its cell.
+# Below the cap (N <= MAX_K · bound) nothing changes — results, and
+# the SQL oracles, are bit-identical to the pre-r11 operator; at a
+# saturated horizon (candidate_cap >= max cell rows) the capped path
+# is bit-identical to forcing k = MAX_K through the relational path —
+# the forced-path parity golden (test_r11). MAX_K = 64 keeps every
+# tested corpus below 1M vectors at task-sized cells (mean N/64); at
+# deeper corpora raise MAX_K ~ N/10**4 so cells stay task-sized —
+# both knobs are parameters, the constants are the shipped defaults.
+SEMDEDUP_MAX_K = 64
+SEMDEDUP_CANDIDATE_CAP = 1_000
 
-def semdedup_effective_k(n: int, k: int, max_mean_cell_rows: int) -> int:
-    """ceil(n / bound), floored at the caller's k. Pure so tests can
-    pin the dispatch math without a Spark session."""
+
+def semdedup_effective_k(
+    n: int, k: int, max_mean_cell_rows: int, max_k: int = SEMDEDUP_MAX_K
+) -> int:
+    """ceil(n / bound) capped at max_k, floored at the caller's k
+    (max_k <= 0 disables the cap). Pure so tests can pin the dispatch
+    math without a Spark session."""
     if max_mean_cell_rows <= 0:
         return k
-    return max(k, -(-n // max_mean_cell_rows))
+    grown = -(-n // max_mean_cell_rows)
+    if max_k > 0:
+        grown = min(grown, max_k)
+    return max(k, grown)
+
+
+def _cell_stats_gemm(assigned: DataFrame, tau: float, cap: int) -> DataFrame:
+    """Capped-regime pairwise stage: per-cell (cluster, n_members,
+    n_removed, n_kept) computed by a vectorized kernel inside
+    `applyInPandas` over cluster groups — the within-cell counterpart
+    of kmeans._assign_gemm, and the piece the r11 100x breakdown
+    showed actually dominates (207.7 of 217.5 s at 242k vectors was
+    the relational pair join's 64-element lambda folds, ~242M pairs;
+    NOT the assignment term the r10 notes blamed).
+
+    Result-identity discipline (same as _assign_gemm): members sort by
+    keep order (dist DESC, vec_id ASC — a total order, vec_id is
+    unique), so "o outranks r" is exactly "o's sorted index < r's";
+    dots and norms accumulate the DIMENSIONS in index order over
+    row-vectorized adds, so every pair's float sum is bit-identical to
+    the relational aggregate() fold; cosines round to 6dp HALF_UP
+    (sign-aware floor(|x|*1e6+0.5), same residual FP-product caveat as
+    kmeans); candidates are the cell's top-`cap` keep-ranked members.
+    At cap >= cell rows this is bit-identical to the relational path
+    (the forced-path parity golden in test_r11).
+
+    Scale contract: one cluster-keyed exchange (the groupBy); per-task
+    footprint is the cell itself (rows x dim doubles) plus an
+    r-block x cap working set (R_BLOCK rows at a time), so pair work
+    is O(rows x cap) per cell and memory never materializes the pair
+    set. Deep corpora should raise SEMDEDUP_MAX_K so cells stay
+    task-sized — the documented knob, not a silent cap."""
+    import pandas as pd
+
+    R_BLOCK = 4_096
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        n = len(pdf)
+        cluster = int(pdf["cluster"].iloc[0])
+        vid = pdf["vec_id"].to_numpy(dtype="int64")
+        vm = np.vstack([np.asarray(x, dtype="float64") for x in pdf["v"]])
+        dist = pdf["dist"].to_numpy(dtype="float64")
+        order = np.lexsort((vid, -dist))  # dist DESC, vec_id ASC
+        vm = vm[order]
+        dim = vm.shape[1]
+        # norms: in-order dimension fold, then IEEE sqrt (bit-equal to
+        # sqrt(aggregate(zip_with(v, v, ...))))
+        acc = np.zeros(n)
+        for d in range(dim):
+            acc += vm[:, d] * vm[:, d]
+        nrm = np.sqrt(acc)
+        c = n if cap <= 0 else min(cap, n)
+        cand, cand_nrm = vm[:c], nrm[:c]
+        removed = np.zeros(n, dtype=bool)
+        jidx = np.arange(c)[None, :]
+        for r0 in range(0, n, R_BLOCK):
+            rb = vm[r0 : r0 + R_BLOCK]
+            dots = np.zeros((rb.shape[0], c))
+            for d in range(dim):  # dimension order == fold order
+                dots += rb[:, d : d + 1] * cand[None, :, d]
+            cos = dots / (nrm[r0 : r0 + rb.shape[0], None] * cand_nrm[None, :])
+            cos = np.sign(cos) * (np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6)
+            ok = cos >= tau
+            # only candidates STRICTLY EARLIER in keep order remove
+            ok &= jidx < (r0 + np.arange(rb.shape[0]))[:, None]
+            removed[r0 : r0 + rb.shape[0]] = ok.any(axis=1)
+        n_removed = int(removed.sum())
+        return pd.DataFrame(
+            [
+                {
+                    "cluster": cluster,
+                    "n_members": n,
+                    "n_removed": n_removed,
+                    "n_kept": n - n_removed,
+                }
+            ]
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        stats, "cluster int, n_members bigint, n_removed bigint, n_kept bigint"
+    )
 
 
 def semantic_dedup_profile(
@@ -77,6 +193,8 @@ def semantic_dedup_profile(
     vec_col: str = "embedding",
     max_mean_cell_rows: int = SEMDEDUP_MAX_MEAN_CELL_ROWS,
     gemm_min_product: int = GEMM_ASSIGN_MIN_ROWS_X_CELLS,
+    max_k: int = SEMDEDUP_MAX_K,
+    candidate_cap: int = SEMDEDUP_CANDIDATE_CAP,
 ) -> DataFrame:
     """Per-cell SemDeDup audit: (cluster, n_members, n_removed,
     n_kept). Cells come from `iterations` Lloyd rounds (same round
@@ -89,12 +207,20 @@ def semantic_dedup_profile(
     max_mean_cell_rows=0 to force the caller's k at any size (the
     oracle-twin configuration).
 
-    Because k grows with N, the assignment product N·k_eff = N²/bound
-    eventually dominates; above `gemm_min_product` the per-round
-    assignment switches from the relational crossJoin to the
-    result-identical vectorized kernel (kmeans._assign_gemm — the
-    SemDeDup paper's own GEMM assignment), so BOTH stages of the
-    operator now carry their scale mitigation in code."""
+    Above N = max_k · max_mean_cell_rows the growth CAPS at max_k
+    cells and the within-cell comparison is re-bounded by
+    `candidate_cap` (see SEMDEDUP_MAX_K): assignment work stays
+    O(N·max_k), pair work O(N·candidate_cap) — both linear — at the
+    paper's accuracy/cost trade. max_k=0 disables the cap (the
+    pre-r11 grow-k behavior); candidate_cap=0 disables the horizon
+    while capped (every within-cell pair is still compared).
+
+    The assignment itself dispatches by product: above
+    `gemm_min_product` the per-round assignment switches from the
+    relational crossJoin to the result-identical vectorized kernel
+    (kmeans._assign_gemm — the SemDeDup paper's own GEMM assignment,
+    centroid-block-sharded so its footprint is flat in k), so every
+    stage of the operator carries its scale mitigation in code."""
     vecs = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
     ).localCheckpoint(eager=False)
@@ -102,7 +228,9 @@ def semantic_dedup_profile(
     # checkpoint every later stage reads — the probe is not an extra
     # pass over the data
     n = vecs.count()
-    k = semdedup_effective_k(n, k, max_mean_cell_rows)
+    k_grown = semdedup_effective_k(n, k, max_mean_cell_rows, max_k=0)
+    k = semdedup_effective_k(n, k, max_mean_cell_rows, max_k=max_k)
+    capped = k < k_grown  # the cap actually bit -> candidate horizon on
     assign = _assign_gemm if n * k >= gemm_min_product > 0 else _assign
     centroids = vecs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c")
@@ -111,6 +239,13 @@ def semantic_dedup_profile(
     for _ in range(iterations):
         assigned = assign(vecs, centroids)
         centroids = _update(assigned).localCheckpoint(eager=False)
+    if capped:
+        # capped regime: the pairwise stage runs as the vectorized
+        # per-cell kernel with the candidate horizon (_cell_stats_gemm)
+        # — one cluster-keyed exchange, no relational pair join. The
+        # kernel is bit-identical to the relational tail below at a
+        # saturated horizon (forced-path parity golden, test_r11).
+        return _cell_stats_gemm(assigned, tau, candidate_cap)
     # members: (vec_id, cluster, dist, v, nrm). The assignment already
     # carries v (kmeans._assign keeps it), so no join back to vecs.
     members = assigned.withColumn(
