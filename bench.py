@@ -53,6 +53,9 @@ HEADLINE = [
     "partition_flavors",
     "dedup_exact",
     "dedup_family_shared_subplan",
+    "pq_family_shared",
+    "pq_recall_audit",
+    "phash_image_neardup",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "ngram_jaccard_neardup",
@@ -208,6 +211,11 @@ SF1_HEADLINE = [
     # both well inside the per-entry cap)
     "hashed_quality_margin",
     "pq_rerank_topk",
+    # round-11 additions: the banded perceptual-hash near-dup (map-side
+    # 56-chunk md5 signature dominates; banded join broadcasts at this
+    # scale — 10x probe flat) and the shortlist saturation audit
+    "phash_image_neardup",
+    "pq_shortlist_audit",
     # the two heaviest audits stay LAST (budget-clip order).
     # semantic_dedup runs BEFORE ngram since round 9: the grow-k +
     # GEMM dispatches cut it from 82-171 s to ~20 s, and its
@@ -298,6 +306,33 @@ def main() -> None:
         except Exception as exc:
             timings["dedup_family_shared_subplan"] = -1.0
             print(f"bench: dedup shared sub-plan FAILED: {exc}", file=sys.stderr)
+
+    # The PQ family (pq_ann_topk, ivfpq_*, pq_rerank_topk,
+    # pq_shortlist_audit, pq_recall_audit) shares one codegen surface:
+    # the subspace explode -> broadcast-codebook join -> argmin
+    # train/encode chain. It is deliberately NOT memoized (codebooks
+    # are KB-sized and retraining is cheaper than cross-query cache
+    # coupling), but the chain's first execution carries the family's
+    # whole-stage-codegen JIT — in the driver's single-run sweep that
+    # landed on pq_recall_audit (8.65 s vs 3.79 s builder-warm,
+    # VERDICT r10 item 7). Pay the JIT once as its own timed entry so
+    # each member reports its own tail (same attribution fix as
+    # dedup_family_shared_subplan).
+    if only_set is None or "pq_family_shared" in only_set:
+        t0 = time.perf_counter()
+        try:
+            from etl_sh_design_spark.operators.pq import pq_topk
+
+            pq_topk(
+                spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")),
+                k=5,
+                n_queries=10,
+            ).write.format("noop").mode("overwrite").save()
+            timings["pq_family_shared"] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            timings["pq_family_shared"] = -1.0
+            print(f"bench: pq family warm-up FAILED: {exc}", file=sys.stderr)
+        spark.catalog.clearCache()
     # Determinism (round-4 verdict task 7): headline queries run
     # N_RUNS times back-to-back and report the BEST (warm) time, with
     # the per-query spread recorded in BENCH_FULL.json — same-host

@@ -106,6 +106,133 @@ def frame_sample(binary_df: DataFrame, frame_size: int = 64, every_k: int = 4) -
     return binary_df.mapInPandas(fn, FRAME_SCHEMA)
 
 
+# ----------------------------------------------- perceptual-hash near-dup
+# aHash/blockhash-style image signature over the deterministic decode
+# stub (the dedup x multimodal intersection, round 11): a real aHash
+# resizes the decoded image to a fixed pixel grid and thresholds each
+# cell; the stub's "resize" divides the payload into AHASH_BITS
+# equal byte-chunks (the fixed grid) and its "pixel" is an md5-derived
+# stat of the chunk (the same md5-stub discipline as decode_image's
+# mean_px) thresholded at mid-range. Locality is real: payloads
+# sharing most chunks share most bits, so banded Hamming join finds
+# near-identical payloads — only the pixel decode is fake.
+#
+# 56 bits = 7 bands x 8 bits: DuckDB's << overflows at bit 63, so the
+# signature stays strictly positive on both engines (no sign-extension
+# corner anywhere); 7 bands give the exact pigeonhole guarantee for
+# max_hamming = 6 (d <= 6 differing bits across 7 bands leave one band
+# identical — candidates are a guaranteed superset, filtered exactly,
+# same contract as dedup.simhash_pairs).
+AHASH_BITS = 56
+AHASH_BAND_W = 8  # bits per band; n_bands = AHASH_BITS / 8 = 7
+
+_MD5_INT_SPARK = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def ahash56_expr(text_col: str = "text") -> str:
+    """Spark SQL expression for the 56-bit chunk-hash signature of a
+    text payload (pure function of the bytes — no UDF, stays in
+    whole-stage codegen). Chunk width w = ceil(len/56) re-normalizes
+    any payload onto the fixed 56-cell grid (the resize analog);
+    chunks past the end hash the empty string — a constant cell shared
+    by both engines."""
+    w = f"greatest(1, CAST(ceil(char_length({text_col}) / {AHASH_BITS}.0) AS INT))"
+    chunk = f"substring({text_col}, b * {w} + 1, {w})"
+    bit = _MD5_INT_SPARK.format(x=chunk)
+    return (
+        f"aggregate(sequence(0, {AHASH_BITS - 1}), CAST(0 AS BIGINT), "
+        f"(acc, b) -> acc + IF(pmod({bit}, 256) >= 128, "
+        f"shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"
+    )
+
+
+def ahash56_duck(text_col: str = "text") -> str:
+    """DuckDB twin of ahash56_expr (bit-identical: 60-bit md5 prefix
+    is positive on both engines, so % == pmod; list_sum promotes to
+    HUGEINT and casts back exactly — every addend is a distinct power
+    of two below 2^56)."""
+    w = f"greatest(1, CAST(ceil(length({text_col}) / {AHASH_BITS}.0) AS INT))"
+    chunk = f"substr({text_col}, b * {w} + 1, {w})"
+    return (
+        f"CAST(list_sum(list_transform(range(0, {AHASH_BITS}), b -> "
+        f"CASE WHEN CAST('0x' || substr(md5({chunk}), 1, 15) AS BIGINT) "
+        f"% 256 >= 128 THEN (CAST(1 AS BIGINT) << b) "
+        f"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+
+
+def phash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    brute: bool = False,
+) -> DataFrame:
+    """Near-dup payload pairs with hamming(ahash_a, ahash_b) <=
+    max_hamming — the image near-dup shape (pHash + banded Hamming
+    join), over the deterministic signature above.
+
+    Banded like dedup.simhash_pairs: 7 bands of 8 bits, equi-join on
+    (band, key), hamming filter before the distinct so only survivors
+    shuffle. `brute=True` runs the O(n²) self-join instead — the
+    banded==brute golden's reference path, never the default.
+
+    Scale contract: the signature is map-side (one codegen'd
+    expression, no explode per chunk); the join is an equi-key
+    shuffle. 8-bit band keys bound selectivity at 256 buckets/band, so
+    banded candidates grow ~7·N²/256 — fine to ~1e6 payloads; past
+    that widen the band key (more bits/band at a lower guaranteed
+    max_hamming, or multi-index pHash), the standard Hamming-LSH
+    trade, same knob family as simhash_pairs."""
+    n_bands = AHASH_BITS // AHASH_BAND_W
+    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
+    ph = docs.select(
+        F.col(id_col), F.expr(ahash56_expr(text_col)).alias("phash")
+    )
+    if brute:
+        a = ph.select(F.col(id_col).alias("id_a"), F.col("phash").alias("ha"))
+        b = ph.select(F.col(id_col).alias("id_b"), F.col("phash").alias("hb"))
+        pairs = a.crossJoin(b)
+    else:
+        band_structs = [
+            F.struct(
+                F.lit(j).alias("band"),
+                (
+                    F.shiftright(F.col("phash"), j * AHASH_BAND_W)
+                    .bitwiseAND(F.lit((1 << AHASH_BAND_W) - 1))
+                ).alias("key"),
+            )
+            for j in range(n_bands)
+        ]
+        banded = ph.select(
+            F.col(id_col),
+            "phash",
+            F.explode(F.array(*band_structs)).alias("bk"),
+        ).select(
+            F.col(id_col),
+            "phash",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+        a = banded.select(
+            F.col(id_col).alias("id_a"), F.col("phash").alias("ha"), "band", "key"
+        )
+        b = banded.select(
+            F.col(id_col).alias("id_b"), F.col("phash").alias("hb"), "band", "key"
+        )
+        pairs = a.join(b, ["band", "key"])
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 def decode_image(binary_df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode stub: real decode needs PIL/libjpeg (NOT in this
     container). With fake=True, emits deterministic pseudo-image stats

@@ -87,8 +87,19 @@ SEMDEDUP_MAX_MEAN_CELL_ROWS = 1_000
 # tested corpus below 1M vectors at task-sized cells (mean N/64); at
 # deeper corpora raise MAX_K ~ N/10**4 so cells stay task-sized —
 # both knobs are parameters, the constants are the shipped defaults.
+#
+# CANDIDATE_CAP = 2000 is sized from the measured accuracy/cost curve
+# at the 100x corpus (220k vectors + 10% dups, k=64 cells, SCALE.md
+# r11): full horizon removes 174,803 in 740.8 s (the max cell — 13k
+# rows — is a single-task straggler, |cell|·|cell| work); cap=4096
+# removes 170,168 in 163.3 s; cap=2000 removes 151,376 (87% of full)
+# in 28.0 s; cap=1000 removes 76,025 (43%) in 12.8 s. The shipped
+# default keeps ~87% of the full-horizon removal set while the probe's
+# second decade stays ~2.6x wall for 10x data. Per-cell task cost is
+# ~|cell|·cap — skew-sensitive, which is the other reason MAX_K should
+# grow with very deep corpora (keeps |cell| task-sized).
 SEMDEDUP_MAX_K = 64
-SEMDEDUP_CANDIDATE_CAP = 1_000
+SEMDEDUP_CANDIDATE_CAP = 2_000
 
 
 def semdedup_effective_k(

@@ -543,86 +543,78 @@ def q_mirror_union(spark, sf_dir):
 # vs DuckDB with a dtype-class parity check matching the driver's
 # hasher).
 _DRIVER_WINDOW_PRIORITY = [
-    # --- round-10 NEW queries: first driver signal ---
-    "hashed_quality_margin",
-    "pq_recall_audit",
-    "pq_rerank_topk",
-    "ivfpq_multiprobe_topk",
-    "ivfpq_rerank_topk",
-    # --- round-10 code-touched queries: re-green first ---
-    # c4_line_dedup: the >= 3-occurrence line set gained the
-    # size-measured broadcast/shuffle dispatch
-    # (LINE_DEDUP_BROADCAST_MAX_ROWS, registry_r9.py)
-    # semantic_dedup: the GEMM assignment kernel's 6dp rounding moved
-    # from np.round (banker's) to exact HALF_UP, and each Lloyd round
-    # now unpersists the previous centroid broadcast
-    # (operators/kmeans.py)
-    "c4_line_dedup",
+    # --- round-11 NEW queries: first driver signal ---
+    "pq_shortlist_audit",
+    "phash_image_neardup",
+    # --- round-11 code-touched queries: re-green first ---
+    # semantic_dedup: the capped-k rung (SEMDEDUP_MAX_K + per-cell
+    # pairwise kernel + sharded GEMM, operators/semdedup.py/kmeans.py)
+    # pq_ann_topk / pq_rerank_topk / pq_recall_audit: pq_topk's body
+    # was refactored through _pq_adc (operators/pq.py)
     "semantic_dedup",
-    # --- oldest-signal refresh: the COMPLETE last-green-r4 remainder
-    # (13, re-queued as promised in the r9 rationale) ---
-    "rolling_median_events",
-    "salted_join_events",
-    "scd2_user_history",
-    "sliding_window_events",
-    "string_date_revenue",
-    "tfidf_cosine_topk",
-    "tile_flavor_counts",
-    "tile_runs",
-    "tile_slots",
-    "tile_supermodules",
-    "top_bigrams",
-    "udtf_chunk_stats",
-    "zorder_layout",
-    # --- then the first 30 of the last-green-r5 cohort (alphabetical) ---
-    "ann_recall_at_k",
-    "approx_stats",
-    "bloom_decontamination",
-    "boilerplate_prefix_clusters",
-    "bpe_compression_curve",
-    "bpe_merge_learn",
-    "cms_token_frequency",
-    "corpus_snapshot_diff",
-    "cube_qty_marginals",
-    "curation_pipeline_e2e",
-    "dedup_size_histogram",
-    "doc_chunks",
-    "domain_mixture_sample",
-    "grouping_sets_revenue",
-    "incremental_neardup",
-    "ivfpq_ann_topk",
-    "json_props_rollup",
-    "mc_sanity_probe",
-    "ntile_acctbal",
-    "nullsafe_join_customers",
-    "occupancy_per_etroc",
-    "padding_waste",
-    "pagerank_hubs",
     "pq_ann_topk",
-    "q11_important_parts",
-    "q12_priority_latency",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q20_part_suppliers",
-    "q21_waiting_suppliers",
+    "pq_rerank_topk",
+    "pq_recall_audit",
+    # --- oldest-signal refresh: the COMPLETE last-green-r5 remainder
+    # (16, re-queued as promised in the r10 rationale) ---
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "quantile_sketch_events",
+    "rank_distribution_orders",
+    "regression_stats",
+    "sequence_packing",
+    "source_token_kl",
+    "span_trim_audit",
+    "stratified_sample_customers",
+    "token_budget_selection",
+    "token_frequency_scores",
+    "training_shard_manifest",
+    "vocab_coverage",
+    "weighted_sample_docs",
+    "window_frames_orders",
+    # --- the COMPLETE last-green-r6 cohort (11) ---
+    "bandwidth_totals",
+    "bv_greedy_groups",
+    "bv_zone_counts",
+    "efficiency_returns",
+    "hit_count_histogram",
+    "knn_label_accuracy_stratified",
+    "mod_partition_totals",
+    "module_rollup",
+    "occupancy_summary",
+    "real_export_centers_check",
+    "ring_classification",
+    # --- then the first 17 of the last-green-r7 cohort (alphabetical) ---
+    "acceptance_multi_variant",
+    "acceptance_profile",
+    "bv_config_search",
+    "bv_totals",
+    "class_separation",
+    "dedup_clusters",
+    "dedup_exact",
+    "embedding_neardup",
+    "hll_distinct_sketch",
+    "incremental_refresh_pipeline",
+    "intersect_customers",
+    "j9_run_comparison",
+    "keep_rate_ab_test",
+    "kmeans_profile",
+    "knn_label_accuracy",
+    "lpa_communities",
+    "lsh_recall_eval",
 ]
-# Round-10 window rationale (invariant: a query whose CODE changed
-# this round is always in-window — zero rotation debt): the 5 NEW
-# r10 queries (registry_r10: hashed_quality_margin, pq_recall_audit,
-# pq_rerank_topk, ivfpq_multiprobe_topk, ivfpq_rerank_topk) and the
-# 2 code-touched queries front the window, then the
-# oldest-driver-signal refresh computed FROM CORRECTNESS_r01..r09
-# last-green rounds — the COMPLETE last-green-r4 remainder (13,
-# re-queued as promised) and the first 30 of the last-green-r5
-# cohort (alphabetical), landing at EXACTLY 50. The r5 remainder
-# (q2_min_cost_supplier, q8_market_share,
-# q9_product_profit, quantile_sketch_events,
-# rank_distribution_orders,
-# regression_stats, sequence_packing, source_token_kl,
-# span_trim_audit, stratified_sample_customers, token_budget_selection,
-# token_frequency_scores, training_shard_manifest, vocab_coverage,
-# weighted_sample_docs, window_frames_orders) plus the r6/r7/r8
-# cohorts queue for r11+; every query is replayed each session by the
+# Round-11 window rationale (invariant: a query whose CODE changed
+# this round is always in-window — zero rotation debt): the 2 NEW r11
+# queries (registry_r11: pq_shortlist_audit, phash_image_neardup) and
+# the 4 code-touched queries front the window, then the
+# oldest-driver-signal refresh computed FROM CORRECTNESS_r01..r10
+# last-green rounds — the COMPLETE last-green-r5 remainder (16,
+# re-queued as promised in the r10 rationale; VERDICT r10 missing #3)
+# and the COMPLETE last-green-r6 cohort (11), then the first 17 of
+# the last-green-r7 cohort (alphabetical), landing at EXACTLY 50.
+# The r7 remainder (25, from minhash_lsh_neardup on) plus the r8+
+# cohorts queue for r12+; every query is replayed each session by the
 # local dtype-hardened gate regardless
 # (tests/test_driver_contract.py).
 
@@ -663,6 +655,7 @@ def _load_extensions() -> None:
         registry_r8c,
         registry_r9,
         registry_r10,
+        registry_r11,
         registry_tiling,
         registry_wide,
     )

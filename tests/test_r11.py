@@ -99,6 +99,130 @@ def test_semdedup_candidate_cap_bounds_never_adds(spark):
         assert small[c][1] <= sat[c][1]  # horizon never adds removals
 
 
+def test_pq_shortlist_audit_fires_exactly_on_tie_class_slice(spark, tmp_path):
+    """The saturation guard (VERDICT r10 What's-wrong #2): on the
+    clustered fixture — the regime where round-10 measured R=100
+    recall collapse to 0.00 — PQ codes saturate at cluster identity,
+    whole clusters tie on ADC distance, and an undersized shortlist
+    slices the tie class. The audit must (a) flag every query as
+    saturated at R=20 on depth-100 clusters, with the tie-class mass
+    visible, and (b) the failure it signals must be real: exact
+    re-rank recall@3 from the sliced R=20 shortlist is WORSE than
+    from a tie-class-covering R, which is perfect."""
+    import numpy as np
+
+    from etl_sh_design_spark.operators.pq import (
+        pq_rerank_topk,
+        pq_shortlist_audit,
+    )
+    from tools.scale_probe import build_clustered_embeddings
+
+    out = str(tmp_path / "clustered")
+    build_clustered_embeddings(spark, out, n_rows=2000)
+    emb = spark.read.parquet(out + "/embeddings.parquet")
+
+    audit = {
+        r["qid"]: r
+        for r in pq_shortlist_audit(emb, shortlist=20, n_queries=5).collect()
+    }
+    assert len(audit) == 5
+    for r in audit.values():
+        assert r["shortlist_saturated"] == 1
+        assert r["n_at_or_below_cutoff"] > 20  # the bar sliced a tie class
+        assert r["n_tied_at_cutoff"] > 1  # and the class itself is visible
+
+    # exact L2 truth (same 6dp rounding + lowest-id tie rule)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype="float64")
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+
+    def exact_top3(q):
+        d = np.round(((V - V[q]) ** 2).sum(axis=1), 6)
+        cand = [(dd, int(i)) for dd, i in zip(d, ids) if i != q]
+        cand.sort()
+        return {i for _, i in cand[:3]}
+
+    def recall(shortlist):
+        got = {}
+        res = pq_rerank_topk(
+            emb, k=3, shortlist=shortlist, n_queries=5
+        ).collect()
+        for r in res:
+            got.setdefault(r["qid"], set()).add(r["neighbor_id"])
+        hits = sum(
+            len(got.get(q, set()) & exact_top3(q)) for q in range(5)
+        )
+        return hits / 15.0
+
+    r_small, r_big = recall(20), recall(500)
+    assert r_big == 1.0  # tie-class-covering R restores exact recall
+    assert r_small < r_big  # the sliced shortlist really loses truth
+
+
+def test_pq_shortlist_audit_silent_on_isotropic_corpus(spark):
+    """On the shipped near-isotropic corpus (no deep ADC tie classes)
+    the guard must stay quiet at the registry's R=50 — the flag is a
+    signal, not a constant alarm."""
+    from etl_sh_design_spark.operators.pq import pq_shortlist_audit
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    rows = pq_shortlist_audit(emb, shortlist=50, n_queries=10).collect()
+    assert len(rows) == 10
+    assert all(r["shortlist_saturated"] == 0 for r in rows)
+
+
+def test_phash_banded_equals_brute(spark):
+    """The pigeonhole contract (same as simhash_pairs): 7 bands of 8
+    bits over the 56-bit signature guarantee every pair within
+    hamming 6 shares a band key, so the banded equi-join result EQUALS
+    the O(n²) cross-join result — a superset of candidates, filtered
+    exactly."""
+    from etl_sh_design_spark.operators.multimodal import phash_pairs
+
+    docs = (
+        spark.read.parquet(SF_SMOKE + "/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    banded = sorted(tuple(r) for r in phash_pairs(docs).collect())
+    brute = sorted(tuple(r) for r in phash_pairs(docs, brute=True).collect())
+    assert banded == brute
+    assert len(banded) > 0  # the fixture really has near-dup payloads
+
+
+def test_phash_detects_chunk_local_edits(spark):
+    """Locality golden: a payload with ONE substituted character
+    differs from its original in at most a couple of grid cells (the
+    chunks the edit touches), so the pair must surface within
+    hamming 6 — while the 200-doc corpus contributes no full-random
+    false friendship at hamming <= 6 beyond its own near-dups."""
+    from pyspark.sql import functions as F
+
+    from etl_sh_design_spark.operators.multimodal import phash_pairs
+
+    base = (
+        spark.read.parquet(SF_SMOKE + "/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 112)  # >= 2 chars per grid cell
+        .limit(50)
+    )
+    # same-length single-char substitution: chunk boundaries unchanged
+    edited = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("Z"), F.substring("text", 2, 1_000_000)
+        ).alias("text"),
+    )
+    pairs = phash_pairs(base.unionByName(edited)).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {
+        (r["doc_id"], r["doc_id"] + 1_000_000) for r in base.collect()
+    }
+    assert want <= found  # every edited twin is recovered
+
+
 def test_gemm_centroid_block_parity(spark):
     """The centroid-block-sharded GEMM kernel must be RESULT-IDENTICAL
     to the unblocked kernel and to the relational fold at any block

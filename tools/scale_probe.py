@@ -82,8 +82,10 @@ def build_100x_embeddings(spark) -> None:
     while cross-copy cosines decorrelate — the same workload at 100x,
     not a 100-clique. vec_ids remap to local*100 + copy so seed
     vectors (vec_id < k) spread one per copy per local id, the
-    k-proportional-to-N regime the SemDeDup dispatch grows into
-    (k_eff = ceil(N/1000), operators/semdedup.py)."""
+    k-grows-with-N regime the SemDeDup dispatch operates in
+    (k_eff = min(ceil(N/1000), SEMDEDUP_MAX_K) since round 11,
+    operators/semdedup.py — at 242k vectors the cap bites and the
+    capped-regime kernel carries the pairwise stage)."""
     from pyspark.sql import functions as F
 
     emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
@@ -259,12 +261,15 @@ def shuffle_write_bytes(spark) -> int:
 
 
 def _semdedup_probe(spark, sf_dir):
-    """SemDeDup exactly as the registry ships it: k=8 is a floor and
-    the operator's own size-measured dispatch
+    """SemDeDup exactly as the registry ships it: k=8 is a floor, the
+    operator's own size-measured dispatch
     (SEMDEDUP_MAX_MEAN_CELL_ROWS, operators/semdedup.py) grows the
     cell count above N=8000 — at the 10x corpus (24,200 vecs) the
-    dispatch picks k_eff=25 so Σ|cell|² stays linear in N. This probe
-    measures the SHIPPED dispatch, not a hand-tuned k."""
+    dispatch picks k_eff=25 so Σ|cell|² stays linear in N — and above
+    N = 64k the r11 cap holds k_eff at SEMDEDUP_MAX_K with the
+    vectorized per-cell kernel + candidate horizon carrying the
+    pairwise stage. This probe measures the SHIPPED dispatches, not a
+    hand-tuned configuration."""
     from pyspark.sql import functions as F
 
     from etl_sh_design_spark.operators.semdedup import semantic_dedup_profile
@@ -430,27 +435,33 @@ def main() -> None:
         # shortlist+re-rank PQ deployment shape
         ("hashed_quality_margin", "docs", qs["hashed_quality_margin"]),
         ("pq_rerank_topk", "vecs", qs["pq_rerank_topk"]),
+        # round-11 additions: the banded perceptual-hash near-dup and
+        # the shortlist saturation audit
+        ("phash_image_neardup", "docs", qs["phash_image_neardup"]),
+        ("pq_shortlist_audit", "vecs", qs["pq_shortlist_audit"]),
     ]
-    # tail-relative slices shift by 2 with the round-10 additions —
+    # tail-relative slices shift by 2 with the round-11 additions —
     # offsets updated in lockstep with the plan list above
     if new_only:
-        plan = plan[-28:]
+        plan = plan[-30:]
     if "--r5b-only" in sys.argv:
-        plan = plan[-12:-8]
+        plan = plan[-14:-10]
     if "--r5c-only" in sys.argv:
         plan = [p for p in plan if p[0] in (
             "similarity_ann_lsh", "knn_label_accuracy", "class_separation",
             "bloom_decontamination",
         )]
     if "--r5c2-only" in sys.argv:
-        plan = plan[-16:-10]
+        plan = plan[-18:-12]
     if "--r8b-only" in sys.argv:
-        plan = plan[-21:-16]
+        plan = plan[-23:-18]
     if "--r8c-only" in sys.argv:
-        plan = plan[-16:-5]
+        plan = plan[-18:-7]
     if "--r9-only" in sys.argv:
-        plan = plan[-5:-2]
+        plan = plan[-7:-4]
     if "--r10-only" in sys.argv:
+        plan = plan[-4:-2]
+    if "--r11-only" in sys.argv:
         plan = plan[-2:]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
