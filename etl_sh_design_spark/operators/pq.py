@@ -251,6 +251,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    _return_adc: bool = False,
 ) -> DataFrame:
     """IVF-PQ (the Faiss-style production index): coarse cosine cells
     + product quantization of the RESIDUAL vectors, probing the
@@ -356,6 +357,8 @@ def ivfpq_topk(
         .groupBy("qid", "vec_id")
         .agg(F.sum("pmicro").alias("adc_micro"))
     )
+    if _return_adc:
+        return adc
     w = W.partitionBy("qid").orderBy("adc_micro", "vec_id")
     return (
         adc.withColumn("rk", F.row_number().over(w))
@@ -369,10 +372,12 @@ def ivfpq_topk(
     )
 
 
-def ivfpq_topk_oracle_sql(k: int = 5, n_queries: int = 10, nprobe: int = 1) -> str:
-    """DuckDB twin of ivfpq_topk over the `embeddings` view. The dot
-    products and distance folds run in index order (list_sum of an
-    index-range transform), matching Spark's in-order aggregate()."""
+def _ivfpq_adc_oracle_ctes(n_queries: int, nprobe: int) -> str:
+    """The CTE chain ending in `adc(qid, vec_id, adc_micro)` over the
+    probed cells — the DuckDB twin of ivfpq_topk(_return_adc=True),
+    shared by the top-k and shortlist-audit oracles. The dot products
+    and distance folds run in index order (list_sum of an index-range
+    transform), matching Spark's in-order aggregate()."""
 
     def sqd(a: str, b: str) -> str:
         return (
@@ -386,8 +391,7 @@ def ivfpq_topk_oracle_sql(k: int = 5, n_queries: int = 10, nprobe: int = 1) -> s
             f"i -> {a}[i] * {b}[i]))"
         )
 
-    return f"""
-WITH v AS (
+    return f"""v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
@@ -474,7 +478,13 @@ adc AS (
   JOIN lut l ON e.s = l.s AND e.code = l.cluster AND e.cell = l.q_cell
   WHERE l.qid <> e.vec_id
   GROUP BY 1, 2
-)
+)"""
+
+
+def ivfpq_topk_oracle_sql(k: int = 5, n_queries: int = 10, nprobe: int = 1) -> str:
+    """DuckDB twin of ivfpq_topk over the `embeddings` view."""
+    return f"""
+WITH {_ivfpq_adc_oracle_ctes(n_queries, nprobe)}
 SELECT qid, vec_id AS neighbor_id, CAST(rk AS INT) AS rk,
        CAST(adc_micro AS DOUBLE) / 1e6 AS adc_dist
 FROM (
@@ -482,6 +492,41 @@ FROM (
   FROM adc
 ) WHERE rk <= {k}
 """
+
+
+def _shortlist_audit_oracle(adc_ctes: str, shortlist: int) -> str:
+    """Shared audit-aggregation SQL over an adc CTE chain."""
+    return f"""
+WITH {adc_ctes},
+cut AS (
+  SELECT qid, max(adc_micro) AS cutoff_micro FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY adc_micro, vec_id) AS rk
+    FROM adc
+  ) WHERE rk <= {shortlist} GROUP BY qid
+)
+SELECT a.qid,
+       CAST(cut.cutoff_micro AS DOUBLE) / 1e6 AS adc_cutoff,
+       CAST(sum(CASE WHEN a.adc_micro = cut.cutoff_micro THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tied_at_cutoff,
+       CAST(sum(CASE WHEN a.adc_micro <= cut.cutoff_micro THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_at_or_below_cutoff,
+       CAST(CASE WHEN sum(CASE WHEN a.adc_micro <= cut.cutoff_micro
+                         THEN 1 ELSE 0 END) > {shortlist}
+                 THEN 1 ELSE 0 END AS INT) AS shortlist_saturated
+FROM adc a JOIN cut ON cut.qid = a.qid
+GROUP BY 1, 2
+"""
+
+
+def ivfpq_shortlist_audit_oracle_sql(
+    shortlist: int = 50, n_queries: int = 10, nprobe: int = 1
+) -> str:
+    """DuckDB twin of ivfpq_shortlist_audit over the `embeddings`
+    view."""
+    return _shortlist_audit_oracle(
+        _ivfpq_adc_oracle_ctes(n_queries, nprobe), shortlist
+    )
 
 
 def pq_rerank_topk(
@@ -615,7 +660,40 @@ def pq_shortlist_audit(
     pq_topk already pays, a |queries|-row cutoff broadcast joined back
     to the scored set, and a |queries|-row output. Integer micro-unit
     ADC everywhere — bit-exact cross-engine."""
-    adc = _pq_adc(embeddings, n_queries, id_col, vec_col)
+    return _shortlist_audit(
+        _pq_adc(embeddings, n_queries, id_col, vec_col), shortlist
+    )
+
+
+def ivfpq_shortlist_audit(
+    embeddings: DataFrame,
+    shortlist: int = 50,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """pq_shortlist_audit's IVF-PQ twin: the same tie-class-depth
+    signal over the PROBED-cells ADC set ivfpq_rerank_topk draws its
+    shortlist from. The probe count bounds what the shortlist can see,
+    so saturation here reads against the probed population, and the
+    same sizing rule applies per probed cell (see pq_shortlist_audit's
+    docstring for the columns and the auto-R rule)."""
+    return _shortlist_audit(
+        ivfpq_topk(
+            embeddings,
+            n_queries=n_queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            nprobe=nprobe,
+            _return_adc=True,
+        ),
+        shortlist,
+    )
+
+
+def _shortlist_audit(adc: DataFrame, shortlist: int) -> DataFrame:
+    """Shared audit aggregation over an (qid, vec_id, adc_micro) set."""
     w = W.partitionBy("qid").orderBy("adc_micro", "vec_id")
     cut = (
         adc.withColumn("rk", F.row_number().over(w))
@@ -650,27 +728,7 @@ def pq_shortlist_audit(
 
 def pq_shortlist_audit_oracle_sql(shortlist: int = 50, n_queries: int = 10) -> str:
     """DuckDB twin of pq_shortlist_audit over the `embeddings` view."""
-    return f"""
-WITH {_pq_adc_oracle_ctes(n_queries)},
-cut AS (
-  SELECT qid, max(adc_micro) AS cutoff_micro FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY qid ORDER BY adc_micro, vec_id) AS rk
-    FROM adc
-  ) WHERE rk <= {shortlist} GROUP BY qid
-)
-SELECT a.qid,
-       CAST(cut.cutoff_micro AS DOUBLE) / 1e6 AS adc_cutoff,
-       CAST(sum(CASE WHEN a.adc_micro = cut.cutoff_micro THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_tied_at_cutoff,
-       CAST(sum(CASE WHEN a.adc_micro <= cut.cutoff_micro THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_at_or_below_cutoff,
-       CAST(CASE WHEN sum(CASE WHEN a.adc_micro <= cut.cutoff_micro
-                         THEN 1 ELSE 0 END) > {shortlist}
-                 THEN 1 ELSE 0 END AS INT) AS shortlist_saturated
-FROM adc a JOIN cut ON cut.qid = a.qid
-GROUP BY 1, 2
-"""
+    return _shortlist_audit_oracle(_pq_adc_oracle_ctes(n_queries), shortlist)
 
 
 def ivfpq_rerank_topk(

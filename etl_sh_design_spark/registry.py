@@ -545,6 +545,7 @@ def q_mirror_union(spark, sf_dir):
 _DRIVER_WINDOW_PRIORITY = [
     # --- round-11 NEW queries: first driver signal ---
     "pq_shortlist_audit",
+    "ivfpq_shortlist_audit",
     "phash_image_neardup",
     # --- round-11 code-touched queries: re-green first ---
     # semantic_dedup: the capped-k rung (SEMDEDUP_MAX_K + per-cell
@@ -602,20 +603,19 @@ _DRIVER_WINDOW_PRIORITY = [
     "kmeans_profile",
     "knn_label_accuracy",
     "lpa_communities",
-    "lsh_recall_eval",
 ]
 # Round-11 window rationale (invariant: a query whose CODE changed
-# this round is always in-window — zero rotation debt): the 2 NEW r11
-# queries (registry_r11: pq_shortlist_audit, phash_image_neardup) and
-# the 4 code-touched queries front the window, then the
-# oldest-driver-signal refresh computed FROM CORRECTNESS_r01..r10
-# last-green rounds — the COMPLETE last-green-r5 remainder (16,
-# re-queued as promised in the r10 rationale; VERDICT r10 missing #3)
-# and the COMPLETE last-green-r6 cohort (11), then the first 17 of
-# the last-green-r7 cohort (alphabetical), landing at EXACTLY 50.
-# The r7 remainder (25, from minhash_lsh_neardup on) plus the r8+
-# cohorts queue for r12+; every query is replayed each session by the
-# local dtype-hardened gate regardless
+# this round is always in-window — zero rotation debt): the 3 NEW r11
+# queries (registry_r11: pq_shortlist_audit, ivfpq_shortlist_audit,
+# phash_image_neardup) and the 4 code-touched queries front the
+# window, then the oldest-driver-signal refresh computed FROM
+# CORRECTNESS_r01..r10 last-green rounds — the COMPLETE last-green-r5
+# remainder (16, re-queued as promised in the r10 rationale; VERDICT
+# r10 missing #3) and the COMPLETE last-green-r6 cohort (11), then
+# the first 16 of the last-green-r7 cohort (alphabetical), landing at
+# EXACTLY 50. The r7 remainder (26, from lsh_recall_eval on) plus the
+# r8+ cohorts queue for r12+; every query is replayed each session by
+# the local dtype-hardened gate regardless
 # (tests/test_driver_contract.py).
 
 

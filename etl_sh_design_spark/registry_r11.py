@@ -47,6 +47,30 @@ def q_pq_shortlist_audit(spark, sf_dir):
     )
 
 
+# ------------------------------------ IVF-PQ shortlist audit twin
+from etl_sh_design_spark.operators.pq import (  # noqa: E402
+    ivfpq_shortlist_audit,
+    ivfpq_shortlist_audit_oracle_sql,
+)
+
+
+@query(
+    "ivfpq_shortlist_audit",
+    ivfpq_shortlist_audit_oracle_sql(
+        shortlist=_PSA_R, n_queries=_PSA_NQ, nprobe=2
+    ),
+)
+def q_ivfpq_shortlist_audit(spark, sf_dir):
+    """The same saturation guard over the PROBED-cells ADC set the
+    registry's ivfpq_rerank_topk (nprobe=2, R=50) draws from."""
+    return ivfpq_shortlist_audit(
+        _t(spark, sf_dir, "embeddings"),
+        shortlist=_PSA_R,
+        n_queries=_PSA_NQ,
+        nprobe=2,
+    )
+
+
 # -------------------------------------------- perceptual-hash near-dup
 from etl_sh_design_spark.operators.multimodal import (  # noqa: E402
     AHASH_BAND_W,

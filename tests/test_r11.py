@@ -163,14 +163,30 @@ def test_pq_shortlist_audit_fires_exactly_on_tie_class_slice(spark, tmp_path):
 
 def test_pq_shortlist_audit_silent_on_isotropic_corpus(spark):
     """On the shipped near-isotropic corpus (no deep ADC tie classes)
-    the guard must stay quiet at the registry's R=50 — the flag is a
-    signal, not a constant alarm."""
-    from etl_sh_design_spark.operators.pq import pq_shortlist_audit
+    the PQ guard must stay quiet at the registry's R=50 — the flag is
+    a signal, not a constant alarm. The IVF-PQ twin audits the PROBED
+    population (~2/8 of 500 ≈ 120 candidates), where R=50 admits ~40%
+    and residual-quantized ADC genuinely ties in small classes at the
+    bar — there the contract is that the tie classes it reports are
+    SHALLOW (tens, the re-rank boundary blur) as opposed to the
+    thousands-deep classes on clustered dup corpora (the recall-zero
+    regime tools/recall_at_scale.py --pq-100x measures: mean
+    n_tied_at_cutoff 9297 at depth 10k)."""
+    from etl_sh_design_spark.operators.pq import (
+        ivfpq_shortlist_audit,
+        pq_shortlist_audit,
+    )
 
     emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
     rows = pq_shortlist_audit(emb, shortlist=50, n_queries=10).collect()
     assert len(rows) == 10
     assert all(r["shortlist_saturated"] == 0 for r in rows)
+    rows = ivfpq_shortlist_audit(
+        emb, shortlist=50, n_queries=10, nprobe=2
+    ).collect()
+    assert len(rows) == 10
+    assert all(r["n_tied_at_cutoff"] < 50 for r in rows)
+    assert all(r["n_at_or_below_cutoff"] < 50 + 50 for r in rows)
 
 
 def test_phash_banded_equals_brute(spark):

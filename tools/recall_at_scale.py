@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.scale_probe import (  # noqa: E402
     CLUSTERED_1X,
     CLUSTERED_10X,
+    CLUSTERED_100X,
     SF01,
     SF10X,
     build_10x,
@@ -87,7 +88,13 @@ def _exact_l2_topk(spark, sf_dir: str, k: int, n_queries: int):
     )
 
 
-def _pq_ladder_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 10):
+def _pq_ladder_recall(
+    spark,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    rerank_rs: tuple = (100, 1000),
+):
     """recall@k of pq_topk and ivfpq_topk vs exact L2 top-k (VERDICT
     r9 missing #3: the compressed-code rows were absent from the
     clustered table — residual quantization error concentrates near
@@ -150,9 +157,9 @@ def _pq_ladder_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 10):
     out = {
         "pq_topk (M=4,K=16)": recall_of(pq_topk),
         "ivfpq_topk (M=4,K=16,nprobe=1)": recall_of(ivfpq_topk),
-        "pq+exact-rerank (R=100)": recall_rerank(pq_topk, 100),
-        "pq+exact-rerank (R=1000)": recall_rerank(pq_topk, 1000),
     }
+    for R in rerank_rs:
+        out[f"pq+exact-rerank (R={R})"] = recall_rerank(pq_topk, R)
     # the recovery knob, measured: the shipped oracle-twin config
     # (M=4 subspaces x K=16 codes) has 16 codes per 16-dim subspace —
     # FEWER codes than the fixture's 20 cluster modes, so codes
@@ -187,20 +194,54 @@ def main() -> None:
     spark = get_spark(app_name="recall_at_scale")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if pq_only:
+    pq_100x = "--pq-100x" in sys.argv
+    if pq_only or pq_100x:
         # clustered PQ/IVF-PQ rows alone (the r10 addition) — the
-        # SRP/IVF rows are stable in SCALE.md and cost ~10 min to redo
+        # SRP/IVF rows are stable in SCALE.md and cost ~10 min to redo.
+        # --pq-100x (round 11, VERDICT r10 item 5) adds the third
+        # decade: 200k vectors at depth-10k clusters, where R=1000
+        # itself undersizes the ADC tie class — the regime that tests
+        # the R-sizing rule and pq_shortlist_audit's flag at scale.
+        # The rule-sized row (R=12000 > depth 10k, alpha=1.2) must
+        # restore recall 1.0 where both standard Rs fail.
+        from etl_sh_design_spark.operators.pq import pq_shortlist_audit
+
         build_clustered_embeddings(spark, CLUSTERED_1X, n_rows=2_000)
         build_clustered_embeddings(spark, CLUSTERED_10X, n_rows=20_000)
+        corpora = [
+            ("clustered 1x (2k, depth 100)", CLUSTERED_1X, (100, 1000)),
+            ("clustered 10x (20k, depth 1k)", CLUSTERED_10X, (100, 1000)),
+        ]
+        if pq_100x:
+            build_clustered_embeddings(spark, CLUSTERED_100X, n_rows=200_000)
+            corpora.append(
+                (
+                    "clustered 100x (200k, depth 10k)",
+                    CLUSTERED_100X,
+                    (100, 1000, 12000),
+                )
+            )
         print("\n| harness | corpus | wall s | mean recall@5 (L2 truth) |")
         print("|---|---|---|---|")
-        for label, sf_dir in (("clustered 1x (2k)", CLUSTERED_1X),
-                              ("clustered 10x (20k)", CLUSTERED_10X)):
+        for label, sf_dir, rs in corpora:
             t0 = time.perf_counter()
-            rec = _pq_ladder_recall(spark, sf_dir)
+            rec = _pq_ladder_recall(spark, sf_dir, rerank_rs=rs)
             dt = round(time.perf_counter() - t0, 1)
             for name, r in rec.items():
                 print(f"| {name} | {label} | {dt} | {r} |")
+        # the saturation guard at scale: per corpus, the audit's
+        # tie-class depth estimate and how many of the 10 query
+        # shortlists are saturated at R=1000 (the sizing rule reads
+        # n_tied_at_cutoff as the depth estimate -> R = alpha * depth)
+        print("\n| corpus | R | mean n_tied_at_cutoff | n saturated / 10 |")
+        print("|---|---|---|---|")
+        for label, sf_dir, _ in corpora:
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            rows = pq_shortlist_audit(emb, shortlist=1000, n_queries=10).collect()
+            tied = round(sum(r["n_tied_at_cutoff"] for r in rows) / len(rows))
+            sat = sum(r["shortlist_saturated"] for r in rows)
+            print(f"| {label} | 1000 | {tied} | {sat}/10 |")
+            spark.catalog.clearCache()
         return
 
     build_10x(spark)

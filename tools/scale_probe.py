@@ -160,6 +160,7 @@ def build_100x_docs(spark) -> None:
 
 CLUSTERED_1X = "/tmp/spark_graft_clustered_1x"
 CLUSTERED_10X = "/tmp/spark_graft_clustered_10x"
+CLUSTERED_100X = "/tmp/spark_graft_clustered_100x"
 
 
 def build_clustered_embeddings(
