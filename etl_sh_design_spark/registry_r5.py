@@ -239,9 +239,11 @@ def q_semantic_dedup(spark, sf_dir):
     kept. The quadratic stage never crosses a cell boundary, and
     k=8 here is a FLOOR: semantic_dedup_profile's size-measured
     dispatch (SEMDEDUP_MAX_MEAN_CELL_ROWS, operators/semdedup.py)
-    grows k as ceil(N/1000) above N=8000, keeping Σ|cell|² linear
-    in N. The oracle bakes k=8 in, which matches because the
-    sf0.01 corpus (550 vecs) sits below the switch point."""
+    grows k as ceil(N/1000) above N=8000 — capped at SEMDEDUP_MAX_K
+    since round 11, where the vectorized per-cell kernel takes the
+    pairwise stage — keeping both stages linear in N. The oracle
+    bakes k=8 in, which matches because the sf0.01 corpus (550
+    vecs) sits below the switch point (and far below the cap)."""
     e = _t(spark, sf_dir, "embeddings")
     dup = e.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"

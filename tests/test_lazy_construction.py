@@ -93,6 +93,10 @@ EAGER_BUILDERS = {
     "probe of the same trained index)",
     "ivfpq_rerank_topk": "IVF + PQ codebook training feeding the "
     "ADC shortlist",
+    "pq_shortlist_audit": "PQ codebook training feeding the audited "
+    "ADC set (same trained-centroid broadcasts as pq_ann_topk)",
+    "ivfpq_shortlist_audit": "IVF + PQ codebook training feeding the "
+    "audited probed-cells ADC set",
 }
 
 # datasource schema-probe jobs (1 footer-read task on first scan of a

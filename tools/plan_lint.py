@@ -158,6 +158,7 @@ WHITELIST: dict[str, dict[str, str]] = {
     "ivfpq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "ivfpq_multiprobe_topk": {"NESTED_LOOP": "codebook broadcast"},
     "ivfpq_rerank_topk": {"NESTED_LOOP": "codebook broadcast"},
+    "ivfpq_shortlist_audit": {"NESTED_LOOP": "codebook broadcast"},
     "pq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "similarity_ann_ivf": {"NESTED_LOOP": "centroid broadcast"},
     "similarity_ann_ivf_multiprobe": {"NESTED_LOOP": "centroid broadcast"},
