@@ -95,9 +95,10 @@ SEMDEDUP_MAX_MEAN_CELL_ROWS = 1_000
 # removes 170,168 in 163.3 s; cap=2000 removes 151,376 (87% of full)
 # in 28.0 s; cap=1000 removes 76,025 (43%) in 12.8 s. The shipped
 # default keeps ~87% of the full-horizon removal set while the probe's
-# second decade stays ~2.6x wall for 10x data. Per-cell task cost is
-# ~|cell|·cap — skew-sensitive, which is the other reason MAX_K should
-# grow with very deep corpora (keeps |cell| task-sized).
+# second decade stays ~2.2x wall for 10x data (salted kernel, 16.4 s
+# at 100x). Per-cell pair work is ~|cell|·cap — cell skew is absorbed
+# by the salted shards (SEMDEDUP_CELL_SALTS below); raise MAX_K with
+# very deep corpora to keep |cell| shard-sized.
 SEMDEDUP_MAX_K = 64
 SEMDEDUP_CANDIDATE_CAP = 2_000
 
@@ -114,6 +115,123 @@ def semdedup_effective_k(
     if max_k > 0:
         grown = min(grown, max_k)
     return max(k, grown)
+
+
+# Straggler control for the capped-regime kernel: a whole cell is one
+# applyInPandas task, so a skewed cell pays |cell|·cap pair work
+# single-threaded (measured: the 100x corpus's 13,118-row max cell
+# carried most of the full-horizon wall). With salting, each cell's
+# member rows spread over SALTS cogroup shards while the cell's
+# top-cap candidate set is REPLICATED to every shard — same
+# comparisons, same pair count, straggler split SALTS ways; the
+# duplication is bounded by cap · k_eff · SALTS rows (constants, never
+# N). Salted == unsalted == relational is pinned by test_r11 goldens.
+SEMDEDUP_CELL_SALTS = 8
+
+
+def _cell_stats_salted(
+    assigned: DataFrame, tau: float, cap: int, salts: int = SEMDEDUP_CELL_SALTS
+) -> DataFrame:
+    """Capped-regime pairwise stage, salted (see SEMDEDUP_CELL_SALTS):
+    r rows shard by pmod(vec_id, salts) within their cell; the cell's
+    top-`cap` keep-ranked candidates (the only members that can remove
+    anyone under the horizon) are exploded to every shard; a cogroup
+    kernel marks removals. Math identical to _cell_stats_gemm — the
+    outranked test is evaluated explicitly from (dist, vec_id) instead
+    of the sorted-index shortcut, dots/norms keep the in-order
+    dimension fold — so results are bit-identical at any salts."""
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    R_BLOCK = 4_096
+
+    # the candidate side re-derives from `assigned` with every column
+    # ALIASED to a fresh attribute — cogroup plans a join of the two
+    # children, and identical attribute ids from the shared parent
+    # would trip Spark's ambiguous-self-join analysis
+    o = assigned.select(
+        F.col("cluster").alias("o_cluster"),
+        F.col("vec_id").alias("o_vec_id"),
+        F.col("v").alias("o_v"),
+        F.col("dist").alias("o_dist"),
+    )
+    wkeep = W.partitionBy("o_cluster").orderBy(
+        F.col("o_dist").desc(), F.col("o_vec_id").asc()
+    )
+    ranked = o.withColumn("keep_rk", F.row_number().over(wkeep))
+    cand = ranked.filter(F.col("keep_rk") <= cap) if cap > 0 else ranked
+    cand = cand.select(
+        "o_cluster",
+        F.explode(F.sequence(F.lit(0), F.lit(salts - 1))).alias("o_salt"),
+        "o_vec_id",
+        "o_v",
+        "o_dist",
+    )
+    r_side = assigned.select(
+        "cluster", F.pmod("vec_id", F.lit(salts)).cast("int").alias("salt"),
+        "vec_id", "v", "dist",
+    )
+
+    def stats(rpdf: "pd.DataFrame", opdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if len(rpdf) == 0:
+            return pd.DataFrame(
+                {"cluster": [], "n_members": [], "n_removed": []}
+            ).astype({"cluster": "int32", "n_members": "int64", "n_removed": "int64"})
+        cluster = int(rpdf["cluster"].iloc[0])
+
+        def mat(pdf, idc, vc, dc):
+            vm = np.vstack([np.asarray(x, dtype="float64") for x in pdf[vc]])
+            acc = np.zeros(len(pdf))
+            for d in range(vm.shape[1]):
+                acc += vm[:, d] * vm[:, d]
+            return (
+                pdf[idc].to_numpy(dtype="int64"),
+                pdf[dc].to_numpy(dtype="float64"),
+                vm,
+                np.sqrt(acc),
+            )
+
+        rid, rdist, rv, rnrm = mat(rpdf, "vec_id", "v", "dist")
+        oid, odist, ov, onrm = mat(opdf, "o_vec_id", "o_v", "o_dist")
+        removed = np.zeros(len(rpdf), dtype=bool)
+        outrank_id = oid[None, :]  # broadcast once
+        for r0 in range(0, len(rpdf), R_BLOCK):
+            rb = rv[r0 : r0 + R_BLOCK]
+            dots = np.zeros((rb.shape[0], ov.shape[0]))
+            for d in range(rb.shape[1]):  # dimension order == fold order
+                dots += rb[:, d : d + 1] * ov[None, :, d]
+            cos = dots / (rnrm[r0 : r0 + rb.shape[0], None] * onrm[None, :])
+            cos = np.sign(cos) * (np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6)
+            rd = rdist[r0 : r0 + rb.shape[0], None]
+            ri = rid[r0 : r0 + rb.shape[0], None]
+            outranked = (odist[None, :] > rd) | (
+                (odist[None, :] == rd) & (outrank_id < ri)
+            )
+            ok = (cos >= tau) & outranked & (outrank_id != ri)
+            removed[r0 : r0 + rb.shape[0]] = ok.any(axis=1)
+        return pd.DataFrame(
+            [
+                {
+                    "cluster": cluster,
+                    "n_members": len(rpdf),
+                    "n_removed": int(removed.sum()),
+                }
+            ]
+        )
+
+    partial = (
+        r_side.groupBy("cluster", "salt")
+        .cogroup(cand.groupBy("o_cluster", "o_salt"))
+        .applyInPandas(stats, "cluster int, n_members bigint, n_removed bigint")
+    )
+    return partial.groupBy("cluster").agg(
+        F.sum("n_members").alias("n_members"),
+        F.sum("n_removed").alias("n_removed"),
+        (F.sum("n_members") - F.sum("n_removed")).alias("n_kept"),
+    )
 
 
 def _cell_stats_gemm(assigned: DataFrame, tau: float, cap: int) -> DataFrame:
@@ -206,6 +324,7 @@ def semantic_dedup_profile(
     gemm_min_product: int = GEMM_ASSIGN_MIN_ROWS_X_CELLS,
     max_k: int = SEMDEDUP_MAX_K,
     candidate_cap: int = SEMDEDUP_CANDIDATE_CAP,
+    cell_salts: int = SEMDEDUP_CELL_SALTS,
 ) -> DataFrame:
     """Per-cell SemDeDup audit: (cluster, n_members, n_removed,
     n_kept). Cells come from `iterations` Lloyd rounds (same round
@@ -252,10 +371,14 @@ def semantic_dedup_profile(
         centroids = _update(assigned).localCheckpoint(eager=False)
     if capped:
         # capped regime: the pairwise stage runs as the vectorized
-        # per-cell kernel with the candidate horizon (_cell_stats_gemm)
-        # — one cluster-keyed exchange, no relational pair join. The
-        # kernel is bit-identical to the relational tail below at a
-        # saturated horizon (forced-path parity golden, test_r11).
+        # per-cell kernel with the candidate horizon — salted across
+        # SEMDEDUP_CELL_SALTS cogroup shards so a skewed cell is never
+        # one straggler task (cell_salts<=1 keeps the whole-cell
+        # kernel). Both are bit-identical to the relational tail below
+        # at a saturated horizon (forced-path parity goldens,
+        # test_r11).
+        if cell_salts > 1:
+            return _cell_stats_salted(assigned, tau, candidate_cap, cell_salts)
         return _cell_stats_gemm(assigned, tau, candidate_cap)
     # members: (vec_id, cluster, dist, v, nrm). The assignment already
     # carries v (kmeans._assign keeps it), so no join back to vecs.

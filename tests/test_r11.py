@@ -69,6 +69,22 @@ def test_semdedup_capped_path_saturated_cap_parity(spark):
         ).collect()
     )
     assert capped == plain
+    # the salted cogroup kernel (the default, SEMDEDUP_CELL_SALTS > 1)
+    # and the whole-cell kernel (cell_salts=1) must agree with each
+    # other and with the plain path — salting only re-shards the same
+    # comparisons
+    unsalted = sorted(
+        tuple(r)
+        for r in semantic_dedup_profile(
+            inj,
+            k=2,
+            max_mean_cell_rows=30,
+            max_k=5,
+            candidate_cap=10**6,
+            cell_salts=1,
+        ).collect()
+    )
+    assert unsalted == plain
 
 
 def test_semdedup_candidate_cap_bounds_never_adds(spark):
