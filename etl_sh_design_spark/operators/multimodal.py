@@ -167,24 +167,30 @@ def phash_pairs(
     text_col: str = "text",
     max_hamming: int = 6,
     brute: bool = False,
+    band_w: int = AHASH_BAND_W,
 ) -> DataFrame:
     """Near-dup payload pairs with hamming(ahash_a, ahash_b) <=
     max_hamming — the image near-dup shape (pHash + banded Hamming
     join), over the deterministic signature above.
 
-    Banded like dedup.simhash_pairs: 7 bands of 8 bits, equi-join on
-    (band, key), hamming filter before the distinct so only survivors
-    shuffle. `brute=True` runs the O(n²) self-join instead — the
-    banded==brute golden's reference path, never the default.
+    Banded like dedup.simhash_pairs: ceil(56/band_w) bands of band_w
+    bits, equi-join on (band, key), hamming filter before the
+    distinct so only survivors shuffle. `brute=True` runs the O(n²)
+    self-join instead — the banded==brute golden's reference path,
+    never the default.
 
     Scale contract: the signature is map-side (one codegen'd
     expression, no explode per chunk); the join is an equi-key
-    shuffle. 8-bit band keys bound selectivity at 256 buckets/band, so
-    banded candidates grow ~7·N²/256 — fine to ~1e6 payloads; past
-    that widen the band key (more bits/band at a lower guaranteed
-    max_hamming, or multi-index pHash), the standard Hamming-LSH
-    trade, same knob family as simhash_pairs."""
-    n_bands = AHASH_BITS // AHASH_BAND_W
+    shuffle. Band width is the selectivity knob IN CODE, not prose:
+    banded candidates grow ~n_bands·N²/2^band_w, so the default
+    8-bit keys (256 buckets/band, guarantee h<=6) are fine to ~1e6
+    payloads, and past that pass a wider band — e.g. band_w=14
+    (4 bands, 16,384 buckets/band) trades the guarantee down to
+    h<=3 for ~64x fewer candidates per bucket-pair. Any
+    (band_w, max_hamming) with max_hamming < n_bands keeps the exact
+    pigeonhole superset (golden-pinned at both configurations); the
+    result depends only on max_hamming, never on band_w."""
+    n_bands = -(-AHASH_BITS // band_w)  # ceil; last band may be narrower
     assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
     ph = docs.select(
         F.col(id_col), F.expr(ahash56_expr(text_col)).alias("phash")
@@ -198,8 +204,8 @@ def phash_pairs(
             F.struct(
                 F.lit(j).alias("band"),
                 (
-                    F.shiftright(F.col("phash"), j * AHASH_BAND_W)
-                    .bitwiseAND(F.lit((1 << AHASH_BAND_W) - 1))
+                    F.shiftright(F.col("phash"), j * band_w)
+                    .bitwiseAND(F.lit((1 << band_w) - 1))
                 ).alias("key"),
             )
             for j in range(n_bands)

@@ -222,6 +222,19 @@ def test_phash_banded_equals_brute(spark):
     brute = sorted(tuple(r) for r in phash_pairs(docs, brute=True).collect())
     assert banded == brute
     assert len(banded) > 0  # the fixture really has near-dup payloads
+    # the selectivity knob changes the banding, never the result: a
+    # wider band (14 bits -> 4 bands, the scale configuration) with
+    # the correspondingly lower guarantee h<=3 must equal the brute
+    # result at that threshold
+    wide = sorted(
+        tuple(r)
+        for r in phash_pairs(docs, max_hamming=3, band_w=14).collect()
+    )
+    brute3 = sorted(
+        tuple(r)
+        for r in phash_pairs(docs, max_hamming=3, brute=True).collect()
+    )
+    assert wide == brute3
 
 
 def test_phash_detects_chunk_local_edits(spark):
