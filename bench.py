@@ -56,6 +56,7 @@ HEADLINE = [
     "pq_family_shared",
     "pq_recall_audit",
     "phash_image_neardup",
+    "bradley_terry_strengths",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "ngram_jaccard_neardup",
@@ -216,6 +217,9 @@ SF1_HEADLINE = [
     # scale — 10x probe flat) and the shortlist saturation audit
     "phash_image_neardup",
     "pq_shortlist_audit",
+    # preference aggregation: one user-keyed window over the 1M-event
+    # stream, then |items|^2-sized MM rounds
+    "bradley_terry_strengths",
     # the two heaviest audits stay LAST (budget-clip order).
     # semantic_dedup runs BEFORE ngram since round 9: the grow-k +
     # GEMM dispatches cut it from 82-171 s to ~20 s, and its

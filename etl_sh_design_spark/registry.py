@@ -547,6 +547,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pq_shortlist_audit",
     "ivfpq_shortlist_audit",
     "phash_image_neardup",
+    "bradley_terry_strengths",
     # --- round-11 code-touched queries: re-green first ---
     # semantic_dedup: the capped-k rung (SEMDEDUP_MAX_K + per-cell
     # pairwise kernel + sharded GEMM, operators/semdedup.py/kmeans.py)
@@ -602,21 +603,20 @@ _DRIVER_WINDOW_PRIORITY = [
     "keep_rate_ab_test",
     "kmeans_profile",
     "knn_label_accuracy",
-    "lpa_communities",
 ]
 # Round-11 window rationale (invariant: a query whose CODE changed
-# this round is always in-window — zero rotation debt): the 3 NEW r11
+# this round is always in-window — zero rotation debt): the 4 NEW r11
 # queries (registry_r11: pq_shortlist_audit, ivfpq_shortlist_audit,
-# phash_image_neardup) and the 4 code-touched queries front the
-# window, then the oldest-driver-signal refresh computed FROM
-# CORRECTNESS_r01..r10 last-green rounds — the COMPLETE last-green-r5
-# remainder (16, re-queued as promised in the r10 rationale; VERDICT
-# r10 missing #3) and the COMPLETE last-green-r6 cohort (11), then
-# the first 16 of the last-green-r7 cohort (alphabetical), landing at
-# EXACTLY 50. The r7 remainder (26, from lsh_recall_eval on) plus the
-# r8+ cohorts queue for r12+; every query is replayed each session by
-# the local dtype-hardened gate regardless
-# (tests/test_driver_contract.py).
+# phash_image_neardup, bradley_terry_strengths) and the 4
+# code-touched queries front the window, then the
+# oldest-driver-signal refresh computed FROM CORRECTNESS_r01..r10
+# last-green rounds — the COMPLETE last-green-r5 remainder (16,
+# re-queued as promised in the r10 rationale; VERDICT r10 missing #3)
+# and the COMPLETE last-green-r6 cohort (11), then the first 15 of
+# the last-green-r7 cohort (alphabetical), landing at EXACTLY 50.
+# The r7 remainder (27, from lpa_communities on) plus the r8+ cohorts
+# queue for r12+; every query is replayed each session by the local
+# dtype-hardened gate regardless (tests/test_driver_contract.py).
 
 
 def _windowed(d: dict) -> dict:

@@ -71,6 +71,24 @@ def q_ivfpq_shortlist_audit(spark, sf_dir):
     )
 
 
+# ------------------------------------ Bradley-Terry preference strengths
+from etl_sh_design_spark.operators.preference import (  # noqa: E402
+    bradley_terry_oracle_sql,
+    bradley_terry_strengths,
+)
+
+
+@query("bradley_terry_strengths", bradley_terry_oracle_sql(rounds=3))
+def q_bradley_terry_strengths(spark, sf_dir):
+    """RLHF/reward-data preference aggregation (operator docstring):
+    each user's adjacent event pairs with distinct types and values
+    form one pairwise preference; 3 Bradley-Terry MM rounds on the
+    |items|²-bounded win matrix yield per-type strengths (gauge-fixed
+    to sum 1). The comparison stream is one user-keyed window; every
+    MM round is matrix-sized, never stream-sized."""
+    return bradley_terry_strengths(_t(spark, sf_dir, "events"), rounds=3)
+
+
 # -------------------------------------------- perceptual-hash near-dup
 from etl_sh_design_spark.operators.multimodal import (  # noqa: E402
     AHASH_BAND_W,

@@ -268,6 +268,58 @@ def test_phash_detects_chunk_local_edits(spark):
     assert want <= found  # every edited twin is recovered
 
 
+def test_bradley_terry_hand_case(spark):
+    """Hand-checkable preference stream (one user, five events):
+    A(3) -> B(1) -> A(4) -> C(2) -> B(5) gives adjacent comparisons
+    A>B, A>B, A>C, B>C — so wins A=3/3 games, B=1/3, C=0/2, and the
+    MM strengths must order A > B > C with C exactly 0 (never wins)
+    and the gauge normalization summing to 1 within rounding."""
+    from etl_sh_design_spark.operators.preference import (
+        bradley_terry_strengths,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:01", 1, "A", 3.0),
+        (2, "2024-01-01 00:00:02", 1, "B", 1.0),
+        (3, "2024-01-01 00:00:03", 1, "A", 4.0),
+        (4, "2024-01-01 00:00:04", 1, "C", 2.0),
+        (5, "2024-01-01 00:00:05", 1, "B", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, t, u, it, v) for i, t, u, it, v in rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["event_type"]: r
+        for r in bradley_terry_strengths(ev, rounds=3).collect()
+    }
+    assert (out["A"]["n_wins"], out["A"]["n_games"]) == (3, 3)
+    assert (out["B"]["n_wins"], out["B"]["n_games"]) == (1, 3)
+    assert (out["C"]["n_wins"], out["C"]["n_games"]) == (0, 2)
+    assert out["A"]["strength"] > out["B"]["strength"] > out["C"]["strength"]
+    assert out["C"]["strength"] == 0.0
+    assert abs(sum(r["strength"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_bradley_terry_conservation_on_corpus(spark):
+    """On the real events table: every comparison produces exactly one
+    win, so sum(n_wins) equals the comparison count and
+    sum(n_games) = 2 * sum(n_wins); strengths are a distribution."""
+    from etl_sh_design_spark.operators.preference import (
+        bradley_terry_strengths,
+        preference_pairs,
+    )
+    from etl_sh_design_spark.session import read_events
+
+    ev = read_events(spark, SF_SMOKE)
+    rows = bradley_terry_strengths(ev, rounds=3).collect()
+    n_cmp = preference_pairs(ev).count()
+    assert sum(r["n_wins"] for r in rows) == n_cmp
+    assert sum(r["n_games"] for r in rows) == 2 * n_cmp
+    assert abs(sum(r["strength"] for r in rows) - 1.0) < 1e-5
+    assert all(r["strength"] >= 0 for r in rows)
+
+
 def test_gemm_centroid_block_parity(spark):
     """The centroid-block-sharded GEMM kernel must be RESULT-IDENTICAL
     to the unblocked kernel and to the relational fold at any block

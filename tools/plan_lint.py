@@ -159,6 +159,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "ivfpq_multiprobe_topk": {"NESTED_LOOP": "codebook broadcast"},
     "ivfpq_rerank_topk": {"NESTED_LOOP": "codebook broadcast"},
     "ivfpq_shortlist_audit": {"NESTED_LOOP": "codebook broadcast"},
+    # the gauge normalization joins the 1-row strength total back to
+    # the |items|-row matrix — a deliberate scalar broadcast
+    "bradley_terry_strengths": {"NESTED_LOOP": "1-row gauge-total broadcast"},
     "pq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "similarity_ann_ivf": {"NESTED_LOOP": "centroid broadcast"},
     "similarity_ann_ivf_multiprobe": {"NESTED_LOOP": "centroid broadcast"},

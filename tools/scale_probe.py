@@ -440,30 +440,31 @@ def main() -> None:
         # the shortlist saturation audit
         ("phash_image_neardup", "docs", qs["phash_image_neardup"]),
         ("pq_shortlist_audit", "vecs", qs["pq_shortlist_audit"]),
+        ("bradley_terry_strengths", "events", qs["bradley_terry_strengths"]),
     ]
     # tail-relative slices shift by 2 with the round-11 additions —
     # offsets updated in lockstep with the plan list above
     if new_only:
-        plan = plan[-30:]
+        plan = plan[-31:]
     if "--r5b-only" in sys.argv:
-        plan = plan[-14:-10]
+        plan = plan[-15:-11]
     if "--r5c-only" in sys.argv:
         plan = [p for p in plan if p[0] in (
             "similarity_ann_lsh", "knn_label_accuracy", "class_separation",
             "bloom_decontamination",
         )]
     if "--r5c2-only" in sys.argv:
-        plan = plan[-18:-12]
+        plan = plan[-19:-13]
     if "--r8b-only" in sys.argv:
-        plan = plan[-23:-18]
+        plan = plan[-24:-19]
     if "--r8c-only" in sys.argv:
-        plan = plan[-18:-7]
+        plan = plan[-19:-8]
     if "--r9-only" in sys.argv:
-        plan = plan[-7:-4]
+        plan = plan[-8:-5]
     if "--r10-only" in sys.argv:
-        plan = plan[-4:-2]
+        plan = plan[-5:-3]
     if "--r11-only" in sys.argv:
-        plan = plan[-2:]
+        plan = plan[-3:]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
         for name, table, fn in plan:
