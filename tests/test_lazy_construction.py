@@ -95,6 +95,10 @@ EAGER_BUILDERS = {
     "ADC shortlist",
     "pq_shortlist_audit": "PQ codebook training feeding the audited "
     "ADC set (same trained-centroid broadcasts as pq_ann_topk)",
+    "bradley_terry_strengths": "MM iterations over the checkpointed "
+    "|items|^2 win/game matrices — matrix-sized (never stream-sized) "
+    "materialization at build, same per-round discipline as "
+    "kmeans_profile",
     "ivfpq_shortlist_audit": "IVF + PQ codebook training feeding the "
     "audited probed-cells ADC set",
 }
