@@ -158,6 +158,38 @@ def build_100x_docs(spark) -> None:
     )
 
 
+def build_100x_events(spark) -> None:
+    """100x event stream for the window/stateful family (round 11 —
+    the line and embedding families carry two-decade probes; this
+    gives the window family one): 100 copies of the sf0.1 events with
+    user_id/event_id strides, so the USER population grows 100x while
+    every per-user series keeps its length and timestamps — the
+    regime a 100 TB event log actually grows in (more entities, not
+    longer histories), and the one where window partitioning must
+    scale by partition COUNT, not partition size."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    parts = []
+    for c in range(100):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + c * 10_000_000).alias("event_id"),
+                "ts",
+                (F.col("user_id") + c * 1_000_000).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(64).write.mode("overwrite").parquet(
+        f"{SF100X}/events.parquet"
+    )
+
+
 CLUSTERED_1X = "/tmp/spark_graft_clustered_1x"
 CLUSTERED_10X = "/tmp/spark_graft_clustered_10x"
 CLUSTERED_100X = "/tmp/spark_graft_clustered_100x"
@@ -345,6 +377,31 @@ def main() -> None:
             "semantic_dedup",
             [("1x", run(SF01)), ("10x", run(SF10X)), ("100x", run(SF100X))],
         )
+        return
+
+    if "--events-100x" in sys.argv:
+        # window/stateful family two decades deep (round 11): user
+        # population x100, per-user series length fixed — the regime
+        # where window work must scale by partition count
+        build_10x(spark)
+        build_100x_events(spark)
+        spark.read.parquet(f"{SF01}/events.parquet").count()  # warm
+        qs = registry.queries()
+        for name in (
+            "sessionization_events",
+            "range_frame_events",
+            "rolling_median_events",
+        ):
+            def run(sf_dir, fn=qs[name]):
+                return lambda: fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            _decade_probe(
+                spark,
+                name,
+                [("1x", run(SF01)), ("10x", run(SF10X)), ("100x", run(SF100X))],
+            )
         return
 
     if "--line-100x" in sys.argv:
