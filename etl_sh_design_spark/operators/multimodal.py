@@ -191,7 +191,14 @@ def phash_pairs(
     pigeonhole superset (golden-pinned at both configurations); the
     result depends only on max_hamming, never on band_w."""
     n_bands = -(-AHASH_BITS // band_w)  # ceil; last band may be narrower
-    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
+    # ValueError, not assert: the exactness contract (pigeonhole
+    # superset) must hold under `python -O` too — a stripped assert
+    # would silently return an incomplete pair set (ADVICE r11)
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < n_bands: "
+            f"max_hamming={max_hamming}, band_w={band_w} -> n_bands={n_bands}"
+        )
     ph = docs.select(
         F.col(id_col), F.expr(ahash56_expr(text_col)).alias("phash")
     )

@@ -327,7 +327,13 @@ def semantic_dedup_profile(
     cell_salts: int = SEMDEDUP_CELL_SALTS,
 ) -> DataFrame:
     """Per-cell SemDeDup audit: (cluster, n_members, n_removed,
-    n_kept). Cells come from `iterations` Lloyd rounds (same round
+    n_kept, capped). `capped` marks the REGIME the row was computed
+    under: False = exact within-cell pruning, True = the capped-k
+    path where the `candidate_cap` horizon may MISS removals (never
+    invent them) — so a caller crossing the N = max_k ·
+    max_mean_cell_rows threshold sees the exact→approximate switch in
+    the data, not as a silent n_removed discontinuity (ADVICE r11).
+    Cells come from `iterations` Lloyd rounds (same round
     structure as kmeans_cluster_profile: the final assignment uses the
     PREVIOUS round's centroids, so the oracle's a2 CTE matches).
 
@@ -377,9 +383,12 @@ def semantic_dedup_profile(
         # kernel). Both are bit-identical to the relational tail below
         # at a saturated horizon (forced-path parity goldens,
         # test_r11).
-        if cell_salts > 1:
-            return _cell_stats_salted(assigned, tau, candidate_cap, cell_salts)
-        return _cell_stats_gemm(assigned, tau, candidate_cap)
+        kernel = (
+            _cell_stats_salted(assigned, tau, candidate_cap, cell_salts)
+            if cell_salts > 1
+            else _cell_stats_gemm(assigned, tau, candidate_cap)
+        )
+        return kernel.withColumn("capped", F.lit(True))
     # members: (vec_id, cluster, dist, v, nrm). The assignment already
     # carries v (kmeans._assign keeps it), so no join back to vecs.
     members = assigned.withColumn(
@@ -425,6 +434,7 @@ def semantic_dedup_profile(
                 F.count(F.lit(1)) - F.sum(F.coalesce(F.col("_rm"), F.lit(0)))
             ).alias("n_kept"),
         )
+        .withColumn("capped", F.lit(False))
     )
 
 
@@ -466,7 +476,8 @@ rem AS (SELECT DISTINCT r.vec_id
 SELECT m.cluster,
        count(*) AS n_members,
        CAST(sum(CASE WHEN rem.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-       CAST(count(*) - sum(CASE WHEN rem.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       CAST(count(*) - sum(CASE WHEN rem.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       FALSE AS capped
 FROM mem m LEFT JOIN rem ON rem.vec_id = m.vec_id
 GROUP BY m.cluster
 """

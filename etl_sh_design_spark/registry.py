@@ -587,7 +587,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "occupancy_summary",
     "real_export_centers_check",
     "ring_classification",
-    # --- then the first 17 of the last-green-r7 cohort (alphabetical) ---
+    # --- then the first 15 of the last-green-r7 cohort (alphabetical) ---
     "acceptance_multi_variant",
     "acceptance_profile",
     "bv_config_search",

@@ -56,18 +56,18 @@ def test_semdedup_capped_path_saturated_cap_parity(spark):
     n = inj.count()
     assert semdedup_effective_k(n, 2, 30, max_k=5) == 5
     assert semdedup_effective_k(n, 2, 30, max_k=0) > 5  # cap really bites
-    capped = sorted(
-        tuple(r)
-        for r in semantic_dedup_profile(
-            inj, k=2, max_mean_cell_rows=30, max_k=5, candidate_cap=10**6
-        ).collect()
+    # the `capped` regime column differs BY DESIGN across the two
+    # paths (True on the capped path, False on the plain one — it is
+    # the r12 regime marker, ADVICE r11); the parity contract is on
+    # the stats, so drop it before the tuple compare
+    capped_run = semantic_dedup_profile(
+        inj, k=2, max_mean_cell_rows=30, max_k=5, candidate_cap=10**6
     )
-    plain = sorted(
-        tuple(r)
-        for r in semantic_dedup_profile(
-            inj, k=5, max_mean_cell_rows=0
-        ).collect()
-    )
+    assert {r["capped"] for r in capped_run.collect()} == {True}
+    capped = sorted(tuple(r) for r in capped_run.drop("capped").collect())
+    plain_run = semantic_dedup_profile(inj, k=5, max_mean_cell_rows=0)
+    assert {r["capped"] for r in plain_run.collect()} == {False}
+    plain = sorted(tuple(r) for r in plain_run.drop("capped").collect())
     assert capped == plain
     # the salted cogroup kernel (the default, SEMDEDUP_CELL_SALTS > 1)
     # and the whole-cell kernel (cell_salts=1) must agree with each
@@ -82,7 +82,9 @@ def test_semdedup_capped_path_saturated_cap_parity(spark):
             max_k=5,
             candidate_cap=10**6,
             cell_salts=1,
-        ).collect()
+        )
+        .drop("capped")
+        .collect()
     )
     assert unsalted == plain
 

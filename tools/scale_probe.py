@@ -499,7 +499,7 @@ def main() -> None:
         ("pq_shortlist_audit", "vecs", qs["pq_shortlist_audit"]),
         ("bradley_terry_strengths", "events", qs["bradley_terry_strengths"]),
     ]
-    # tail-relative slices shift by 2 with the round-11 additions —
+    # tail-relative slices shift by 3 with the round-11 additions —
     # offsets updated in lockstep with the plan list above
     if new_only:
         plan = plan[-31:]
