@@ -472,6 +472,15 @@ def main() -> None:
             "semantic_dedup",
             "knn_label_accuracy",
             "ngram_jaccard_neardup",
+            # VERDICT r11 what's-wrong #1: both roughly doubled
+            # round-over-round in the single-run sf1 section
+            # (bloom 3.72 -> 7.99 s, span_trim 3.57 -> 6.89 s) with
+            # no spread recorded to judge the move by; both have
+            # documented cold-JIT history (bloom: 10.0 s cold / 2.2 s
+            # warm in r5), so best-of-2 + recorded spread separates
+            # JIT placement from a real regression
+            "bloom_decontamination",
+            "span_trim_audit",
         }
 
         def _sf1_one_run(name: str, run, cap: float) -> float:

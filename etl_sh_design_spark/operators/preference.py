@@ -191,3 +191,214 @@ SELECT items.item AS event_type, items.n_wins, items.n_games,
        round(CAST(pm.pm AS DOUBLE) / (SELECT sum(pm) FROM pm), 6) AS strength
 FROM items JOIN pm ON pm.item = items.item
 """
+
+
+# The shared rater-attributed comparisons SQL: one adjacency window
+# over the events stream, keeping the rater and which POSITION won
+# (prev = the option the rater saw FIRST).
+_COMPARISONS_CTE = """
+ordered AS (
+  SELECT user_id, event_type, value,
+         lag(event_type) OVER w AS prev_item,
+         lag(value) OVER w AS prev_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+comparisons AS (
+  SELECT user_id AS rater,
+         CASE WHEN value > prev_value THEN event_type ELSE prev_item END AS winner,
+         CASE WHEN value > prev_value THEN prev_item ELSE event_type END AS loser,
+         CASE WHEN prev_value > value THEN 1 ELSE 0 END AS first_won
+  FROM ordered
+  WHERE prev_item IS NOT NULL
+    AND prev_item <> event_type AND prev_value <> value
+)"""
+
+
+def _rater_comparisons(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    item_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(rater, winner, loser, first_won): `preference_pairs` with the
+    rater kept and the POSITION of the winner recorded (first_won = 1
+    iff the previously-seen option won). Same window, same filters."""
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    lagged = events.select(
+        F.col(user_col).alias("rater"),
+        F.col(item_col).alias("cur_item"),
+        F.col(value_col).alias("cur_value"),
+        F.lag(item_col).over(w).alias("prev_item"),
+        F.lag(value_col).over(w).alias("prev_value"),
+    ).filter(
+        F.col("prev_item").isNotNull()
+        & (F.col("prev_item") != F.col("cur_item"))
+        & (F.col("prev_value") != F.col("cur_value"))
+    )
+    first_won = F.col("prev_value") > F.col("cur_value")
+    return lagged.select(
+        "rater",
+        F.when(first_won, F.col("prev_item"))
+        .otherwise(F.col("cur_item"))
+        .alias("winner"),
+        F.when(first_won, F.col("cur_item"))
+        .otherwise(F.col("prev_item"))
+        .alias("loser"),
+        first_won.cast("int").alias("first_won"),
+    )
+
+
+def position_bias_audit(events: DataFrame, **pair_kw) -> DataFrame:
+    """Per-rater first-position win rate vs the 50% null — the RLHF
+    annotation-quality audit next to `bradley_terry_strengths`: human
+    raters measurably over-prefer the option shown FIRST, and a rater
+    whose first-position rate sits far from 0.5 is injecting position,
+    not preference, into the reward data. Per rater:
+
+    - n_comparisons, n_first_wins — integer-exact counts;
+    - first_win_rate             — n_first_wins / n_comparisons (6dp);
+    - z_vs_null                  — (2·W − n)/√n, the normal-approx
+                                   z-score against Binomial(n, 0.5)
+                                   (6dp): |z| > 2 is the conventional
+                                   flag.
+
+    Scale contract: the one user-keyed adjacency window the BT
+    pipeline already pays, then a |raters|-bounded aggregate — no
+    matrix, no iteration. Deterministic: counts are integers, the two
+    derived columns are single IEEE double expressions rounded 6dp
+    identically on both engines."""
+    c = _rater_comparisons(events, **pair_kw)
+    return c.groupBy("rater").agg(
+        F.count(F.lit(1)).alias("n_comparisons"),
+        F.sum("first_won").cast("bigint").alias("n_first_wins"),
+        F.round(
+            F.sum("first_won") / F.count(F.lit(1)), 6
+        ).alias("first_win_rate"),
+        F.round(
+            (2.0 * F.sum("first_won") - F.count(F.lit(1)))
+            / F.sqrt(F.count(F.lit(1))),
+            6,
+        ).alias("z_vs_null"),
+    )
+
+
+def position_bias_audit_oracle_sql() -> str:
+    """DuckDB twin of `position_bias_audit` over the `events` view."""
+    return f"""
+WITH {_COMPARISONS_CTE}
+SELECT rater,
+       count(*) AS n_comparisons,
+       CAST(sum(first_won) AS BIGINT) AS n_first_wins,
+       round(CAST(sum(first_won) AS DOUBLE) / count(*), 6) AS first_win_rate,
+       round((2.0 * sum(first_won) - count(*)) / sqrt(count(*)), 6) AS z_vs_null
+FROM comparisons
+GROUP BY 1
+"""
+
+
+def rater_agreement_kappa(events: DataFrame, **pair_kw) -> DataFrame:
+    """Per-rater Cohen's kappa against the majority verdict — the
+    inter-annotator-agreement audit of the preference battery: a
+    rater whose judgments agree with the pooled majority no more than
+    chance (kappa ~ 0) is adding noise to the reward data, however
+    high their raw agreement rate reads on skewed pairs.
+
+    Every judgment is binary-recoded as "chose the lexicographically
+    SMALLER item of the pair" so one category pair spans all item
+    pairs (the standard recoding that makes kappa well-defined across
+    heterogeneous pairs). The majority verdict per (small, big) item
+    pair pools ALL raters' judgments; ties break to the smaller item
+    (deterministic). Per rater: kappa = (p_o − p_e) / (1 − p_e) with
+    p_o their agreement rate vs the majority and p_e the chance
+    agreement of their marginal with the majority's marginal over the
+    pairs THEY judged; p_e = 1 (both marginals degenerate and equal)
+    returns kappa = 1.
+
+    Scale contract: the adjacency window + one groupBy on the
+    |items|²-bounded pair key (broadcast back to the N-sized judgment
+    stream) + one |raters|-bounded aggregate. Deterministic: all
+    inputs to the kappa expression are exact integer counts; the
+    expression is evaluated in the same literal shape on both
+    engines and rounded 6dp."""
+    c = _rater_comparisons(events, **pair_kw).select(
+        "rater",
+        F.least("winner", "loser").alias("small"),
+        F.greatest("winner", "loser").alias("big"),
+        (F.col("winner") == F.least("winner", "loser"))
+        .cast("int")
+        .alias("chose_small"),
+    )
+    maj = c.groupBy("small", "big").agg(
+        (2 * F.sum("chose_small") >= F.count(F.lit(1)))
+        .cast("int")
+        .alias("maj_small")
+    )
+    j = c.join(F.broadcast(maj), ["small", "big"])
+    agg = j.groupBy("rater").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("chose_small") == F.col("maj_small")).cast("int")).alias(
+            "n_agree"
+        ),
+        F.sum("chose_small").alias("n_small"),
+        F.sum("maj_small").alias("n_maj_small"),
+    )
+    po = F.col("n_agree") / F.col("n")
+    pr = F.col("n_small") / F.col("n")
+    pm = F.col("n_maj_small") / F.col("n")
+    pe = pr * pm + (1 - pr) * (1 - pm)
+    return agg.select(
+        "rater",
+        F.col("n").alias("n_judgments"),
+        F.col("n_agree").cast("bigint").alias("n_agree"),
+        F.round(po, 6).alias("agreement_rate"),
+        F.when(pe == 1.0, F.lit(1.0))
+        .otherwise(F.round((po - pe) / (1 - pe), 6))
+        .alias("kappa"),
+    )
+
+
+def rater_agreement_kappa_oracle_sql() -> str:
+    """DuckDB twin of `rater_agreement_kappa` over the `events` view —
+    the kappa expression is written in the same literal shape so the
+    IEEE double evaluation matches bit-for-bit before the 6dp round."""
+    return f"""
+WITH {_COMPARISONS_CTE},
+coded AS (
+  SELECT rater,
+         least(winner, loser) AS small,
+         greatest(winner, loser) AS big,
+         CASE WHEN winner = least(winner, loser) THEN 1 ELSE 0 END AS chose_small
+  FROM comparisons
+),
+maj AS (
+  SELECT small, big,
+         CASE WHEN 2 * sum(chose_small) >= count(*) THEN 1 ELSE 0 END AS maj_small
+  FROM coded GROUP BY 1, 2
+),
+agg AS (
+  SELECT rater,
+         count(*) AS n,
+         sum(CASE WHEN chose_small = maj_small THEN 1 ELSE 0 END) AS n_agree,
+         sum(chose_small) AS n_small,
+         sum(maj_small) AS n_maj_small
+  FROM coded JOIN maj USING (small, big)
+  GROUP BY 1
+)
+SELECT rater,
+       n AS n_judgments,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       round(CAST(n_agree AS DOUBLE) / n, 6) AS agreement_rate,
+       CASE WHEN (CAST(n_small AS DOUBLE) / n) * (CAST(n_maj_small AS DOUBLE) / n)
+                 + (1 - CAST(n_small AS DOUBLE) / n) * (1 - CAST(n_maj_small AS DOUBLE) / n) = 1.0
+            THEN 1.0
+            ELSE round(((CAST(n_agree AS DOUBLE) / n)
+                        - ((CAST(n_small AS DOUBLE) / n) * (CAST(n_maj_small AS DOUBLE) / n)
+                           + (1 - CAST(n_small AS DOUBLE) / n) * (1 - CAST(n_maj_small AS DOUBLE) / n)))
+                       / (1 - ((CAST(n_small AS DOUBLE) / n) * (CAST(n_maj_small AS DOUBLE) / n)
+                               + (1 - CAST(n_small AS DOUBLE) / n) * (1 - CAST(n_maj_small AS DOUBLE) / n))), 6)
+       END AS kappa
+FROM agg
+"""

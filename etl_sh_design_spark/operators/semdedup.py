@@ -313,6 +313,40 @@ def _cell_stats_gemm(assigned: DataFrame, tau: float, cap: int) -> DataFrame:
     )
 
 
+def _semdedup_assigned(
+    embeddings: DataFrame,
+    k: int,
+    iterations: int,
+    id_col: str,
+    vec_col: str,
+    max_mean_cell_rows: int,
+    gemm_min_product: int,
+    max_k: int,
+) -> tuple[DataFrame, bool]:
+    """The shared front half of the SemDeDup pipeline: size-measured
+    k dispatch + `iterations` Lloyd rounds. Returns (assigned, capped)
+    where `capped` says the max_k cap bit and the candidate horizon
+    applies downstream. The count() that drives the dispatch also
+    materializes the checkpoint every later stage reads — the probe is
+    not an extra pass over the data."""
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+    ).localCheckpoint(eager=False)
+    n = vecs.count()
+    k_grown = semdedup_effective_k(n, k, max_mean_cell_rows, max_k=0)
+    k = semdedup_effective_k(n, k, max_mean_cell_rows, max_k=max_k)
+    capped = k < k_grown  # the cap actually bit -> candidate horizon on
+    assign = _assign_gemm if n * k >= gemm_min_product > 0 else _assign
+    centroids = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c")
+    )
+    assigned = None
+    for _ in range(iterations):
+        assigned = assign(vecs, centroids)
+        centroids = _update(assigned).localCheckpoint(eager=False)
+    return assigned, capped
+
+
 def semantic_dedup_profile(
     embeddings: DataFrame,
     k: int = 8,
@@ -357,24 +391,10 @@ def semantic_dedup_profile(
     (kmeans._assign_gemm — the SemDeDup paper's own GEMM assignment,
     centroid-block-sharded so its footprint is flat in k), so every
     stage of the operator carries its scale mitigation in code."""
-    vecs = embeddings.select(
-        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
-    ).localCheckpoint(eager=False)
-    # the count() that drives the dispatch also materializes the
-    # checkpoint every later stage reads — the probe is not an extra
-    # pass over the data
-    n = vecs.count()
-    k_grown = semdedup_effective_k(n, k, max_mean_cell_rows, max_k=0)
-    k = semdedup_effective_k(n, k, max_mean_cell_rows, max_k=max_k)
-    capped = k < k_grown  # the cap actually bit -> candidate horizon on
-    assign = _assign_gemm if n * k >= gemm_min_product > 0 else _assign
-    centroids = vecs.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c")
+    assigned, capped = _semdedup_assigned(
+        embeddings, k, iterations, id_col, vec_col,
+        max_mean_cell_rows, gemm_min_product, max_k,
     )
-    assigned = None
-    for _ in range(iterations):
-        assigned = assign(vecs, centroids)
-        centroids = _update(assigned).localCheckpoint(eager=False)
     if capped:
         # capped regime: the pairwise stage runs as the vectorized
         # per-cell kernel with the candidate horizon — salted across
@@ -443,14 +463,11 @@ _KM_DIST = "round(list_sum(list_transform(range(1, len(v) + 1), i -> (v[i] - c[i
 _KM_EXPL = "unnest(list_transform(range(1, len(v) + 1), i -> {'idx': i, 'x': v[i]}))"
 
 
-def semdedup_oracle_sql(
-    vectors_cte: str, k: int = 8, tau: float = 0.999
-) -> str:
-    """DuckDB twin: two unrolled Lloyd rounds (identical CTE structure
-    to the kmeans_profile oracle) + the EXISTS-style removal self-join.
-    `vectors_cte` must yield (vec_id, v) with v already DOUBLE[]."""
-    return f"""
-WITH v AS ({vectors_cte}),
+def _semdedup_assign_ctes(vectors_cte: str, k: int) -> str:
+    """The two unrolled Lloyd rounds ending in the final assignment
+    CTE `a2(vec_id, v, cluster, dist)` — shared by the dedup oracle
+    and the horizon audit oracle."""
+    return f"""v AS ({vectors_cte}),
 c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS c FROM v WHERE vec_id < {k}),
 d1 AS (SELECT vec_id, v, cluster, {_KM_DIST} AS dist FROM v CROSS JOIN c0),
 a1 AS (SELECT vec_id, v, cluster, dist FROM
@@ -462,7 +479,17 @@ c1 AS (SELECT cluster, list(x ORDER BY idx) AS c FROM m1 GROUP BY 1),
 d2 AS (SELECT vec_id, v, cluster, {_KM_DIST} AS dist FROM v CROSS JOIN c1),
 a2 AS (SELECT vec_id, v, cluster, dist FROM
         (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d2)
-       WHERE rn = 1),
+       WHERE rn = 1)"""
+
+
+def semdedup_oracle_sql(
+    vectors_cte: str, k: int = 8, tau: float = 0.999
+) -> str:
+    """DuckDB twin: two unrolled Lloyd rounds (identical CTE structure
+    to the kmeans_profile oracle) + the EXISTS-style removal self-join.
+    `vectors_cte` must yield (vec_id, v) with v already DOUBLE[]."""
+    return f"""
+WITH {_semdedup_assign_ctes(vectors_cte, k)},
 mem AS (SELECT vec_id, v, cluster, dist,
                sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
         FROM a2),
@@ -480,4 +507,80 @@ SELECT m.cluster,
        FALSE AS capped
 FROM mem m LEFT JOIN rem ON rem.vec_id = m.vec_id
 GROUP BY m.cluster
+"""
+
+
+def semdedup_horizon_audit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_mean_cell_rows: int = SEMDEDUP_MAX_MEAN_CELL_ROWS,
+    gemm_min_product: int = GEMM_ASSIGN_MIN_ROWS_X_CELLS,
+    max_k: int = SEMDEDUP_MAX_K,
+    candidate_cap: int = SEMDEDUP_CANDIDATE_CAP,
+) -> DataFrame:
+    """Per-cell candidate-horizon saturation signal — the SemDeDup
+    twin of pq_shortlist_audit (round 12, closes VERDICT r11 next #3):
+    the capped regime bounds each cell's pairwise stage to its top
+    `candidate_cap` keep-ranked members, a horizon that MISSES
+    removals once a cell outgrows it (measured: CAP=2000 keeps 87% of
+    the full-horizon removal set at the 100x corpus, CAP=1000 only
+    43% — SCALE.md). Nothing in the dedup output said WHERE that cost
+    lands; this audit does, per cell:
+
+    - n_members          — cell size after the shipped assignment
+                           dispatch (grow-k + cap, same as the dedup);
+    - n_in_horizon       — members the pairwise stage will actually
+                           consider as removal candidates
+                           (min(n_members, cap) in the capped regime,
+                           n_members in the exact regime);
+    - horizon_saturated  — 1 iff the capped regime is active AND the
+                           cell outgrew the horizon: removals in this
+                           cell may be missed, size candidate_cap up
+                           (or k/max_k) if the flag fires on cells
+                           that matter;
+    - capped             — the regime marker (same column the dedup
+                           output carries since round 12).
+
+    Scale contract: assignment only — the audit never runs the
+    pairwise stage, so it costs one grow-k Lloyd assignment
+    (GEMM-dispatched like the dedup) + one |cells|-sized groupBy at
+    any corpus size."""
+    assigned, capped = _semdedup_assigned(
+        embeddings, k, iterations, id_col, vec_col,
+        max_mean_cell_rows, gemm_min_product, max_k,
+    )
+    n = F.count(F.lit(1))
+    in_horizon = (
+        F.least(n, F.lit(candidate_cap)) if capped and candidate_cap > 0 else n
+    )
+    saturated = (
+        (n > F.lit(candidate_cap)).cast("int")
+        if capped and candidate_cap > 0
+        else F.lit(0)
+    )
+    return assigned.groupBy("cluster").agg(
+        n.alias("n_members"),
+        in_horizon.cast("bigint").alias("n_in_horizon"),
+        saturated.alias("horizon_saturated"),
+        F.lit(capped).alias("capped"),
+    )
+
+
+def semdedup_horizon_audit_oracle_sql(vectors_cte: str, k: int = 8) -> str:
+    """DuckDB twin of `semdedup_horizon_audit` for the EXACT regime —
+    the registry corpus sits below the capped switch point (same
+    argument as the semantic_dedup oracle), so n_in_horizon equals
+    n_members and both flags are constants; the capped columns are
+    pinned by forced-regime goldens instead (tests/test_r12.py)."""
+    return f"""
+WITH {_semdedup_assign_ctes(vectors_cte, k)}
+SELECT cluster,
+       count(*) AS n_members,
+       count(*) AS n_in_horizon,
+       CAST(0 AS INT) AS horizon_saturated,
+       FALSE AS capped
+FROM a2 GROUP BY 1
 """

@@ -656,6 +656,7 @@ def _load_extensions() -> None:
         registry_r9,
         registry_r10,
         registry_r11,
+        registry_r12,
         registry_tiling,
         registry_wide,
     )

@@ -1,0 +1,131 @@
+"""Round-12 extension registry: closing the loops the round-11
+verdict left open.
+
+1. `pq_rerank_auto` / `ivfpq_rerank_auto` — the auto-R re-rank path
+   (VERDICT r11 next #2): shortlist admission by ADC VALUE
+   (rank()-with-ties) instead of row position, so the shortlist sizes
+   itself to the tie-class depth the r11 audits report — no hand-set
+   R — with a fail-loud `max_auto_r` guard fused into the plan.
+   Golden (tests/test_r12.py): recall 1.00 on the clustered
+   depth-10k-class fixture at the default floor, where the fixed-R
+   path measured recall collapse in round 10.
+
+2. `semdedup_horizon_audit` — the SemDeDup observability twin of the
+   PQ shortlist audit (VERDICT r11 next #3): per-cell members,
+   removal candidates in-horizon, and a `horizon_saturated` flag so a
+   user can see when SEMDEDUP_CANDIDATE_CAP starts costing removal
+   recall on THEIR corpus instead of trusting the shipped curve.
+
+3. `position_bias_audit` / `rater_agreement_kappa` — the RLHF
+   preference battery around `bradley_terry_strengths` (VERDICT r11
+   stretch #7): first-position win rate vs the 50% null, and
+   per-rater Cohen's kappa against the majority verdict. Both
+   relational and bounded by |raters| / one scalar, never
+   stream-sized state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_sh_design_spark.operators.pq import (
+    ivfpq_rerank_auto_oracle_sql,
+    ivfpq_rerank_topk,
+    pq_rerank_auto_oracle_sql,
+    pq_rerank_topk,
+)
+from etl_sh_design_spark.registry import _t, query
+
+_AR_K = 5
+_AR_FLOOR = 50  # same floor as the fixed-R registry entries
+_AR_NQ = 10
+
+
+@query(
+    "pq_rerank_auto",
+    pq_rerank_auto_oracle_sql(k=_AR_K, shortlist=_AR_FLOOR, n_queries=_AR_NQ),
+)
+def q_pq_rerank_auto(spark, sf_dir):
+    """PQ shortlist + exact re-rank with tie-class-covering (auto-R)
+    admission: rank() over ADC value admits every candidate tied at
+    the rank-50 bar, so on clustered corpora the shortlist grows to
+    the tie-class depth with no hand-set R (operators/pq.py
+    `_auto_r_candidates`; fail-loud past max_auto_r)."""
+    return pq_rerank_topk(
+        _t(spark, sf_dir, "embeddings"),
+        k=_AR_K,
+        shortlist=_AR_FLOOR,
+        n_queries=_AR_NQ,
+        auto_r=True,
+    )
+
+
+@query(
+    "ivfpq_rerank_auto",
+    ivfpq_rerank_auto_oracle_sql(
+        k=_AR_K, shortlist=_AR_FLOOR, n_queries=_AR_NQ, nprobe=2
+    ),
+)
+def q_ivfpq_rerank_auto(spark, sf_dir):
+    """The IVF-PQ twin: auto-R admission over the PROBED-cells ADC
+    set (nprobe=2), then exact re-rank."""
+    return ivfpq_rerank_topk(
+        _t(spark, sf_dir, "embeddings"),
+        k=_AR_K,
+        shortlist=_AR_FLOOR,
+        n_queries=_AR_NQ,
+        nprobe=2,
+        auto_r=True,
+    )
+
+
+# --------------------------------------- semdedup horizon audit
+from etl_sh_design_spark.operators.semdedup import (  # noqa: E402
+    semdedup_horizon_audit,
+    semdedup_horizon_audit_oracle_sql,
+)
+from etl_sh_design_spark.registry_r5 import _SEMD_VECS_DUCK  # noqa: E402
+
+
+@query(
+    "semdedup_horizon_audit",
+    semdedup_horizon_audit_oracle_sql(_SEMD_VECS_DUCK, k=8),
+)
+def q_semdedup_horizon_audit(spark, sf_dir):
+    """Per-cell candidate-horizon saturation for the SAME injected
+    corpus semantic_dedup runs on (operator docstring): n_members /
+    n_in_horizon / horizon_saturated / the capped regime marker, so a
+    user sizes SEMDEDUP_CANDIDATE_CAP from data, not the shipped
+    curve. Assignment-only — never runs the pairwise stage."""
+    e = _t(spark, sf_dir, "embeddings")
+    dup = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    inj = e.select("vec_id", "embedding").unionByName(dup)
+    return semdedup_horizon_audit(inj, k=8, iterations=2)
+
+
+# ------------------------------------ RLHF preference battery (stretch)
+from etl_sh_design_spark.operators.preference import (  # noqa: E402
+    position_bias_audit,
+    position_bias_audit_oracle_sql,
+    rater_agreement_kappa,
+    rater_agreement_kappa_oracle_sql,
+)
+
+
+@query("position_bias_audit", position_bias_audit_oracle_sql())
+def q_position_bias_audit(spark, sf_dir):
+    """Per-rater first-position win rate vs the Binomial(n, 0.5) null
+    over the SAME comparison stream bradley_terry_strengths consumes
+    (operator docstring): the annotation-quality audit that catches
+    raters injecting position, not preference, into reward data."""
+    return position_bias_audit(_t(spark, sf_dir, "events"))
+
+
+@query("rater_agreement_kappa", rater_agreement_kappa_oracle_sql())
+def q_rater_agreement_kappa(spark, sf_dir):
+    """Per-rater Cohen's kappa against the pooled majority verdict
+    (binary-recoded across item pairs; operator docstring) — the
+    inter-annotator agreement audit of the preference battery."""
+    return rater_agreement_kappa(_t(spark, sf_dir, "events"))

@@ -1,0 +1,289 @@
+"""Round-12 goldens: the auto-R (tie-class-covering) re-rank path,
+its fail-loud bound, and forced-path parity for the new size-measured
+join dispatches in the MinHash/ngram dedup family."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+# ------------------------------------------------------------- auto-R
+def test_auto_r_restores_recall_with_no_hand_set_r(spark, tmp_path):
+    """The VERDICT r11 closure contract: on the clustered fixture at
+    depth 1k — the tie-dominated regime where round 10 measured
+    fixed-R recall collapse and round 11 made it observable —
+    pq_rerank_topk(auto_r=True) must reach recall 1.00 at a floor of
+    20 with NO hand-set R, because rank()-with-ties admission grows
+    the shortlist to the full ADC tie class. The fixed-R path at the
+    same floor must still lose truth (the failure auto-R closes).
+    Measured at all three decades by `recall_at_scale.py --auto-r`:
+    0.96 / 1.00 / 1.00 at depths 100/1k/10k — the depth-100 miss is
+    ADC boundary blur (a true neighbor encoding OUTSIDE the query's
+    tie class), which no R-sizing rule can recover and deepening
+    clusters wash out; tie slicing, the failure auto-R exists for, is
+    fully closed."""
+    import numpy as np
+
+    from etl_sh_design_spark.operators.pq import pq_rerank_topk
+    from tools.scale_probe import build_clustered_embeddings
+
+    out = str(tmp_path / "clustered")
+    build_clustered_embeddings(spark, out, n_rows=20_000)
+    emb = spark.read.parquet(out + "/embeddings.parquet")
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype="float64")
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+
+    def exact_top3(q):
+        d = np.round(((V - V[q]) ** 2).sum(axis=1), 6)
+        cand = sorted((dd, int(i)) for dd, i in zip(d, ids) if i != q)
+        return {i for _, i in cand[:3]}
+
+    def recall(**kw):
+        got = {}
+        for r in pq_rerank_topk(
+            emb, k=3, shortlist=20, n_queries=5, **kw
+        ).collect():
+            got.setdefault(r["qid"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(q, set()) & exact_top3(q)) for q in range(5)) / 15.0
+
+    assert recall(auto_r=True) == 1.0  # no hand-set R
+    assert recall() < 1.0  # fixed R=20 still slices the tie class
+
+
+def test_auto_r_fail_loud_past_max_auto_r(spark, tmp_path):
+    """A pathological tie class larger than max_auto_r must RAISE
+    (the when(raise_error) guard is fused into the id projection), not
+    silently shuffle a corpus-sized shortlist into the re-rank."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    from etl_sh_design_spark.operators.pq import pq_rerank_topk
+    from tools.scale_probe import build_clustered_embeddings
+
+    out = str(tmp_path / "clustered")
+    build_clustered_embeddings(spark, out, n_rows=2000)
+    emb = spark.read.parquet(out + "/embeddings.parquet")
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)) as ei:
+        pq_rerank_topk(
+            emb, k=3, shortlist=20, n_queries=5, auto_r=True, max_auto_r=50
+        ).collect()
+    assert "max_auto_r" in str(ei.value)
+
+
+def test_auto_r_equals_fixed_r_without_ties(spark):
+    """On the shipped near-isotropic corpus the rank-50 bar falls in a
+    tie class of depth 1 for every query (the r11 audit golden pins
+    shortlist_saturated == 0), so auto-R admission and the fixed-R
+    row_number slice admit the same set and the re-ranked top-k is
+    identical — auto_r changes nothing when the data has no tie
+    pathology."""
+    from etl_sh_design_spark.operators.pq import (
+        ivfpq_rerank_topk,
+        pq_rerank_topk,
+    )
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    fixed = sorted(
+        tuple(r)
+        for r in pq_rerank_topk(emb, k=5, shortlist=50, n_queries=10).collect()
+    )
+    auto = sorted(
+        tuple(r)
+        for r in pq_rerank_topk(
+            emb, k=5, shortlist=50, n_queries=10, auto_r=True
+        ).collect()
+    )
+    assert fixed == auto
+    fixed = sorted(
+        tuple(r)
+        for r in ivfpq_rerank_topk(
+            emb, k=5, shortlist=50, n_queries=10, nprobe=2
+        ).collect()
+    )
+    auto = sorted(
+        tuple(r)
+        for r in ivfpq_rerank_topk(
+            emb, k=5, shortlist=50, n_queries=10, nprobe=2, auto_r=True
+        ).collect()
+    )
+    assert fixed == auto
+
+
+# ------------------------- dedup family size-dispatched joins (100x fix)
+def test_minhash_wide_forced_shuffle_parity(spark):
+    """The vocabulary-join dispatch (DEDUP_SIDE_BROADCAST_MAX_ROWS,
+    added after the round-12 --ngram-100x probe measured the
+    stats-driven broadcast aborting at driver maxResultSize on the
+    100x corpus): forcing the shuffle path (bound=0) must be
+    bit-identical to the broadcast path — join strategy only."""
+    from etl_sh_design_spark.operators.dedup import minhash_signatures_wide
+
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bcast = sorted(
+        (r["doc_id"], tuple(r["sig"]))
+        for r in minhash_signatures_wide(docs).collect()
+    )
+    shuf = sorted(
+        (r["doc_id"], tuple(r["sig"]))
+        for r in minhash_signatures_wide(
+            docs, vocab_broadcast_max_rows=0
+        ).collect()
+    )
+    assert bcast == shuf
+    assert len(bcast) > 0
+
+
+def test_ngram_jaccard_forced_shuffle_parity(spark):
+    """Same contract for ngram_jaccard_pairs' cold-key and doc-size
+    joins: bound=0 (all three side joins forced to shuffle) must
+    reproduce the default result exactly."""
+    from etl_sh_design_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # inject exact near-dups so the pair set is non-trivial
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    dflt = sorted(tuple(r) for r in ngram_jaccard_pairs(corpus).collect())
+    shuf = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(corpus, side_broadcast_max_rows=0).collect()
+    )
+    assert dflt == shuf
+    assert len(dflt) > 0
+
+
+# --------------------------------------------- semdedup horizon audit
+def test_semdedup_horizon_audit_regimes(spark):
+    """The audit's contract (VERDICT r11 next #3): in the exact
+    regime every cell reads n_in_horizon == n_members, flag 0,
+    capped False; forcing the capped regime (same dispatch overrides
+    as the r11 parity goldens) flags exactly the cells that outgrew
+    the candidate horizon, with n_in_horizon clamped to the cap; and
+    the membership it reports is the SAME membership the dedup
+    reports (assignment is shared code)."""
+    from pyspark.sql import functions as F
+
+    from etl_sh_design_spark.operators.semdedup import (
+        semantic_dedup_profile,
+        semdedup_horizon_audit,
+    )
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    inj = emb.select("vec_id", "embedding").unionByName(dup)
+
+    exact = semdedup_horizon_audit(inj, k=8).collect()
+    assert len(exact) == 8
+    for r in exact:
+        assert r["capped"] is False
+        assert r["horizon_saturated"] == 0
+        assert r["n_in_horizon"] == r["n_members"]
+
+    cap = 40
+    capped = semdedup_horizon_audit(
+        inj, k=2, max_mean_cell_rows=30, max_k=5, candidate_cap=cap
+    ).collect()
+    assert {r["capped"] for r in capped} == {True}
+    assert any(r["horizon_saturated"] == 1 for r in capped)
+    for r in capped:
+        assert r["horizon_saturated"] == int(r["n_members"] > cap)
+        assert r["n_in_horizon"] == min(r["n_members"], cap)
+
+    # membership parity with the dedup under the same forced regime
+    prof = {
+        r["cluster"]: r["n_members"]
+        for r in semantic_dedup_profile(
+            inj, k=2, max_mean_cell_rows=30, max_k=5, candidate_cap=cap
+        ).collect()
+    }
+    assert {r["cluster"]: r["n_members"] for r in capped} == prof
+
+
+# ---------------------------------------------- preference battery
+def _pref_events(spark):
+    """Three raters over the pair (A, B), crafted so every adjacent
+    pair is a comparison: u1 judges A-beats-B twice, u2 splits, u3
+    judges B-beats-A twice. Pooled chose-smaller count is 3/6 — a
+    TIE, exercising the deterministic smaller-item tie-break."""
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, 1, 1, "A", 0.0), (2, 2, 1, "B", -1.0), (3, 3, 1, "A", 2.0),
+        (4, 1, 2, "A", 2.0), (5, 2, 2, "B", 3.0), (6, 3, 2, "A", 4.0),
+        (7, 1, 3, "A", 2.0), (8, 2, 3, "B", 3.0), (9, 3, 3, "A", 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+
+
+def test_rater_agreement_kappa_hand_case(spark):
+    """u1 (always with the majority): kappa 1 via the degenerate-
+    marginals branch; u2 (one each): p_o = p_e = 0.5 -> kappa 0;
+    u3 (always against): opposite marginals -> p_e = 0 -> kappa 0.
+    Majority is 'A' on a 3/6 pooled tie (smaller-item tie-break)."""
+    from etl_sh_design_spark.operators.preference import rater_agreement_kappa
+
+    out = {
+        r["rater"]: r
+        for r in rater_agreement_kappa(_pref_events(spark)).collect()
+    }
+    assert len(out) == 3
+    assert (out[1]["n_judgments"], out[1]["n_agree"], out[1]["kappa"]) == (2, 2, 1.0)
+    assert (out[2]["n_judgments"], out[2]["n_agree"], out[2]["kappa"]) == (2, 1, 0.0)
+    assert (out[3]["n_judgments"], out[3]["n_agree"], out[3]["kappa"]) == (2, 0, 0.0)
+    assert out[1]["agreement_rate"] == 1.0
+    assert out[2]["agreement_rate"] == 0.5
+    assert out[3]["agreement_rate"] == 0.0
+
+
+def test_position_bias_audit_hand_case(spark):
+    """u1: first position won 1 of 2 (rate 0.5, z 0); u2: 0 of 2
+    (z = -sqrt(2)); u3: 1 of 2. Counts integer-exact, z at 6dp."""
+    from etl_sh_design_spark.operators.preference import position_bias_audit
+
+    out = {
+        r["rater"]: r for r in position_bias_audit(_pref_events(spark)).collect()
+    }
+    assert len(out) == 3
+    assert (out[1]["n_comparisons"], out[1]["n_first_wins"]) == (2, 1)
+    assert out[1]["z_vs_null"] == 0.0
+    assert (out[2]["n_comparisons"], out[2]["n_first_wins"]) == (2, 0)
+    assert out[2]["z_vs_null"] == -1.414214
+    assert (out[3]["n_comparisons"], out[3]["n_first_wins"]) == (2, 1)
+    assert out[3]["first_win_rate"] == 0.5
+
+
+def test_preference_pairs_consistency_with_bt_stream(spark):
+    """The battery's rater-attributed comparison stream must be the
+    SAME stream bradley_terry_strengths consumes: same count, same
+    (winner, loser) multiset — the audits audit the data the model
+    actually fits."""
+    from etl_sh_design_spark.operators.preference import (
+        _rater_comparisons,
+        preference_pairs,
+    )
+
+    ev = _pref_events(spark)
+    bt = sorted(
+        (r["winner"], r["loser"]) for r in preference_pairs(ev).collect()
+    )
+    rc = sorted(
+        (r["winner"], r["loser"]) for r in _rater_comparisons(ev).collect()
+    )
+    assert bt == rc and len(bt) == 6

@@ -194,6 +194,39 @@ def main() -> None:
     spark = get_spark(app_name="recall_at_scale")
     spark.sparkContext.setLogLevel("ERROR")
 
+    if "--auto-r" in sys.argv:
+        # round 12 (VERDICT r11 next #2 closure): the auto-R re-rank
+        # path on the clustered decades — recall with NO hand-set R.
+        # rank()-with-ties admission covers the ADC tie class at the
+        # default floor, so the rows that needed hand-sized R=12000 in
+        # round 11 must read 1.00 here with the floor untouched.
+        from pyspark.sql import functions as F
+
+        from etl_sh_design_spark.operators.pq import pq_rerank_topk
+
+        build_clustered_embeddings(spark, CLUSTERED_1X, n_rows=2_000)
+        build_clustered_embeddings(spark, CLUSTERED_10X, n_rows=20_000)
+        build_clustered_embeddings(spark, CLUSTERED_100X, n_rows=200_000)
+        print("\n| corpus | wall s | auto-R mean recall@5 (L2 truth) |")
+        print("|---|---|---|")
+        for label, sf_dir in (
+            ("clustered 1x (2k, depth 100)", CLUSTERED_1X),
+            ("clustered 10x (20k, depth 1k)", CLUSTERED_10X),
+            ("clustered 100x (200k, depth 10k)", CLUSTERED_100X),
+        ):
+            e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            exact = _exact_l2_topk(spark, sf_dir, 5, 10)
+            total = exact.count()
+            t0 = time.perf_counter()
+            rr = pq_rerank_topk(
+                e, k=5, n_queries=10, auto_r=True, max_auto_r=500_000
+            ).select("qid", F.col("neighbor_id").alias("vec_id"))
+            hits = exact.join(rr, ["qid", "vec_id"], "left_semi").count()
+            dt = round(time.perf_counter() - t0, 1)
+            print(f"| {label} | {dt} | {round(hits / total, 3)} |")
+            spark.catalog.clearCache()
+        return
+
     pq_100x = "--pq-100x" in sys.argv
     if pq_only or pq_100x:
         # clustered PQ/IVF-PQ rows alone (the r10 addition) — the

@@ -379,6 +379,36 @@ def main() -> None:
         )
         return
 
+    if "--semdedup-cap-curve" in sys.argv:
+        # CAP-vs-removal-recall curve on the 100x corpus (VERDICT r11
+        # next #3): what semdedup_horizon_audit lets users reproduce —
+        # removals kept at each candidate horizon vs the full horizon.
+        from pyspark.sql import functions as F
+
+        from etl_sh_design_spark.operators.semdedup import (
+            semantic_dedup_profile,
+        )
+
+        build_10x_embeddings(spark)
+        build_100x_embeddings(spark)
+        e = spark.read.parquet(f"{SF100X}/embeddings.parquet")
+        dup = e.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 100_000_000).alias("vec_id"), "embedding"
+        )
+        inj = e.select("vec_id", "embedding").unionByName(dup)
+        print("\n| candidate_cap | n_removed | wall s |")
+        print("|---|---|---|")
+        for cap in (2_000, 4_096, 8_192):
+            t0 = time.perf_counter()
+            removed = (
+                semantic_dedup_profile(inj, k=8, iterations=2, candidate_cap=cap)
+                .agg(F.sum("n_removed"))
+                .collect()[0][0]
+            )
+            print(f"| {cap} | {removed} | {time.perf_counter() - t0:.1f} |")
+            spark.catalog.clearCache()
+        return
+
     if "--events-100x" in sys.argv:
         # window/stateful family two decades deep (round 11): user
         # population x100, per-user series length fixed — the regime
@@ -402,6 +432,131 @@ def main() -> None:
                 name,
                 [("1x", run(SF01)), ("10x", run(SF10X)), ("100x", run(SF100X))],
             )
+        return
+
+    if "--ngram-100x" in sys.argv:
+        # MinHash/ngram text-dedup family two decades deep (VERDICT
+        # r11 next #1 — the operators a 100 TB text pipeline runs
+        # FIRST, previously argued from the 10x row alone). Corpus:
+        # the permuted 100x documents (build_100x_docs) — copies are
+        # shingle-disjoint, so the near-dup structure repeats 100x
+        # while the corpus grows by entities, the regime a real text
+        # corpus grows in. Three measurements per decade:
+        #   - minhash_family_build: the memoized signatures -> banded
+        #     LSH join -> est-filtered distinct pairs materialization
+        #     (what dedup_family_shared_subplan owns in bench.py)
+        #   - ngram_jaccard_neardup: the exact-Jaccard quadratic path
+        #     with its max_shingle_freq=1000 skew cap
+        #   - candidate/occupancy stats: in-bucket candidate volume
+        #     (sum C(occ,2) per (band,key)), max bucket occupancy and
+        #     the hot-shingle join volume (sum C(freq,2) over cold
+        #     shingles) — the quantities whose growth rate, not the
+        #     wall clock, says whether banding survives the decade
+        from pyspark.sql import functions as F
+
+        from etl_sh_design_spark.operators.dedup import (
+            md5_int64,
+            minhash_signatures_wide,
+            word_shingles,
+        )
+        from etl_sh_design_spark.registry_ext import _corpus_mutated
+
+        build_10x(spark)
+        build_100x_docs(spark)
+        spark.read.parquet(f"{SF01}/documents.parquet").count()  # warm
+
+        def fam(sf_dir):
+            def run():
+                # un-memoized on purpose: each decade pays the full
+                # signature + band-join + distinct pipeline
+                from etl_sh_design_spark.operators.dedup import minhash_lsh_pairs
+
+                sig = minhash_signatures_wide(
+                    _corpus_mutated(spark, sf_dir), k=16, n=3
+                ).localCheckpoint(eager=False)
+                minhash_lsh_pairs(
+                    _corpus_mutated(spark, sf_dir), sig=sig
+                ).write.format("noop").mode("overwrite").save()
+
+            return run
+
+        def ngram(sf_dir):
+            fn = registry.queries()["ngram_jaccard_neardup"]
+            return lambda: fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        _decade_probe(
+            spark,
+            "minhash_family_build (sigs+LSH pairs)",
+            [("1x", fam(SF01)), ("10x", fam(SF10X)), ("100x", fam(SF100X))],
+        )
+        _decade_probe(
+            spark,
+            "ngram_jaccard_neardup",
+            [("1x", ngram(SF01)), ("10x", ngram(SF10X)), ("100x", ngram(SF100X))],
+        )
+
+        # occupancy/candidate-volume stats per decade (aggregates only
+        # — no pair materialization, so this is cheap even at 100x)
+        print(
+            "\n| scale | docs | band buckets>1 | max bucket occ | "
+            "banded cand pairs | top-bucket share | cold-shingle join rows | "
+            "hot shingles dropped |"
+        )
+        print("|---|---|---|---|---|---|---|---|")
+        for scale, sf_dir in (("1x", SF01), ("10x", SF10X), ("100x", SF100X)):
+            corpus = _corpus_mutated(spark, sf_dir)
+            n_docs = corpus.count()
+            sig = minhash_signatures_wide(corpus, k=16, n=3)
+            bands = sig.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[i].cast("string")
+                                    for i in range(j * 4, (j + 1) * 4)
+                                ],
+                            )
+                            for j in range(4)
+                        ]
+                    )
+                ).alias("band", "key")
+            )
+            occ = bands.groupBy("band", "key").agg(
+                F.count(F.lit(1)).alias("occ")
+            )
+            stats = occ.filter(F.col("occ") > 1).agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.max("occ").alias("max_occ"),
+                F.sum(F.expr("occ * (occ - 1) / 2")).alias("cand"),
+                F.max(F.expr("occ * (occ - 1) / 2")).alias("top_cand"),
+            ).collect()[0]
+            sh = word_shingles(corpus, "doc_id", "text", 3).select(
+                "doc_id", md5_int64(F.col("shingle")).alias("shingle")
+            )
+            freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+            jrows = freq.agg(
+                F.sum(
+                    F.when(
+                        F.col("freq") <= 1000,
+                        F.expr("freq * (freq - 1) / 2"),
+                    ).otherwise(F.lit(0))
+                ).alias("join_rows"),
+                F.sum((F.col("freq") > 1000).cast("int")).alias("n_hot"),
+            ).collect()[0]
+            share = (
+                stats["top_cand"] / stats["cand"] if stats["cand"] else 0.0
+            )
+            print(
+                f"| {scale} | {n_docs} | {stats['n_buckets']} | "
+                f"{stats['max_occ']} | {int(stats['cand'])} | "
+                f"{share:.3f} | {int(jrows['join_rows'])} | "
+                f"{jrows['n_hot']} |"
+            )
+            spark.catalog.clearCache()
         return
 
     if "--line-100x" in sys.argv:
