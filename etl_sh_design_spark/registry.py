@@ -543,82 +543,89 @@ def q_mirror_union(spark, sf_dir):
 # vs DuckDB with a dtype-class parity check matching the driver's
 # hasher).
 _DRIVER_WINDOW_PRIORITY = [
-    # --- round-11 NEW queries: first driver signal ---
-    "pq_shortlist_audit",
-    "ivfpq_shortlist_audit",
-    "phash_image_neardup",
-    "bradley_terry_strengths",
-    # --- round-11 code-touched queries: re-green first ---
-    # semantic_dedup: the capped-k rung (SEMDEDUP_MAX_K + per-cell
-    # pairwise kernel + sharded GEMM, operators/semdedup.py/kmeans.py)
-    # pq_ann_topk / pq_rerank_topk / pq_recall_audit: pq_topk's body
-    # was refactored through _pq_adc (operators/pq.py)
+    # --- round-12 NEW queries: first driver signal ---
+    "pq_rerank_auto",
+    "ivfpq_rerank_auto",
+    "semdedup_horizon_audit",
+    "position_bias_audit",
+    "rater_agreement_kappa",
+    # --- round-12 code-touched queries: re-green first ---
+    # semantic_dedup: `capped` regime column added to the profile
+    # output (operators/semdedup.py + oracle tail).
+    # pq_rerank_topk / ivfpq_rerank_topk: auto_r branch added.
+    # phash_image_neardup: pigeonhole guard assert -> ValueError.
+    # The whole MinHash/ngram family: the vocabulary / cold-key /
+    # doc-size joins became size-measured dispatches
+    # (DEDUP_SIDE_BROADCAST_MAX_ROWS, after the --ngram-100x probe
+    # measured the stats-driven broadcast aborting at the 100x
+    # corpus) — every query consuming minhash_signatures_wide /
+    # dedup_lsh_pairs / dedup_components / ngram_jaccard_pairs
+    # re-greens.
     "semantic_dedup",
-    "pq_ann_topk",
     "pq_rerank_topk",
-    "pq_recall_audit",
-    # --- oldest-signal refresh: the COMPLETE last-green-r5 remainder
-    # (16, re-queued as promised in the r10 rationale) ---
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "quantile_sketch_events",
-    "rank_distribution_orders",
-    "regression_stats",
-    "sequence_packing",
-    "source_token_kl",
-    "span_trim_audit",
-    "stratified_sample_customers",
-    "token_budget_selection",
-    "token_frequency_scores",
-    "training_shard_manifest",
-    "vocab_coverage",
-    "weighted_sample_docs",
-    "window_frames_orders",
-    # --- the COMPLETE last-green-r6 cohort (11) ---
-    "bandwidth_totals",
-    "bv_greedy_groups",
-    "bv_zone_counts",
-    "efficiency_returns",
-    "hit_count_histogram",
-    "knn_label_accuracy_stratified",
-    "mod_partition_totals",
-    "module_rollup",
-    "occupancy_summary",
-    "real_export_centers_check",
-    "ring_classification",
-    # --- then the first 15 of the last-green-r7 cohort (alphabetical) ---
-    "acceptance_multi_variant",
-    "acceptance_profile",
-    "bv_config_search",
-    "bv_totals",
-    "class_separation",
+    "ivfpq_rerank_topk",
+    "phash_image_neardup",
+    "minhash_lsh_neardup",
+    "ngram_jaccard_neardup",
     "dedup_clusters",
-    "dedup_exact",
-    "embedding_neardup",
-    "hll_distinct_sketch",
+    "dedup_keep_best",
+    "dedup_size_histogram",
+    "lsh_band_tuning",
+    "lsh_recall_eval",
+    "minhash_estimate_error",
     "incremental_refresh_pipeline",
-    "intersect_customers",
-    "j9_run_comparison",
-    "keep_rate_ab_test",
-    "kmeans_profile",
-    "knn_label_accuracy",
+    "incremental_neardup",
+    "leakage_safe_split",
+    "dedup_soft_weights",
+    # --- oldest-signal refresh: the COMPLETE last-green-r7 remainder
+    # (23 after the 4 code-touched overlaps above; VERDICT r11 next
+    # #5 promised the full 27-query cohort this round) ---
+    "lpa_communities",
+    "mad_outliers_events",
+    "q10_returned_revenue",
+    "quality_calibration_sources",
+    "quality_psi_drift",
+    "real_acceptance_profile",
+    "real_bv_study",
+    "real_face_physics",
+    "real_module_rows",
+    "real_occupancy_bandwidth",
+    "real_partition_flavors",
+    "real_tdr_hit_histogram",
+    "sensor_corners",
+    "sensor_physics",
+    "simhash_docs",
+    "simhash_neardup",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "similarity_topk",
+    "skew_report_events",
+    "so3_set_equality",
+    "stats_summary",
+    "zipf_slope_sources",
+    # --- then the first 6 of the last-green-r8 cohort (alphabetical,
+    # skipping dedup_soft_weights which is code-touched above) ---
+    "acceptance_multi_variant_hist",
+    "ann_multiprobe_recall",
+    "bigram_lm_perplexity",
+    "bm25_topk",
+    "boards_rollup",
+    "bpe_token_counts",
 ]
-# Round-11 window rationale (invariant: a query whose CODE changed
-# this round is always in-window — zero rotation debt): the 4 NEW r11
-# queries (registry_r11: pq_shortlist_audit, ivfpq_shortlist_audit,
-# phash_image_neardup, bradley_terry_strengths) and the 4
-# code-touched queries front the window, then the
-# oldest-driver-signal refresh computed FROM CORRECTNESS_r01..r10
-# last-green rounds — the COMPLETE last-green-r5 remainder (16,
-# re-queued as promised in the r10 rationale; VERDICT r10 missing #3)
-# and the COMPLETE last-green-r6 cohort (11), then the first 15 of
-# the last-green-r7 cohort (alphabetical), landing at EXACTLY 50.
-# The r7 remainder (27, from lpa_communities on) plus the r8+ cohorts
-# queue for r12+; every query is replayed each session by the local
-# dtype-hardened gate regardless (tests/test_driver_contract.py).
-
-
+# Round-12 window rationale (invariant: a query whose CODE changed
+# this round is always in-window — zero rotation debt): the 5 NEW r12
+# queries (registry_r12) and the 16 code-touched queries front the
+# window — the MinHash/ngram family is 12 of those because the
+# round's headline scale fix (size-dispatched side joins after the
+# --ngram-100x broadcast failure) sits under every consumer of the
+# shared signature/pair/component sub-plans. Then the COMPLETE
+# last-green-r7 remainder (23; the r11 verdict's item #5 asked for
+# the whole 27-query cohort — 4 of them are code-touched and front
+# the window instead), then the first 6 of the last-green-r8 cohort
+# (alphabetical), landing at EXACTLY 50. The r8 remainder (40) plus
+# r9+ cohorts queue for r13+; every query is replayed each session by
+# the local dtype-hardened gate regardless
+# (tests/test_driver_contract.py).
 def _windowed(d: dict) -> dict:
     front = {n: d[n] for n in _DRIVER_WINDOW_PRIORITY if n in d}
     front.update({n: v for n, v in d.items() if n not in front})

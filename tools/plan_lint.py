@@ -114,6 +114,7 @@ WHITELIST: dict[str, dict[str, str]] = {
     "boilerplate_prefix_clusters": {"NESTED_LOOP": "1-row cluster stats"},
     "dedup_size_histogram": {"NESTED_LOOP": "1-row totals"},
     "semantic_dedup": {"NESTED_LOOP": "k-row centroid broadcast"},
+    "semdedup_horizon_audit": {"NESTED_LOOP": "k-row centroid broadcast"},
     "kmeans_profile": {"NESTED_LOOP": "k-row centroid broadcast"},
     "minhash_estimate_error": {"NESTED_LOOP": "candidate-pair side"},
     "lsh_recall_eval": {"NESTED_LOOP": "1-row candidate-count crossJoin"},
@@ -158,6 +159,7 @@ WHITELIST: dict[str, dict[str, str]] = {
     "ivfpq_ann_topk": {"NESTED_LOOP": "codebook broadcast"},
     "ivfpq_multiprobe_topk": {"NESTED_LOOP": "codebook broadcast"},
     "ivfpq_rerank_topk": {"NESTED_LOOP": "codebook broadcast"},
+    "ivfpq_rerank_auto": {"NESTED_LOOP": "codebook broadcast"},
     "ivfpq_shortlist_audit": {"NESTED_LOOP": "codebook broadcast"},
     # the gauge normalization joins the 1-row strength total back to
     # the |items|-row matrix — a deliberate scalar broadcast

@@ -653,26 +653,34 @@ def main() -> None:
         ("phash_image_neardup", "docs", qs["phash_image_neardup"]),
         ("pq_shortlist_audit", "vecs", qs["pq_shortlist_audit"]),
         ("bradley_terry_strengths", "events", qs["bradley_terry_strengths"]),
+        # round-12 additions: the auto-R re-rank, the semdedup horizon
+        # audit, and the preference battery
+        ("pq_rerank_auto", "vecs", qs["pq_rerank_auto"]),
+        ("semdedup_horizon_audit", "vecs", qs["semdedup_horizon_audit"]),
+        ("position_bias_audit", "events", qs["position_bias_audit"]),
+        ("rater_agreement_kappa", "events", qs["rater_agreement_kappa"]),
     ]
-    # tail-relative slices shift by 3 with the round-11 additions —
+    # tail-relative slices shift by 4 with the round-12 additions —
     # offsets updated in lockstep with the plan list above
     if new_only:
-        plan = plan[-31:]
+        plan = plan[-35:]
+    if "--r12-only" in sys.argv:
+        plan = plan[-4:]
     if "--r5b-only" in sys.argv:
-        plan = plan[-15:-11]
+        plan = plan[-19:-15]
     if "--r5c-only" in sys.argv:
         plan = [p for p in plan if p[0] in (
             "similarity_ann_lsh", "knn_label_accuracy", "class_separation",
             "bloom_decontamination",
         )]
     if "--r5c2-only" in sys.argv:
-        plan = plan[-19:-13]
+        plan = plan[-23:-17]
     if "--r8b-only" in sys.argv:
-        plan = plan[-24:-19]
+        plan = plan[-28:-23]
     if "--r8c-only" in sys.argv:
-        plan = plan[-19:-8]
+        plan = plan[-23:-12]
     if "--r9-only" in sys.argv:
-        plan = plan[-8:-5]
+        plan = plan[-12:-9]
     if "--r10-only" in sys.argv:
         plan = plan[-5:-3]
     if "--r11-only" in sys.argv:
