@@ -402,3 +402,166 @@ SELECT rater,
        END AS kappa
 FROM agg
 """
+
+
+def pairwise_winrate_ci(events: DataFrame, **pair_kw) -> DataFrame:
+    """Per item pair: win rate of the smaller item with its Wilson
+    95% lower bound — the ranking-confidence audit of the preference
+    battery (how sure is 'A beats B' given n judgments?). The Wilson
+    interval is the standard small-n-safe choice (a plain normal CI
+    degenerates at rates near 0/1). Per (item_a < item_b):
+
+    - n_comparisons, n_wins_a — integer-exact;
+    - win_rate_a              — n_wins_a / n (6dp);
+    - wilson_low_a            — Wilson lower bound at z = 1.96 (6dp):
+                                a pair ranks confidently only when
+                                wilson_low_a > 0.5 (or, symmetric, the
+                                upper bound < 0.5).
+
+    Scale contract: the adjacency window + ONE groupBy on the
+    |items|²-bounded pair key. Deterministic: the Wilson expression is
+    a single IEEE double formula over integer counts, written in the
+    same literal shape on both engines, rounded 6dp."""
+    c = _rater_comparisons(events, **pair_kw)
+    agg = c.groupBy(
+        F.least("winner", "loser").alias("item_a"),
+        F.greatest("winner", "loser").alias("item_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("winner") == F.least("winner", "loser")).cast("int")
+        ).alias("w"),
+    )
+    z2 = 1.96 * 1.96
+    p = F.col("w") / F.col("n")
+    n = F.col("n")
+    low = (
+        p
+        + z2 / (2 * n)
+        - 1.96 * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    ) / (1 + z2 / n)
+    return agg.select(
+        "item_a",
+        "item_b",
+        F.col("n").alias("n_comparisons"),
+        F.col("w").cast("bigint").alias("n_wins_a"),
+        F.round(p, 6).alias("win_rate_a"),
+        F.round(low, 6).alias("wilson_low_a"),
+    )
+
+
+def pairwise_winrate_ci_oracle_sql() -> str:
+    """DuckDB twin of `pairwise_winrate_ci` — the Wilson expression in
+    the same literal shape."""
+    return f"""
+WITH {_COMPARISONS_CTE},
+agg AS (
+  SELECT least(winner, loser) AS item_a,
+         greatest(winner, loser) AS item_b,
+         count(*) AS n,
+         sum(CASE WHEN winner = least(winner, loser) THEN 1 ELSE 0 END) AS w
+  FROM comparisons GROUP BY 1, 2
+)
+SELECT item_a, item_b,
+       n AS n_comparisons,
+       CAST(w AS BIGINT) AS n_wins_a,
+       round(CAST(w AS DOUBLE) / n, 6) AS win_rate_a,
+       round((CAST(w AS DOUBLE) / n
+              + (1.96 * 1.96) / (2 * n)
+              - 1.96 * sqrt((CAST(w AS DOUBLE) / n) * (1 - CAST(w AS DOUBLE) / n) / n
+                            + (1.96 * 1.96) / (4 * n * n)))
+             / (1 + (1.96 * 1.96) / n), 6) AS wilson_low_a
+FROM agg
+"""
+
+
+def preference_cycle_audit(events: DataFrame, **pair_kw) -> DataFrame:
+    """Global transitivity audit: the fraction of item TRIPLES whose
+    pooled majority directions form a cycle (A beats B, B beats C,
+    C beats A) — Condorcet-cyclic preference data has no consistent
+    ranking, and a reward model fit on it learns the annotators'
+    noise. One row: n_triples_complete (triples where all three pairs
+    have a STRICT majority), n_cyclic, cycle_rate (6dp; 0.0 when no
+    complete triple exists).
+
+    Scale contract: the adjacency window + one |items|²-bounded
+    majority matrix + a three-way self-join on the |items|³-bounded
+    triple space (items = distinct labels ≪ N — for label spaces
+    where |items|³ is real work, bound it upstream with a label cap).
+    All counts integer-exact; ties are EXCLUDED (a tied pair has no
+    majority direction), so the audit is deterministic with no
+    tie-break convention."""
+    c = _rater_comparisons(events, **pair_kw)
+    m = (
+        c.groupBy(
+            F.least("winner", "loser").alias("a"),
+            F.greatest("winner", "loser").alias("b"),
+        )
+        .agg(
+            F.sum(
+                (F.col("winner") == F.least("winner", "loser")).cast("int")
+            ).alias("w_small"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(2 * F.col("w_small") != F.col("n"))  # strict majority only
+        .select(
+            "a",
+            "b",
+            (2 * F.col("w_small") > F.col("n")).cast("int").alias("a_beats_b"),
+        )
+    )
+    ij = m.select(
+        F.col("a").alias("i"), F.col("b").alias("j"), F.col("a_beats_b").alias("d_ij")
+    )
+    jk = m.select(
+        F.col("a").alias("j"), F.col("b").alias("k"), F.col("a_beats_b").alias("d_jk")
+    )
+    ik = m.select(
+        F.col("a").alias("i"), F.col("b").alias("k"), F.col("a_beats_b").alias("d_ik")
+    )
+    triples = ij.join(jk, "j").join(ik, ["i", "k"])
+    cyclic = (
+        (F.col("d_ij") == 1) & (F.col("d_jk") == 1) & (F.col("d_ik") == 0)
+    ) | ((F.col("d_ij") == 0) & (F.col("d_jk") == 0) & (F.col("d_ik") == 1))
+    return triples.agg(
+        F.count(F.lit(1)).alias("n_triples_complete"),
+        F.coalesce(F.sum(cyclic.cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_cyclic"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(0.0))
+        .otherwise(F.round(F.sum(cyclic.cast("int")) / F.count(F.lit(1)), 6))
+        .alias("cycle_rate"),
+    )
+
+
+def preference_cycle_audit_oracle_sql() -> str:
+    """DuckDB twin of `preference_cycle_audit`."""
+    return f"""
+WITH {_COMPARISONS_CTE},
+m AS (
+  SELECT a, b, CASE WHEN 2 * w_small > n THEN 1 ELSE 0 END AS a_beats_b
+  FROM (
+    SELECT least(winner, loser) AS a,
+           greatest(winner, loser) AS b,
+           sum(CASE WHEN winner = least(winner, loser) THEN 1 ELSE 0 END) AS w_small,
+           count(*) AS n
+    FROM comparisons GROUP BY 1, 2
+  ) WHERE 2 * w_small <> n
+),
+triples AS (
+  SELECT ij.a_beats_b AS d_ij, jk.a_beats_b AS d_jk, ik.a_beats_b AS d_ik
+  FROM m ij
+  JOIN m jk ON jk.a = ij.b
+  JOIN m ik ON ik.a = ij.a AND ik.b = jk.b
+)
+SELECT count(*) AS n_triples_complete,
+       CAST(coalesce(sum(CASE WHEN (d_ij = 1 AND d_jk = 1 AND d_ik = 0)
+                             OR (d_ij = 0 AND d_jk = 0 AND d_ik = 1)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cyclic,
+       CASE WHEN count(*) = 0 THEN 0.0
+            ELSE round(CAST(sum(CASE WHEN (d_ij = 1 AND d_jk = 1 AND d_ik = 0)
+                                    OR (d_ij = 0 AND d_jk = 0 AND d_ik = 1)
+                                 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+       END AS cycle_rate
+FROM triples
+"""

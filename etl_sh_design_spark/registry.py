@@ -549,6 +549,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "semdedup_horizon_audit",
     "position_bias_audit",
     "rater_agreement_kappa",
+    "pairwise_winrate_ci",
+    "preference_cycle_audit",
     # --- round-12 code-touched queries: re-green first ---
     # semantic_dedup: `capped` regime column added to the profile
     # output (operators/semdedup.py + oracle tail).
@@ -603,17 +605,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "so3_set_equality",
     "stats_summary",
     "zipf_slope_sources",
-    # --- then the first 6 of the last-green-r8 cohort (alphabetical,
+    # --- then the first 4 of the last-green-r8 cohort (alphabetical,
     # skipping dedup_soft_weights which is code-touched above) ---
     "acceptance_multi_variant_hist",
     "ann_multiprobe_recall",
     "bigram_lm_perplexity",
     "bm25_topk",
-    "boards_rollup",
-    "bpe_token_counts",
 ]
 # Round-12 window rationale (invariant: a query whose CODE changed
-# this round is always in-window — zero rotation debt): the 5 NEW r12
+# this round is always in-window — zero rotation debt): the 7 NEW r12
 # queries (registry_r12) and the 16 code-touched queries front the
 # window — the MinHash/ngram family is 12 of those because the
 # round's headline scale fix (size-dispatched side joins after the
@@ -621,8 +621,8 @@ _DRIVER_WINDOW_PRIORITY = [
 # shared signature/pair/component sub-plans. Then the COMPLETE
 # last-green-r7 remainder (23; the r11 verdict's item #5 asked for
 # the whole 27-query cohort — 4 of them are code-touched and front
-# the window instead), then the first 6 of the last-green-r8 cohort
-# (alphabetical), landing at EXACTLY 50. The r8 remainder (40) plus
+# the window instead), then the first 4 of the last-green-r8 cohort
+# (alphabetical), landing at EXACTLY 50. The r8 remainder (42) plus
 # r9+ cohorts queue for r13+; every query is replayed each session by
 # the local dtype-hardened gate regardless
 # (tests/test_driver_contract.py).

@@ -129,3 +129,27 @@ def q_rater_agreement_kappa(spark, sf_dir):
     (binary-recoded across item pairs; operator docstring) — the
     inter-annotator agreement audit of the preference battery."""
     return rater_agreement_kappa(_t(spark, sf_dir, "events"))
+
+
+from etl_sh_design_spark.operators.preference import (  # noqa: E402
+    pairwise_winrate_ci,
+    pairwise_winrate_ci_oracle_sql,
+    preference_cycle_audit,
+    preference_cycle_audit_oracle_sql,
+)
+
+
+@query("pairwise_winrate_ci", pairwise_winrate_ci_oracle_sql())
+def q_pairwise_winrate_ci(spark, sf_dir):
+    """Per item pair: smaller-item win rate with the Wilson 95% lower
+    bound (operator docstring) — which pairwise rankings the
+    comparison volume actually supports. |items|²-bounded output."""
+    return pairwise_winrate_ci(_t(spark, sf_dir, "events"))
+
+
+@query("preference_cycle_audit", preference_cycle_audit_oracle_sql())
+def q_preference_cycle_audit(spark, sf_dir):
+    """Condorcet-cycle rate over strict-majority item triples
+    (operator docstring) — cyclic preference data has no consistent
+    ranking for a reward model to learn. One scalar row."""
+    return preference_cycle_audit(_t(spark, sf_dir, "events"))

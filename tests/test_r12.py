@@ -287,3 +287,61 @@ def test_preference_pairs_consistency_with_bt_stream(spark):
         (r["winner"], r["loser"]) for r in _rater_comparisons(ev).collect()
     )
     assert bt == rc and len(bt) == 6
+
+
+def _cycle_events(spark, c_beats_a=True):
+    """Three one-comparison raters: A>B, B>C, and C>A (cyclic) or A>C
+    (transitive) depending on the flag — every majority strict 1-0."""
+    rows = [
+        (1, 1, 1, "B", 1.0), (2, 2, 1, "A", 2.0),   # A beats B
+        (3, 1, 2, "C", 1.0), (4, 2, 2, "B", 2.0),   # B beats C
+    ]
+    rows += (
+        [(5, 1, 3, "A", 1.0), (6, 2, 3, "C", 2.0)]  # C beats A -> cycle
+        if c_beats_a
+        else [(7, 1, 3, "C", 1.0), (8, 2, 3, "A", 2.0)]  # A beats C
+    )
+    return spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+
+
+def test_preference_cycle_audit_hand_cases(spark):
+    """A>B, B>C, C>A is the canonical Condorcet cycle (rate 1.0);
+    flipping the last majority makes it transitive (rate 0.0); a tied
+    pair drops out of the majority matrix, leaving no complete triple
+    (n 0, rate 0.0 — the no-division guard)."""
+    from etl_sh_design_spark.operators.preference import preference_cycle_audit
+
+    r = preference_cycle_audit(_cycle_events(spark, True)).collect()[0]
+    assert (r["n_triples_complete"], r["n_cyclic"], r["cycle_rate"]) == (1, 1, 1.0)
+    r = preference_cycle_audit(_cycle_events(spark, False)).collect()[0]
+    assert (r["n_triples_complete"], r["n_cyclic"], r["cycle_rate"]) == (1, 0, 0.0)
+    # tie the A-B pair: add one B-beats-A judgment from a fourth rater
+    tied = _cycle_events(spark, True).unionByName(
+        spark.createDataFrame(
+            [(9, 1, 4, "A", 1.0), (10, 2, 4, "B", 2.0)],
+            "event_id long, ts long, user_id long, event_type string, value double",
+        )
+    )
+    r = preference_cycle_audit(tied).collect()[0]
+    assert (r["n_triples_complete"], r["n_cyclic"], r["cycle_rate"]) == (0, 0, 0.0)
+
+
+def test_pairwise_winrate_ci_hand_case(spark):
+    """u1 judges A>B twice (w=2, n=2): Wilson lower bound at z=1.96 is
+    1 / (1 + z²/2) = 0.342372 — the small-n shrinkage a plain normal
+    CI (which would read 1.0) exists to avoid."""
+    from etl_sh_design_spark.operators.preference import pairwise_winrate_ci
+
+    ev = spark.createDataFrame(
+        [(1, 1, 1, "B", 1.0), (2, 2, 1, "A", 2.0), (3, 3, 1, "B", 0.0)],
+        "event_id long, ts long, user_id long, event_type string, value double",
+    )
+    out = pairwise_winrate_ci(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"]) == ("A", "B")
+    assert (r["n_comparisons"], r["n_wins_a"]) == (2, 2)
+    assert r["win_rate_a"] == 1.0
+    assert r["wilson_low_a"] == 0.342372
