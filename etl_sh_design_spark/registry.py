@@ -551,6 +551,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "rater_agreement_kappa",
     "pairwise_winrate_ci",
     "preference_cycle_audit",
+    "lsh_band_occupancy_audit",
     # --- round-12 code-touched queries: re-green first ---
     # semantic_dedup: `capped` regime column added to the profile
     # output (operators/semdedup.py + oracle tail).
@@ -605,24 +606,24 @@ _DRIVER_WINDOW_PRIORITY = [
     "so3_set_equality",
     "stats_summary",
     "zipf_slope_sources",
-    # --- then the first 4 of the last-green-r8 cohort (alphabetical,
+    # --- then the first 3 of the last-green-r8 cohort (alphabetical,
     # skipping dedup_soft_weights which is code-touched above) ---
     "acceptance_multi_variant_hist",
     "ann_multiprobe_recall",
     "bigram_lm_perplexity",
-    "bm25_topk",
 ]
 # Round-12 window rationale (invariant: a query whose CODE changed
-# this round is always in-window — zero rotation debt): the 7 NEW r12
-# queries (registry_r12) and the 16 code-touched queries front the
+# this round is always in-window — zero rotation debt): the NEW r12
+# queries (registry_r12, 8 with lsh_band_occupancy_audit) and the 16
+# code-touched queries front the
 # window — the MinHash/ngram family is 12 of those because the
 # round's headline scale fix (size-dispatched side joins after the
 # --ngram-100x broadcast failure) sits under every consumer of the
 # shared signature/pair/component sub-plans. Then the COMPLETE
 # last-green-r7 remainder (23; the r11 verdict's item #5 asked for
 # the whole 27-query cohort — 4 of them are code-touched and front
-# the window instead), then the first 4 of the last-green-r8 cohort
-# (alphabetical), landing at EXACTLY 50. The r8 remainder (42) plus
+# the window instead), then the first 3 of the last-green-r8 cohort
+# (alphabetical), landing at EXACTLY 50. The r8 remainder (43) plus
 # r9+ cohorts queue for r13+; every query is replayed each session by
 # the local dtype-hardened gate regardless
 # (tests/test_driver_contract.py).

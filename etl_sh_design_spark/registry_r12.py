@@ -153,3 +153,75 @@ def q_preference_cycle_audit(spark, sf_dir):
     (operator docstring) — cyclic preference data has no consistent
     ranking for a reward model to learn. One scalar row."""
     return preference_cycle_audit(_t(spark, sf_dir, "events"))
+
+
+# ------------------------------------ LSH band-occupancy audit
+from etl_sh_design_spark.registry_ext import (  # noqa: E402
+    CORPUS_MUTATED_SQL,
+    _H_SEED_SHINGLE,
+    _SH,
+    dedup_signatures,
+)
+
+_LSH_OCC_SQL = f"""
+WITH corpus AS ({CORPUS_MUTATED_SQL}),
+sh AS ({_SH}),
+sig AS (
+  SELECT doc_id, seed, min({_H_SEED_SHINGLE}) AS minh
+  FROM sh CROSS JOIN (SELECT CAST(range AS INT) AS seed FROM range(0, 16))
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+occ AS (
+  SELECT band, band_key, count(*) AS occ FROM bands GROUP BY 1, 2
+)
+SELECT band,
+       count(*) AS n_buckets,
+       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_multi,
+       CAST(max(occ) AS BIGINT) AS max_occupancy,
+       CAST(sum(occ * (occ - 1) / 2) AS BIGINT) AS candidate_pairs,
+       CAST(max(occ * (occ - 1) / 2) AS BIGINT) AS top_bucket_pairs
+FROM occ GROUP BY 1
+"""
+
+
+@query("lsh_band_occupancy_audit", _LSH_OCC_SQL)
+def q_lsh_band_occupancy_audit(spark, sf_dir):
+    """Per-band LSH bucket-occupancy audit — the in-registry
+    observable for the quantity the round-12 `--ngram-100x` probe
+    measured offline: banded candidate volume is sum over buckets of
+    C(occ, 2), and it explodes exactly when duplicate-cluster depth
+    grows with the corpus (max_occupancy tracks cluster depth; it
+    stayed FLAT at 8 across three decades in the entities-growth
+    regime — SCALE.md round 12). A user watching candidate_pairs and
+    top_bucket_pairs drift apart knows hot buckets are forming BEFORE
+    the bucket self-join becomes the wall, and sizes band width /
+    shingle caps from data. Runs off the session-memoized signature
+    table (one signature pass for the whole dedup family); the
+    aggregate output is 4 rows (one per band)."""
+    sig = dedup_signatures(spark, sf_dir)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                ",", *[F.col("sig")[i].cast("string") for i in range(j * 4, (j + 1) * 4)]
+            ).alias("band_key"),
+        )
+        for j in range(4)
+    ]
+    banded = sig.select(
+        F.explode(F.array(*band_structs)).alias("bk")
+    ).select(F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    occ = banded.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("occ"))
+    pairs = (F.col("occ") * (F.col("occ") - 1) / 2).cast("bigint")
+    return occ.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("occ") > 1).cast("int")).cast("bigint").alias("n_buckets_multi"),
+        F.max("occ").cast("bigint").alias("max_occupancy"),
+        F.sum(pairs).cast("bigint").alias("candidate_pairs"),
+        F.max(pairs).cast("bigint").alias("top_bucket_pairs"),
+    )

@@ -345,3 +345,50 @@ def test_pairwise_winrate_ci_hand_case(spark):
     assert (r["n_comparisons"], r["n_wins_a"]) == (2, 2)
     assert r["win_rate_a"] == 1.0
     assert r["wilson_low_a"] == 0.342372
+
+
+def test_lsh_band_occupancy_audit_sees_planted_clique(spark):
+    """Plant a 30-deep exact-duplicate cluster: every copy has the
+    identical MinHash signature, so EVERY band gets a bucket of
+    occupancy >= 30 and the top bucket carries >= C(30,2) candidate
+    pairs — the audit must surface the clique in max_occupancy and
+    top_bucket_pairs (the quantities that stayed flat at 8 across
+    three decades in the entities-growth probe)."""
+    from etl_sh_design_spark.operators.dedup import minhash_signatures_wide
+
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    one = docs.filter(F.col("doc_id") == 1).select("text").collect()[0]["text"]
+    clique = spark.createDataFrame(
+        [(2_000_000 + i, one) for i in range(30)], "doc_id long, text string"
+    )
+    sig = minhash_signatures_wide(docs.unionByName(clique))
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                ",", *[F.col("sig")[i].cast("string") for i in range(j * 4, (j + 1) * 4)]
+            ).alias("band_key"),
+        )
+        for j in range(4)
+    ]
+    occ = (
+        sig.select(F.explode(F.array(*band_structs)).alias("bk"))
+        .select(F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    stats = {
+        r["band"]: r
+        for r in occ.groupBy("band")
+        .agg(
+            F.max("occ").alias("max_occ"),
+            F.max((F.col("occ") * (F.col("occ") - 1) / 2).cast("bigint")).alias("top_pairs"),
+        )
+        .collect()
+    }
+    assert set(stats) == {0, 1, 2, 3}
+    for b in stats.values():
+        assert b["max_occ"] >= 31  # 30 copies + the original (doc_id 1)
+        assert b["top_pairs"] >= 31 * 30 // 2
