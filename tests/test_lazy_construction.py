@@ -101,6 +101,22 @@ EAGER_BUILDERS = {
     "kmeans_profile",
     "ivfpq_shortlist_audit": "IVF + PQ codebook training feeding the "
     "audited probed-cells ADC set",
+    # round-12 additions
+    "pq_rerank_auto": "PQ codebook training feeding the tie-class-"
+    "covering (auto-R) ADC shortlist — same trained-centroid "
+    "broadcasts as pq_rerank_topk",
+    "ivfpq_rerank_auto": "IVF + PQ codebook training feeding the "
+    "auto-R ADC shortlist",
+    "semdedup_horizon_audit": "k-means assignment rounds (same "
+    "per-round checkpoint discipline as semantic_dedup; the audit is "
+    "assignment-only by design)",
+    "ngram_jaccard_neardup": "size-measured side-join dispatches "
+    "(DEDUP_SIDE_BROADCAST_MAX_ROWS, round 12): the cold-key and "
+    "doc-size counts double as the localCheckpoint materializations "
+    "the joins then read — the c4_line_dedup contract",
+    "lsh_band_occupancy_audit": "shared memoized signature table "
+    "(one-time build) + the round-12 vocabulary-count dispatch "
+    "inside minhash_signatures_wide",
 }
 
 # datasource schema-probe jobs (1 footer-read task on first scan of a
