@@ -57,6 +57,16 @@ HEADLINE = [
     "pq_recall_audit",
     "phash_image_neardup",
     "bradley_terry_strengths",
+    # round-12 additions: auto-R re-rank, the two family audits, and
+    # the preference battery (all sub-3 s in the full sweep)
+    "pq_rerank_auto",
+    "ivfpq_rerank_auto",
+    "semdedup_horizon_audit",
+    "lsh_band_occupancy_audit",
+    "position_bias_audit",
+    "rater_agreement_kappa",
+    "pairwise_winrate_ci",
+    "preference_cycle_audit",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "ngram_jaccard_neardup",
@@ -220,6 +230,12 @@ SF1_HEADLINE = [
     # preference aggregation: one user-keyed window over the 1M-event
     # stream, then |items|^2-sized MM rounds
     "bradley_terry_strengths",
+    # round-12: the auto-R deployment shape and the assignment-only
+    # horizon audit at the 10x embedding corpus; one preference-battery
+    # representative (the kappa query pays the extra pair-key shuffle)
+    "pq_rerank_auto",
+    "semdedup_horizon_audit",
+    "rater_agreement_kappa",
     # the two heaviest audits stay LAST (budget-clip order).
     # semantic_dedup runs BEFORE ngram since round 9: the grow-k +
     # GEMM dispatches cut it from 82-171 s to ~20 s, and its
