@@ -304,7 +304,9 @@ def rater_agreement_kappa(events: DataFrame, **pair_kw) -> DataFrame:
     inter-annotator-agreement audit of the preference battery: a
     rater whose judgments agree with the pooled majority no more than
     chance (kappa ~ 0) is adding noise to the reward data, however
-    high their raw agreement rate reads on skewed pairs.
+    high their raw agreement rate reads on skewed pairs. The kappa
+    fraction is multiplied through by n² so numerator and denominator
+    are EXACT integers on both engines (no float-cancellation −0.0).
 
     Every judgment is binary-recoded as "chose the lexicographically
     SMALLER item of the pair" so one category pair spans all item
@@ -345,17 +347,24 @@ def rater_agreement_kappa(events: DataFrame, **pair_kw) -> DataFrame:
         F.sum("chose_small").alias("n_small"),
         F.sum("maj_small").alias("n_maj_small"),
     )
-    po = F.col("n_agree") / F.col("n")
-    pr = F.col("n_small") / F.col("n")
-    pm = F.col("n_maj_small") / F.col("n")
-    pe = pr * pm + (1 - pr) * (1 - pm)
+    # kappa multiplied through by n²: num = n·agree − (s·m + (n−s)(n−m)),
+    # den = n² − (s·m + (n−s)(n−m)) — BOTH exact integers, so the
+    # expression can never produce an engine-dependent −0.0 (the first
+    # sf0.1 replay caught exactly that: a rater with p_o == p_e rounded
+    # to −0.0 in DuckDB and +0.0 in Spark). den = 0 ⇔ p_e = 1.
+    n = F.col("n")
+    s_ = F.col("n_small")
+    m = F.col("n_maj_small")
+    chance = s_ * m + (n - s_) * (n - m)
+    num = n * F.col("n_agree") - chance
+    den = n * n - chance
     return agg.select(
         "rater",
         F.col("n").alias("n_judgments"),
         F.col("n_agree").cast("bigint").alias("n_agree"),
-        F.round(po, 6).alias("agreement_rate"),
-        F.when(pe == 1.0, F.lit(1.0))
-        .otherwise(F.round((po - pe) / (1 - pe), 6))
+        F.round(F.col("n_agree") / n, 6).alias("agreement_rate"),
+        F.when(den == 0, F.lit(1.0))
+        .otherwise(F.round(num.cast("double") / den, 6))
         .alias("kappa"),
     )
 
@@ -391,14 +400,10 @@ SELECT rater,
        n AS n_judgments,
        CAST(n_agree AS BIGINT) AS n_agree,
        round(CAST(n_agree AS DOUBLE) / n, 6) AS agreement_rate,
-       CASE WHEN (CAST(n_small AS DOUBLE) / n) * (CAST(n_maj_small AS DOUBLE) / n)
-                 + (1 - CAST(n_small AS DOUBLE) / n) * (1 - CAST(n_maj_small AS DOUBLE) / n) = 1.0
+       CASE WHEN n * n - (n_small * n_maj_small + (n - n_small) * (n - n_maj_small)) = 0
             THEN 1.0
-            ELSE round(((CAST(n_agree AS DOUBLE) / n)
-                        - ((CAST(n_small AS DOUBLE) / n) * (CAST(n_maj_small AS DOUBLE) / n)
-                           + (1 - CAST(n_small AS DOUBLE) / n) * (1 - CAST(n_maj_small AS DOUBLE) / n)))
-                       / (1 - ((CAST(n_small AS DOUBLE) / n) * (CAST(n_maj_small AS DOUBLE) / n)
-                               + (1 - CAST(n_small AS DOUBLE) / n) * (1 - CAST(n_maj_small AS DOUBLE) / n))), 6)
+            ELSE round(CAST(n * n_agree - (n_small * n_maj_small + (n - n_small) * (n - n_maj_small)) AS DOUBLE)
+                       / (n * n - (n_small * n_maj_small + (n - n_small) * (n - n_maj_small))), 6)
        END AS kappa
 FROM agg
 """
