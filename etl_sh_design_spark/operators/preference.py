@@ -570,3 +570,68 @@ SELECT count(*) AS n_triples_complete,
        END AS cycle_rate
 FROM triples
 """
+
+
+def preference_label_noise(
+    events: DataFrame, rounds: int = 3, **pair_kw
+) -> DataFrame:
+    """Per item pair: how many comparisons CONTRADICT the fitted
+    Bradley-Terry ranking (the winner has strictly lower final
+    strength than the loser) — the standard reward-data cleaning
+    signal: a pair whose judgments keep disagreeing with the global
+    model is either genuinely close (strengths nearly equal) or
+    label noise, and both deserve a second look before the reward
+    model trains on them. Output per (item_a < item_b):
+
+    - n_comparisons, n_against_model — integer-exact;
+    - frac_against_model             — 6dp.
+
+    Scale contract: the BT pipeline's own cost (N-sized window +
+    |items|²-bounded MM rounds) + one broadcast of the |items|-row
+    strength vector back onto the comparison stream + one
+    |items|²-bounded aggregate. Determinism: strengths are the
+    hash-oracled 6dp BT outputs; the contradiction test is a strict
+    < on those."""
+    c = _rater_comparisons(events, **pair_kw)
+    st = bradley_terry_strengths(events, rounds=rounds, **pair_kw).select(
+        F.col("event_type").alias("item"), "strength"
+    )
+    sw = st.select(F.col("item").alias("winner"), F.col("strength").alias("s_w"))
+    sl = st.select(F.col("item").alias("loser"), F.col("strength").alias("s_l"))
+    j = c.join(F.broadcast(sw), "winner").join(F.broadcast(sl), "loser")
+    against = (F.col("s_w") < F.col("s_l")).cast("int")
+    return (
+        j.groupBy(
+            F.least("winner", "loser").alias("item_a"),
+            F.greatest("winner", "loser").alias("item_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_comparisons"),
+            F.sum(against).cast("bigint").alias("n_against_model"),
+            F.round(F.sum(against) / F.count(F.lit(1)), 6).alias(
+                "frac_against_model"
+            ),
+        )
+    )
+
+
+def preference_label_noise_oracle_sql(rounds: int = 3) -> str:
+    """DuckDB twin: the full BT oracle chain nested as a CTE (its
+    inner WITH is scoped inside the parentheses, so its `ordered`
+    does not collide with the comparisons CTE), joined back onto the
+    rater-attributed comparison stream."""
+    return f"""
+WITH bt AS ({bradley_terry_oracle_sql(rounds)}),
+{_COMPARISONS_CTE}
+SELECT least(c.winner, c.loser) AS item_a,
+       greatest(c.winner, c.loser) AS item_b,
+       count(*) AS n_comparisons,
+       CAST(sum(CASE WHEN sw.strength < sl.strength THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_against_model,
+       round(CAST(sum(CASE WHEN sw.strength < sl.strength THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS frac_against_model
+FROM comparisons c
+JOIN bt sw ON sw.event_type = c.winner
+JOIN bt sl ON sl.event_type = c.loser
+GROUP BY 1, 2
+"""

@@ -552,6 +552,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pairwise_winrate_ci",
     "preference_cycle_audit",
     "lsh_band_occupancy_audit",
+    "preference_label_noise",
     # --- round-12 code-touched queries: re-green first ---
     # semantic_dedup: `capped` regime column added to the profile
     # output (operators/semdedup.py + oracle tail).
@@ -606,11 +607,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "so3_set_equality",
     "stats_summary",
     "zipf_slope_sources",
-    # --- then the first 3 of the last-green-r8 cohort (alphabetical,
+    # --- then the first 2 of the last-green-r8 cohort (alphabetical,
     # skipping dedup_soft_weights which is code-touched above) ---
     "acceptance_multi_variant_hist",
     "ann_multiprobe_recall",
-    "bigram_lm_perplexity",
 ]
 # Round-12 window rationale (invariant: a query whose CODE changed
 # this round is always in-window — zero rotation debt): the NEW r12
@@ -622,8 +622,8 @@ _DRIVER_WINDOW_PRIORITY = [
 # shared signature/pair/component sub-plans. Then the COMPLETE
 # last-green-r7 remainder (23; the r11 verdict's item #5 asked for
 # the whole 27-query cohort — 4 of them are code-touched and front
-# the window instead), then the first 3 of the last-green-r8 cohort
-# (alphabetical), landing at EXACTLY 50. The r8 remainder (43) plus
+# the window instead), then the first 2 of the last-green-r8 cohort
+# (alphabetical), landing at EXACTLY 50. The r8 remainder (44) plus
 # r9+ cohorts queue for r13+; every query is replayed each session by
 # the local dtype-hardened gate regardless
 # (tests/test_driver_contract.py).

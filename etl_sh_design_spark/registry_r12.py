@@ -225,3 +225,17 @@ def q_lsh_band_occupancy_audit(spark, sf_dir):
         F.sum(pairs).cast("bigint").alias("candidate_pairs"),
         F.max(pairs).cast("bigint").alias("top_bucket_pairs"),
     )
+
+
+from etl_sh_design_spark.operators.preference import (  # noqa: E402
+    preference_label_noise,
+    preference_label_noise_oracle_sql,
+)
+
+
+@query("preference_label_noise", preference_label_noise_oracle_sql(rounds=3))
+def q_preference_label_noise(spark, sf_dir):
+    """Per item pair: comparisons contradicting the fitted BT ranking
+    (operator docstring) — the reward-data cleaning signal that closes
+    the battery's loop from raw judgments to the model they train."""
+    return preference_label_noise(_t(spark, sf_dir, "events"), rounds=3)

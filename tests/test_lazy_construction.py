@@ -117,6 +117,8 @@ EAGER_BUILDERS = {
     "lsh_band_occupancy_audit": "shared memoized signature table "
     "(one-time build) + the round-12 vocabulary-count dispatch "
     "inside minhash_signatures_wide",
+    "preference_label_noise": "builds the BT strengths it audits "
+    "against (same checkpointed MM rounds as bradley_terry_strengths)",
 }
 
 # datasource schema-probe jobs (1 footer-read task on first scan of a

@@ -392,3 +392,29 @@ def test_lsh_band_occupancy_audit_sees_planted_clique(spark):
     for b in stats.values():
         assert b["max_occ"] >= 31  # 30 copies + the original (doc_id 1)
         assert b["top_pairs"] >= 31 * 30 // 2
+
+
+def test_preference_label_noise_hand_case(spark):
+    """A beats B 3-1: BT puts strength(A) > strength(B), so exactly
+    the one B-win contradicts the model — n 4, against 1, frac 0.25.
+    And on a perfectly transitive corpus nothing is against-model."""
+    from etl_sh_design_spark.operators.preference import preference_label_noise
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, 1, "B", 1.0), (2, 2, 1, "A", 2.0),
+            (3, 3, 1, "B", 0.0), (4, 4, 1, "A", 5.0),
+            (5, 1, 2, "A", 1.0), (6, 2, 2, "B", 2.0),
+        ],
+        "event_id long, ts long, user_id long, event_type string, value double",
+    )
+    out = preference_label_noise(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"]) == ("A", "B")
+    assert (r["n_comparisons"], r["n_against_model"]) == (4, 1)
+    assert r["frac_against_model"] == 0.25
+
+    clean = preference_label_noise(_cycle_events(spark, False)).collect()
+    assert all(r["n_against_model"] == 0 for r in clean)
+    assert sum(r["n_comparisons"] for r in clean) == 3

@@ -115,6 +115,7 @@ WHITELIST: dict[str, dict[str, str]] = {
     "dedup_size_histogram": {"NESTED_LOOP": "1-row totals"},
     "semantic_dedup": {"NESTED_LOOP": "k-row centroid broadcast"},
     "semdedup_horizon_audit": {"NESTED_LOOP": "k-row centroid broadcast"},
+    "preference_label_noise": {"NESTED_LOOP": "1-row BT gauge-total broadcast"},
     "kmeans_profile": {"NESTED_LOOP": "k-row centroid broadcast"},
     "minhash_estimate_error": {"NESTED_LOOP": "candidate-pair side"},
     "lsh_recall_eval": {"NESTED_LOOP": "1-row candidate-count crossJoin"},
