@@ -67,6 +67,7 @@ HEADLINE = [
     "rater_agreement_kappa",
     "pairwise_winrate_ci",
     "preference_cycle_audit",
+    "preference_label_noise",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "ngram_jaccard_neardup",

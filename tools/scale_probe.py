@@ -379,6 +379,102 @@ def main() -> None:
         )
         return
 
+    if "--lsh-adversarial" in sys.argv:
+        # The OTHER growth regime (SCALE.md round 12 reads "the
+        # adversarial regime is the one max_shingle_freq and the
+        # audit queries exist for" — this measures it): duplicate-
+        # clique depth grows WITH the corpus (verbatim replicas, no
+        # permutation), so every band bucket holding a clique grows
+        # linearly and banded candidates grow QUADRATICALLY in depth.
+        # Measured per depth: the occupancy-audit quantities, the
+        # pair-materialization wall, and the mitigation — exact dedup
+        # FIRST (hash-groupBy, depth-linear) collapses cliques to
+        # canonicals, restoring the flat-occupancy regime. This is
+        # the pipeline-order rule in numbers: near-dup NEVER runs on
+        # an exact-undeduped corpus.
+        from pyspark.sql import functions as F
+
+        from etl_sh_design_spark.operators.dedup import (
+            exact_duplicates,
+            minhash_lsh_pairs,
+            minhash_signatures_wide,
+        )
+
+        docs = spark.read.parquet(f"{SF01}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        docs.count()  # warm
+
+        def occ_stats(corpus):
+            sig = minhash_signatures_wide(corpus)
+            bands = sig.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[i].cast("string")
+                                    for i in range(j * 4, (j + 1) * 4)
+                                ],
+                            )
+                            for j in range(4)
+                        ]
+                    )
+                ).alias("band", "key")
+            )
+            occ = bands.groupBy("band", "key").agg(
+                F.count(F.lit(1)).alias("occ")
+            )
+            return occ.agg(
+                F.max("occ").alias("max_occ"),
+                F.sum(F.expr("occ * (occ - 1) / 2")).cast("bigint").alias("cand"),
+            ).collect()[0]
+
+        print(
+            "\n| clique depth | docs | max occ | banded cand pairs | "
+            "lsh pairs wall s | exact-first wall s | max occ after |"
+        )
+        print("|---|---|---|---|---|---|---|")
+        for depth in (1, 8, 32):
+            parts = [
+                docs.select(
+                    (F.col("doc_id") + c * 10_000_000).alias("doc_id"), "text"
+                )
+                for c in range(depth)
+            ]
+            corpus = parts[0]
+            for p in parts[1:]:
+                corpus = corpus.unionByName(p)
+            corpus = corpus.localCheckpoint(eager=True)
+            n = corpus.count()
+            s = occ_stats(corpus)
+            t0 = time.perf_counter()
+            minhash_lsh_pairs(corpus).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            lsh_wall = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            # mitigation: exact dedup first, near-dup on canonicals
+            t0 = time.perf_counter()
+            canon = (
+                exact_duplicates(corpus)
+                .select(F.col("canonical_id").alias("doc_id"))
+                .join(corpus, "doc_id")
+                .localCheckpoint(eager=True)
+            )
+            minhash_lsh_pairs(canon).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            first_wall = time.perf_counter() - t0
+            s2 = occ_stats(canon)
+            print(
+                f"| {depth} | {n} | {s['max_occ']} | {int(s['cand'])} | "
+                f"{lsh_wall:.1f} | {first_wall:.1f} | {s2['max_occ']} |"
+            )
+            spark.catalog.clearCache()
+        return
+
     if "--semdedup-cap-curve" in sys.argv:
         # CAP-vs-removal-recall curve on the 100x corpus (VERDICT r11
         # next #3): what semdedup_horizon_audit lets users reproduce —
