@@ -68,6 +68,8 @@ HEADLINE = [
     "pairwise_winrate_ci",
     "preference_cycle_audit",
     "preference_label_noise",
+    "best_of_n_curve",
+    "dpo_pair_construction",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "ngram_jaccard_neardup",

@@ -572,6 +572,236 @@ FROM triples
 """
 
 
+def best_of_n_curve(
+    events: DataFrame,
+    ns: tuple[int, ...] = (1, 2, 4, 8),
+    min_pool: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact best-of-n expected-reward curve — the rejection-sampling
+    analytics of the RLHF battery: each user's events are a candidate
+    pool (one prompt's sampled generations, `value` the reward score)
+    and the curve reports, for each n in `ns`, the EXPECTED MAXIMUM
+    score of a uniformly-random n-subset, averaged over pools — i.e.
+    how much reward best-of-n selection buys as n grows, computed in
+    closed form over the WHOLE pool instead of by Monte-Carlo
+    subsampling. Order statistics: with pool scores sorted ascending
+    (rank k of N), P(max of an n-subset is the rank-k score) =
+    C(k-1, n-1)/C(N, n) = n·∏_{i=1}^{n-1}(k-i) / ∏_{i=0}^{n-1}(N-i),
+    so E[max] is one weighted sum per pool — no sampling, no variance.
+    Output per n: (n_samples, n_pools, avg_expected_max). Pools with
+    fewer than `min_pool` candidates are excluded from ALL n so the
+    curve compares the same pools at every n (and max(ns) must be
+    ≤ min_pool or the weight denominator hits zero).
+
+    Scale contract (the 100 TB shape): ONE user-keyed window (rank +
+    pool size), a map-side weight expression per n, and ONE global
+    aggregate — no joins, no iteration, output |ns| rows however
+    large the event stream.
+
+    Determinism contract: ranks total-order by (value, id); each
+    term value·w·1e6 quantizes to an integer micro-unit BEFORE the
+    sum (the BT trick), so the per-pool and cross-pool sums are
+    order-free integer adds; the weight polynomial is evaluated
+    left-associated in the same literal shape on both engines."""
+    if max(ns) > min_pool:
+        raise ValueError(f"max(ns)={max(ns)} exceeds min_pool={min_pool}")
+    w = W.partitionBy(user_col).orderBy(value_col, id_col)
+    ranked = events.select(
+        F.col(user_col).alias("pool"),
+        F.col(value_col).cast("double").alias("score"),
+        F.row_number().over(w).alias("k"),
+        F.count(F.lit(1)).over(W.partitionBy(user_col)).alias("n_cand"),
+    ).filter(F.col("n_cand") >= min_pool)
+    kd = F.col("k").cast("double")
+    nd = F.col("n_cand").cast("double")
+    terms = []
+    for n in ns:
+        num = F.lit(float(n))
+        for i in range(1, n):
+            num = num * (kd - F.lit(float(i)))
+        den = nd
+        for i in range(1, n):
+            den = den * (nd - F.lit(float(i)))
+        terms.append(
+            F.round(F.col("score") * (num / den) * F.lit(1e6))
+            .cast("bigint")
+            .alias(f"t{n}")
+        )
+    agg = ranked.select("pool", *terms).agg(
+        F.countDistinct("pool").alias("n_pools"),
+        *[F.sum(f"t{n}").alias(f"s{n}") for n in ns],
+    )
+    rows = [
+        F.struct(
+            F.lit(n).alias("n_samples"),
+            F.col("n_pools").alias("n_pools"),
+            F.round(
+                F.col(f"s{n}").cast("double")
+                / (F.lit(1e6) * F.col("n_pools")),
+                6,
+            ).alias("avg_expected_max"),
+        )
+        for n in ns
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def best_of_n_curve_oracle_sql(
+    ns: tuple[int, ...] = (1, 2, 4, 8), min_pool: int = 8
+) -> str:
+    """DuckDB twin of `best_of_n_curve` over the `events` view — the
+    weight polynomials are generated in the same left-associated
+    literal shape, each term micro-unit-quantized before the sum."""
+
+    def w_expr(n: int) -> str:
+        num = f"{float(n)}"
+        for i in range(1, n):
+            num = f"{num} * (kd - {float(i)})"
+        den = "nd"
+        for i in range(1, n):
+            den = f"{den} * (nd - {float(i)})"
+        return f"({num}) / ({den})"
+
+    term_cols = ",\n         ".join(
+        f"CAST(round(score * ({w_expr(n)}) * 1e6) AS BIGINT) AS t{n}"
+        for n in ns
+    )
+    sum_cols = ", ".join(f"sum(t{n}) AS s{n}" for n in ns)
+    selects = "\n  UNION ALL\n".join(
+        f"  SELECT {n} AS n_samples, n_pools, "
+        f"round(CAST(s{n} AS DOUBLE) / (1e6 * n_pools), 6) "
+        f"AS avg_expected_max FROM agg"
+        for n in ns
+    )
+    return f"""
+WITH ranked AS (
+  SELECT user_id AS pool,
+         CAST(value AS DOUBLE) AS score,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY value, event_id)
+              AS DOUBLE) AS kd,
+         count(*) OVER (PARTITION BY user_id) AS n_cand
+  FROM events
+),
+terms AS (
+  SELECT pool,
+         {term_cols}
+  FROM (SELECT pool, score, kd, CAST(n_cand AS DOUBLE) AS nd
+        FROM ranked WHERE n_cand >= {min_pool})
+),
+agg AS (SELECT count(DISTINCT pool) AS n_pools, {sum_cols} FROM terms)
+{selects}
+"""
+
+
+def dpo_pair_construction(
+    events: DataFrame,
+    min_margin: float = 0.0,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    item_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Chosen/rejected pair extraction — the preference-data PREP op
+    (DPO/reward-model training pairs): per user pool (one prompt's
+    scored generations), emit the highest-scored candidate as
+    `chosen` and the lowest as `rejected`, with the score margin, and
+    keep only pairs whose margin strictly exceeds `min_margin` (a
+    zero-margin "pair" is two indistinguishable generations — noise,
+    not signal, as training data). Ties break deterministically to
+    the smaller id on both ends. Output per kept pool: prompt_id,
+    chosen_id/item/score, rejected_id/item/score, margin (6dp),
+    n_candidates.
+
+    Scale contract: one user-keyed exchange (two sorted windows over
+    the SAME partitioning — one shuffle, two sorts) + a user-bounded
+    self-join of the two rank-1 slices. Output ≤ |users| rows
+    however large the stream. Determinism: total orders via the id
+    tie-break; the margin is one double subtraction of input values,
+    identical on both engines."""
+    wd = W.partitionBy(user_col).orderBy(
+        F.col(value_col).desc(), F.col(id_col).asc()
+    )
+    wa = W.partitionBy(user_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    ranked = events.select(
+        F.col(user_col).alias("prompt_id"),
+        F.col(id_col).alias("cand_id"),
+        F.col(item_col).alias("cand_item"),
+        F.col(value_col).cast("double").alias("cand_score"),
+        F.row_number().over(wd).alias("rd"),
+        F.row_number().over(wa).alias("ra"),
+        F.count(F.lit(1)).over(W.partitionBy(user_col)).alias("n_candidates"),
+    )
+    chosen = ranked.filter(F.col("rd") == 1).select(
+        "prompt_id",
+        F.col("cand_id").alias("chosen_id"),
+        F.col("cand_item").alias("chosen_item"),
+        F.col("cand_score").alias("chosen_score"),
+        "n_candidates",
+    )
+    rejected = ranked.filter(F.col("ra") == 1).select(
+        "prompt_id",
+        F.col("cand_id").alias("rejected_id"),
+        F.col("cand_item").alias("rejected_item"),
+        F.col("cand_score").alias("rejected_score"),
+    )
+    return (
+        chosen.join(rejected, "prompt_id")
+        .filter(
+            (F.col("n_candidates") >= 2)
+            & (
+                F.col("chosen_score") - F.col("rejected_score")
+                > F.lit(float(min_margin))
+            )
+        )
+        .select(
+            "prompt_id",
+            "chosen_id",
+            "chosen_item",
+            "chosen_score",
+            "rejected_id",
+            "rejected_item",
+            "rejected_score",
+            F.round(
+                F.col("chosen_score") - F.col("rejected_score"), 6
+            ).alias("margin"),
+            "n_candidates",
+        )
+    )
+
+
+def dpo_pair_construction_oracle_sql(min_margin: float = 0.0) -> str:
+    """DuckDB twin of `dpo_pair_construction` over the `events` view."""
+    return f"""
+WITH ranked AS (
+  SELECT user_id AS prompt_id, event_id AS cand_id,
+         event_type AS cand_item, CAST(value AS DOUBLE) AS cand_score,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rd,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value ASC, event_id ASC) AS ra,
+         count(*) OVER (PARTITION BY user_id) AS n_candidates
+  FROM events
+)
+SELECT c.prompt_id,
+       c.cand_id AS chosen_id, c.cand_item AS chosen_item,
+       c.cand_score AS chosen_score,
+       r.cand_id AS rejected_id, r.cand_item AS rejected_item,
+       r.cand_score AS rejected_score,
+       round(c.cand_score - r.cand_score, 6) AS margin,
+       c.n_candidates
+FROM (SELECT * FROM ranked WHERE rd = 1) c
+JOIN (SELECT * FROM ranked WHERE ra = 1) r USING (prompt_id)
+WHERE c.n_candidates >= 2
+  AND c.cand_score - r.cand_score > {float(min_margin)}
+"""
+
+
 def preference_label_noise(
     events: DataFrame, rounds: int = 3, **pair_kw
 ) -> DataFrame:

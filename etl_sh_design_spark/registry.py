@@ -553,6 +553,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "preference_cycle_audit",
     "lsh_band_occupancy_audit",
     "preference_label_noise",
+    "best_of_n_curve",
+    "dpo_pair_construction",
     # --- round-12 code-touched queries: re-green first ---
     # semantic_dedup: `capped` regime column added to the profile
     # output (operators/semdedup.py + oracle tail).
@@ -607,26 +609,23 @@ _DRIVER_WINDOW_PRIORITY = [
     "so3_set_equality",
     "stats_summary",
     "zipf_slope_sources",
-    # --- then the first 2 of the last-green-r8 cohort (alphabetical,
-    # skipping dedup_soft_weights which is code-touched above) ---
-    "acceptance_multi_variant_hist",
-    "ann_multiprobe_recall",
 ]
 # Round-12 window rationale (invariant: a query whose CODE changed
 # this round is always in-window — zero rotation debt): the NEW r12
-# queries (registry_r12, 8 with lsh_band_occupancy_audit) and the 16
-# code-touched queries front the
+# queries (registry_r12, 11 with lsh_band_occupancy_audit and the
+# late generation-selection pair best_of_n_curve /
+# dpo_pair_construction) and the 16 code-touched queries front the
 # window — the MinHash/ngram family is 12 of those because the
 # round's headline scale fix (size-dispatched side joins after the
 # --ngram-100x broadcast failure) sits under every consumer of the
 # shared signature/pair/component sub-plans. Then the COMPLETE
 # last-green-r7 remainder (23; the r11 verdict's item #5 asked for
 # the whole 27-query cohort — 4 of them are code-touched and front
-# the window instead), then the first 2 of the last-green-r8 cohort
-# (alphabetical), landing at EXACTLY 50. The r8 remainder (44) plus
-# r9+ cohorts queue for r13+; every query is replayed each session by
-# the local dtype-hardened gate regardless
-# (tests/test_driver_contract.py).
+# the window instead), landing at EXACTLY 50 (the two r8-cohort
+# fillers a draft of this window carried yielded their slots to the
+# late r12 pair). The full r8 cohort (46) plus r9+ cohorts queue for
+# r13+; every query is replayed each session by the local
+# dtype-hardened gate regardless (tests/test_driver_contract.py).
 def _windowed(d: dict) -> dict:
     front = {n: d[n] for n in _DRIVER_WINDOW_PRIORITY if n in d}
     front.update({n: v for n, v in d.items() if n not in front})

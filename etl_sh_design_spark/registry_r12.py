@@ -239,3 +239,32 @@ def q_preference_label_noise(spark, sf_dir):
     (operator docstring) — the reward-data cleaning signal that closes
     the battery's loop from raw judgments to the model they train."""
     return preference_label_noise(_t(spark, sf_dir, "events"), rounds=3)
+
+
+# ------------------------- generation-selection analytics (RLHF prep)
+from etl_sh_design_spark.operators.preference import (  # noqa: E402
+    best_of_n_curve,
+    best_of_n_curve_oracle_sql,
+    dpo_pair_construction,
+    dpo_pair_construction_oracle_sql,
+)
+
+
+@query("best_of_n_curve", best_of_n_curve_oracle_sql(ns=(1, 2, 4, 8), min_pool=8))
+def q_best_of_n_curve(spark, sf_dir):
+    """Exact best-of-n expected-reward curve over per-user candidate
+    pools (operator docstring): closed-form order statistics — one
+    user-keyed window + one global micro-unit-quantized aggregate, no
+    Monte-Carlo subsampling — reporting how much reward best-of-n
+    selection buys at n = 1/2/4/8. |ns| output rows."""
+    return best_of_n_curve(_t(spark, sf_dir, "events"), ns=(1, 2, 4, 8), min_pool=8)
+
+
+@query("dpo_pair_construction", dpo_pair_construction_oracle_sql(min_margin=0.0))
+def q_dpo_pair_construction(spark, sf_dir):
+    """Chosen/rejected training-pair extraction per user pool
+    (operator docstring): highest- vs lowest-scored candidate with a
+    strict-positive margin gate and deterministic id tie-breaks — the
+    preference-data PREP stage next to the battery's audits. One
+    user-keyed exchange; ≤ |users| output rows."""
+    return dpo_pair_construction(_t(spark, sf_dir, "events"), min_margin=0.0)

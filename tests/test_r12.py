@@ -418,3 +418,92 @@ def test_preference_label_noise_hand_case(spark):
     clean = preference_label_noise(_cycle_events(spark, False)).collect()
     assert all(r["n_against_model"] == 0 for r in clean)
     assert sum(r["n_comparisons"] for r in clean) == 3
+
+
+def test_best_of_n_curve_uniform_pool_closed_form(spark):
+    """One pool with scores 1..8: E[max of n] for uniform {1..N} has
+    the closed form n(N+1)/(n+1) -> 4.5 / 6.0 / 7.2 / 8.0 at
+    n = 1/2/4/8. Terms quantize to integer micro-units BEFORE the sum
+    (the order-free-add contract), so the curve is exact to N
+    half-micro-units (here <= 4e-6): n = 1 and n = 8 land exactly
+    (weights 1/8 and 1 are dyadic), n = 2 and n = 4 within the bound.
+    The below-min_pool second pool must be excluded from every n."""
+    from etl_sh_design_spark.operators.preference import best_of_n_curve
+
+    rows = [(i, i, 1, "g", float(i)) for i in range(1, 9)]
+    rows += [(100 + i, i, 2, "g", 100.0) for i in range(1, 4)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    out = {
+        r["n_samples"]: r
+        for r in best_of_n_curve(ev, ns=(1, 2, 4, 8), min_pool=8).collect()
+    }
+    assert len(out) == 4
+    assert all(out[n]["n_pools"] == 1 for n in (1, 2, 4, 8))
+    assert out[1]["avg_expected_max"] == 4.5
+    assert out[8]["avg_expected_max"] == 8.0
+    assert abs(out[2]["avg_expected_max"] - 6.0) <= 4e-6
+    assert abs(out[4]["avg_expected_max"] - 7.2) <= 4e-6
+
+
+def test_best_of_n_curve_monotone_and_guarded(spark):
+    """On the real sf0.001 events stream the curve must be strictly
+    increasing in n (selection never hurts expected max), and
+    max(ns) > min_pool must fail loud (the weight denominator would
+    hit zero on an N = min_pool pool)."""
+    from etl_sh_design_spark.operators.preference import best_of_n_curve
+    from etl_sh_design_spark.registry import _t
+
+    ev = _t(spark, SF_SMOKE, "events")
+    out = {
+        r["n_samples"]: r["avg_expected_max"]
+        for r in best_of_n_curve(ev).collect()
+    }
+    assert out[1] < out[2] < out[4] < out[8]
+    with pytest.raises(ValueError, match="min_pool"):
+        best_of_n_curve(ev, ns=(1, 16), min_pool=8)
+
+
+def test_dpo_pair_construction_hand_cases(spark):
+    """u1: plain max/min pair (margin 8). u2: tied maxima AND tied
+    minima -> both ends break to the smaller event_id. u3: all values
+    equal -> margin 0, excluded by the strict gate. u4: singleton
+    pool, excluded by n_candidates >= 2."""
+    from etl_sh_design_spark.operators.preference import dpo_pair_construction
+
+    rows = [
+        (1, 1, 1, "a", 5.0), (2, 2, 1, "b", 9.0), (3, 3, 1, "c", 1.0),
+        (4, 1, 2, "a", 7.0), (5, 2, 2, "b", 7.0), (6, 3, 2, "c", 2.0),
+        (7, 4, 2, "d", 2.0),
+        (8, 1, 3, "a", 4.0), (9, 2, 3, "b", 4.0),
+        (10, 1, 4, "a", 3.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    out = {r["prompt_id"]: r for r in dpo_pair_construction(ev).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1["chosen_id"], r1["rejected_id"], r1["margin"]) == (2, 3, 8.0)
+    assert (r1["chosen_item"], r1["rejected_item"]) == ("b", "c")
+    assert r1["n_candidates"] == 3
+    r2 = out[2]  # ties: smaller id wins BOTH ends
+    assert (r2["chosen_id"], r2["rejected_id"]) == (4, 6)
+    assert r2["margin"] == 5.0
+
+
+def test_dpo_pair_margin_gate(spark):
+    """min_margin is strict: a pair at exactly the threshold is
+    excluded; just above it survives."""
+    from etl_sh_design_spark.operators.preference import dpo_pair_construction
+
+    rows = [
+        (1, 1, 1, "a", 1.0), (2, 2, 1, "b", 3.0),   # margin 2.0
+        (3, 1, 2, "a", 1.0), (4, 2, 2, "b", 3.5),   # margin 2.5
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    got = {r["prompt_id"] for r in dpo_pair_construction(ev, min_margin=2.0).collect()}
+    assert got == {2}
