@@ -655,6 +655,44 @@ def main() -> None:
             spark.catalog.clearCache()
         return
 
+    if "--preference-100x" in sys.argv:
+        # RLHF/preference battery two decades deep (round 12 — the
+        # battery is this round's new surface, so it gets the same
+        # measured-decade treatment the window family got in r11):
+        # user population x100 via build_100x_events, per-user series
+        # length fixed — pools and raters grow in COUNT, not size,
+        # exactly how a preference log grows. Covers the three
+        # distinct shapes in the battery: the iterative bounded-matrix
+        # op (bradley_terry_strengths: N-sized window pass, then MM
+        # rounds on the |items|^2 win matrix), the fit-then-join-back
+        # op (preference_label_noise: BT fit + a second pass over the
+        # comparisons), and the pure window ops (best_of_n_curve's
+        # rank polynomial, dpo_pair_construction's two-sorted-windows
+        # exchange). Expected: wall ~linear per decade, shuffle
+        # ~10x/decade, flat per-row cost — the win matrix and |ns|
+        # output never grow.
+        build_10x(spark)
+        build_100x_events(spark)
+        spark.read.parquet(f"{SF01}/events.parquet").count()  # warm
+        qs = registry.queries()
+        for name in (
+            "bradley_terry_strengths",
+            "preference_label_noise",
+            "best_of_n_curve",
+            "dpo_pair_construction",
+        ):
+            def run(sf_dir, fn=qs[name]):
+                return lambda: fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            _decade_probe(
+                spark,
+                name,
+                [("1x", run(SF01)), ("10x", run(SF10X)), ("100x", run(SF100X))],
+            )
+        return
+
     if "--line-100x" in sys.argv:
         # line-level family one decade past the compile-bound 10x
         # (VERDICT r9 item 7): 1x -> 10x -> 100x per query
@@ -755,32 +793,52 @@ def main() -> None:
         ("semdedup_horizon_audit", "vecs", qs["semdedup_horizon_audit"]),
         ("position_bias_audit", "events", qs["position_bias_audit"]),
         ("rater_agreement_kappa", "events", qs["rater_agreement_kappa"]),
+        ("preference_label_noise", "events", qs["preference_label_noise"]),
+        ("best_of_n_curve", "events", qs["best_of_n_curve"]),
+        ("dpo_pair_construction", "events", qs["dpo_pair_construction"]),
     ]
-    # tail-relative slices shift by 4 with the round-12 additions —
-    # offsets updated in lockstep with the plan list above
-    if new_only:
-        plan = plan[-35:]
-    if "--r12-only" in sys.argv:
-        plan = plan[-4:]
-    if "--r5b-only" in sys.argv:
-        plan = plan[-19:-15]
-    if "--r5c-only" in sys.argv:
-        plan = [p for p in plan if p[0] in (
-            "similarity_ann_lsh", "knn_label_accuracy", "class_separation",
-            "bloom_decontamination",
-        )]
-    if "--r5c2-only" in sys.argv:
-        plan = plan[-23:-17]
-    if "--r8b-only" in sys.argv:
-        plan = plan[-28:-23]
-    if "--r8c-only" in sys.argv:
-        plan = plan[-23:-12]
-    if "--r9-only" in sys.argv:
-        plan = plan[-12:-9]
-    if "--r10-only" in sys.argv:
-        plan = plan[-5:-3]
-    if "--r11-only" in sys.argv:
-        plan = plan[-3:]
+    # Per-cohort slices select by NAME, not tail-relative offset: the
+    # offset scheme drifted twice (the r12 append left --r10-only /
+    # --r11-only selecting the wrong entries, and --r5b-only /
+    # --r5c2-only had drifted in an earlier round), so membership now
+    # lives in one place and appending to `plan` cannot break it.
+    COHORTS = {
+        "--r5b-only": ["token_budget_selection", "mad_outliers_events",
+                       "bpe_compression_curve", "boilerplate_prefix_clusters"],
+        "--r5c-only": ["similarity_ann_lsh", "knn_label_accuracy",
+                       "class_separation", "bloom_decontamination"],
+        "--r5c2-only": ["quality_psi_drift", "keep_rate_ab_test",
+                        "zipf_slope_sources", "incremental_refresh_pipeline",
+                        "lpa_communities", "skew_report_events"],
+        "--r8b-only": ["bigram_lm_perplexity", "kcenter_coreset",
+                       "top_ngram_coverage", "dsir_importance_weights",
+                       "semantic_decontamination"],
+        "--r8c-only": ["perplexity_buckets", "quality_retention_curve",
+                       "normalized_dedup", "embedding_dim_stats",
+                       "source_cap_sample", "dup_ngram_fraction",
+                       "context_window_fit", "cross_source_leakage",
+                       "hard_negative_mining", "vision_token_budget",
+                       "hard_negative_mining_ivf"],
+        "--r9-only": ["line_quality_rules", "c4_line_dedup",
+                      "nfc_dedup_audit"],
+        "--r10-only": ["hashed_quality_margin", "pq_rerank_topk"],
+        "--r11-only": ["phash_image_neardup", "pq_shortlist_audit",
+                       "bradley_terry_strengths"],
+        "--r12-only": ["pq_rerank_auto", "semdedup_horizon_audit",
+                       "position_bias_audit", "rater_agreement_kappa",
+                       "preference_label_noise", "best_of_n_curve",
+                       "dpo_pair_construction"],
+    }
+    for flag, members in COHORTS.items():
+        missing = set(members) - {p[0] for p in plan}
+        assert not missing, f"{flag} names not in plan: {missing}"
+        if flag in sys.argv:
+            plan = [p for p in plan if p[0] in members]
+    if new_only and any(p[0] == "class_separation" for p in plan):
+        # everything from the r5c label-eval pair onward (anchored by
+        # name — this boundary survived two offset-drift rounds only
+        # by accident)
+        plan = plan[[p[0] for p in plan].index("class_separation"):]
     results: dict[str, dict] = {}
     for sf_dir in (SF01, SF10X):
         for name, table, fn in plan:
