@@ -507,3 +507,69 @@ def test_dpo_pair_margin_gate(spark):
     )
     got = {r["prompt_id"] for r in dpo_pair_construction(ev, min_margin=2.0).collect()}
     assert got == {2}
+
+
+def test_best_of_n_curve_matches_subset_enumeration(spark):
+    """Property check against brute force: on a random 10-score pool,
+    the closed-form rank weights must equal the literal average of
+    max(S) over ALL C(10, n) n-subsets, for every n in the curve.
+    Tolerance = the documented micro-unit quantization bound
+    (N half-micro-units)."""
+    import itertools
+    import random
+
+    from etl_sh_design_spark.operators.preference import best_of_n_curve
+
+    rng = random.Random(1207)
+    scores = [round(rng.uniform(-5, 5), 3) for _ in range(10)]
+    rows = [(i, i, 1, "g", s) for i, s in enumerate(scores)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    out = {
+        r["n_samples"]: r["avg_expected_max"]
+        for r in best_of_n_curve(ev, ns=(1, 2, 3, 5, 10), min_pool=10).collect()
+    }
+    for n in (1, 2, 3, 5, 10):
+        subsets = list(itertools.combinations(scores, n))
+        brute = sum(max(s) for s in subsets) / len(subsets)
+        assert abs(out[n] - brute) <= 1e-5, (n, out[n], brute)
+
+
+def test_dpo_pair_matches_pandas_brute_force(spark):
+    """Property check against a pandas groupby oracle on 300 random
+    events over 40 pools: identical chosen/rejected ids, scores, and
+    margins under the same (value, id) total orders."""
+    import random
+
+    import pandas as pd
+
+    from etl_sh_design_spark.operators.preference import dpo_pair_construction
+
+    rng = random.Random(42)
+    rows = [
+        (i, i, rng.randrange(40), rng.choice("abcde"),
+         round(rng.uniform(0, 10), 2))
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    got = {r["prompt_id"]: r for r in dpo_pair_construction(ev).collect()}
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    expected = {}
+    for uid, g in pdf.groupby("user_id"):
+        if len(g) < 2:
+            continue
+        top = g.sort_values(["value", "event_id"], ascending=[False, True]).iloc[0]
+        bot = g.sort_values(["value", "event_id"], ascending=[True, True]).iloc[0]
+        if top["value"] - bot["value"] > 0.0:
+            expected[uid] = (int(top["event_id"]), int(bot["event_id"]),
+                             round(top["value"] - bot["value"], 6), len(g))
+    assert set(got) == set(expected)
+    for uid, (cid, rid, margin, n) in expected.items():
+        r = got[uid]
+        assert (r["chosen_id"], r["rejected_id"]) == (cid, rid), uid
+        assert r["margin"] == pytest.approx(margin, abs=1e-9)
+        assert r["n_candidates"] == n
