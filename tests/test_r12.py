@@ -573,3 +573,185 @@ def test_dpo_pair_matches_pandas_brute_force(spark):
         assert (r["chosen_id"], r["rejected_id"]) == (cid, rid), uid
         assert r["margin"] == pytest.approx(margin, abs=1e-9)
         assert r["n_candidates"] == n
+
+
+# ---------------------------------------- randomized battery cross-check
+def _brute_comparisons(rows):
+    """Pure-Python twin of _rater_comparisons: adjacent (ts, id)-
+    ordered pairs per rater, distinct items + distinct values, winner
+    by value; returns (rater, winner, loser, first_won) tuples."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, ts, uid, item, val in rows:
+        by_user[uid].append((ts, eid, item, val))
+    out = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        for (_, _, pi, pv), (_, _, ci, cv) in zip(evs, evs[1:]):
+            if pi == ci or pv == cv:
+                continue
+            first_won = pv > cv
+            out.append(
+                (uid, pi if first_won else ci, ci if first_won else pi,
+                 int(first_won))
+            )
+    return out
+
+
+def _random_events(n_events=400, n_raters=25, n_items=5, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (i, rng.randrange(50), rng.randrange(n_raters),
+         "ABCDE"[rng.randrange(n_items)], float(rng.randrange(1, 8)))
+        for i in range(n_events)
+    ]
+
+
+def test_preference_audits_match_brute_force(spark):
+    """The four relational audits against independent pure-Python
+    implementations on 400 random events (repeated values and items,
+    so ties/degenerate branches are exercised): position-bias counts
+    and z, per-rater kappa (including the integer-exact fraction),
+    Wilson lower bounds, and the Condorcet triple enumeration."""
+    import math
+    from collections import defaultdict
+
+    from etl_sh_design_spark.operators.preference import (
+        pairwise_winrate_ci,
+        position_bias_audit,
+        preference_cycle_audit,
+        rater_agreement_kappa,
+    )
+
+    rows = _random_events()
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    comps = _brute_comparisons(rows)
+    assert len(comps) > 200  # the fixture actually exercises the audits
+
+    # --- position bias
+    per = defaultdict(lambda: [0, 0])
+    for rater, _, _, fw in comps:
+        per[rater][0] += 1
+        per[rater][1] += fw
+    got = {r["rater"]: r for r in position_bias_audit(ev).collect()}
+    assert set(got) == set(per)
+    for rater, (n, w) in per.items():
+        r = got[rater]
+        assert (r["n_comparisons"], r["n_first_wins"]) == (n, w)
+        assert r["z_vs_null"] == pytest.approx((2 * w - n) / math.sqrt(n), abs=1e-6)
+
+    # --- kappa
+    coded = [
+        (rater, min(w, l), max(w, l), int(w == min(w, l)))
+        for rater, w, l, _ in comps
+    ]
+    maj = defaultdict(lambda: [0, 0])
+    for _, s, b, cs in coded:
+        maj[(s, b)][0] += 1
+        maj[(s, b)][1] += cs
+    maj_small = {k: int(2 * v[1] >= v[0]) for k, v in maj.items()}
+    per_k = defaultdict(lambda: [0, 0, 0, 0])  # n, agree, small, maj_small
+    for rater, s, b, cs in coded:
+        ms = maj_small[(s, b)]
+        a = per_k[rater]
+        a[0] += 1
+        a[1] += int(cs == ms)
+        a[2] += cs
+        a[3] += ms
+    got_k = {r["rater"]: r for r in rater_agreement_kappa(ev).collect()}
+    assert set(got_k) == set(per_k)
+    for rater, (n, agree, s, m) in per_k.items():
+        chance = s * m + (n - s) * (n - m)
+        num, den = n * agree - chance, n * n - chance
+        want = 1.0 if den == 0 else round(num / den, 6)
+        r = got_k[rater]
+        assert (r["n_judgments"], r["n_agree"]) == (n, agree)
+        assert r["kappa"] == pytest.approx(want, abs=1e-6), rater
+
+    # --- Wilson CI
+    got_w = {
+        (r["item_a"], r["item_b"]): r for r in pairwise_winrate_ci(ev).collect()
+    }
+    assert set(got_w) == set(maj)
+    for (s, b), (n, w) in maj.items():
+        p, z2 = w / n, 1.96 * 1.96
+        low = (p + z2 / (2 * n)
+               - 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))) / (1 + z2 / n)
+        r = got_w[(s, b)]
+        assert (r["n_comparisons"], r["n_wins_a"]) == (n, w)
+        assert r["wilson_low_a"] == pytest.approx(round(low, 6), abs=1e-6)
+
+    # --- Condorcet triples
+    direction = {
+        k: int(2 * v[1] > v[0]) for k, v in maj.items() if 2 * v[1] != v[0]
+    }
+    n_tri = n_cyc = 0
+    items = sorted({x for k in direction for x in k})
+    import itertools
+
+    for i, j, k in itertools.combinations(items, 3):
+        if ((i, j) in direction and (j, k) in direction and (i, k) in direction):
+            d_ij, d_jk, d_ik = direction[(i, j)], direction[(j, k)], direction[(i, k)]
+            n_tri += 1
+            n_cyc += int((d_ij == 1 and d_jk == 1 and d_ik == 0)
+                         or (d_ij == 0 and d_jk == 0 and d_ik == 1))
+    r = preference_cycle_audit(ev).collect()[0]
+    assert (r["n_triples_complete"], r["n_cyclic"]) == (n_tri, n_cyc)
+
+
+def test_bradley_terry_matches_python_mm(spark):
+    """bradley_terry_strengths against an independent pure-Python MM
+    with the IDENTICAL micro-unit quantization schedule on the random
+    400-event fixture: same win/game counts, same 6dp strengths after
+    3 rounds. Catches any drift between the relational iteration and
+    the published MM recurrence (Hunter 2004) beyond what the
+    hand-case golden pins."""
+    from collections import defaultdict
+
+    from etl_sh_design_spark.operators.preference import (
+        bradley_terry_strengths,
+    )
+
+    rows = _random_events()
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    comps = _brute_comparisons(rows)
+
+    wins = defaultdict(int)
+    for _, w, l, _ in comps:
+        wins[(w, l)] += 1
+    games = defaultdict(int)
+    for (w, l), c in wins.items():
+        games[(w, l)] += c
+        games[(l, w)] += c
+    n_games = defaultdict(int)
+    n_wins = defaultdict(int)
+    for (a, b), n in games.items():
+        n_games[a] += n
+    for (w, _), c in wins.items():
+        n_wins[w] += c
+    items = sorted(n_games)
+    p = {i: 1.0 for i in items}
+    for _ in range(3):
+        d_micro = defaultdict(int)
+        for (a, b), n in games.items():
+            d_micro[a] += int(round(n * 1e6 / (p[a] + p[b])))
+        p = {
+            i: round(n_wins.get(i, 0) * 1e6 / d_micro[i], 6) for i in items
+        }
+    pm = {i: int(round(p[i] * 1e6)) for i in items}
+    tot = sum(pm.values())
+    strength = {i: round(pm[i] / tot, 6) for i in items}
+
+    got = {r["event_type"]: r for r in bradley_terry_strengths(ev).collect()}
+    assert set(got) == set(items)
+    for i in items:
+        r = got[i]
+        assert (r["n_wins"], r["n_games"]) == (n_wins.get(i, 0), n_games[i]), i
+        assert r["strength"] == pytest.approx(strength[i], abs=2e-6), i
