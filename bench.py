@@ -56,6 +56,10 @@ HEADLINE = [
     "pq_family_shared",
     "pq_recall_audit",
     "phash_image_neardup",
+    # owns the preference family's memoized comparison sub-plan
+    # (registry_r11.battery_comparisons): first battery entry in sweep
+    # order pays the one user-keyed exchange, the audits below reuse it
+    # (same attribution discipline as dedup_family_shared_subplan)
     "bradley_terry_strengths",
     # round-12 additions: auto-R re-rank, the two family audits, and
     # the preference battery (all sub-3 s in the full sweep)

@@ -61,14 +61,27 @@ def preference_pairs(
 
 
 def bradley_terry_strengths(
-    events: DataFrame, rounds: int = 3, **pair_kw
+    events: DataFrame,
+    rounds: int = 3,
+    comparisons: DataFrame | None = None,
+    **pair_kw,
 ) -> DataFrame:
     """Per-item (n_wins, n_games, strength): `rounds` MM iterations of
     the Bradley-Terry model over the aggregated win matrix, strengths
     normalized to sum 1 at the end (BT is scale-invariant, so the
     normalization fixes the gauge). See the module docstring for the
-    determinism and scale contracts."""
-    pairs = preference_pairs(events, **pair_kw)
+    determinism and scale contracts.
+
+    `comparisons`: a precomputed `_rater_comparisons` frame — the
+    battery's ONE user-keyed exchange, shared across all its queries
+    when the registry passes the memoized sub-plan (result-identical
+    to recomputing; `preference_pairs` is that frame minus the rater/
+    position columns)."""
+    pairs = (
+        comparisons.select("winner", "loser")
+        if comparisons is not None
+        else preference_pairs(events, **pair_kw)
+    )
     wins = pairs.groupBy("winner", "loser").agg(
         F.count(F.lit(1)).alias("w")
     ).localCheckpoint(eager=False)
@@ -251,7 +264,11 @@ def _rater_comparisons(
     )
 
 
-def position_bias_audit(events: DataFrame, **pair_kw) -> DataFrame:
+def position_bias_audit(
+    events: DataFrame,
+    comparisons: DataFrame | None = None,
+    **pair_kw,
+) -> DataFrame:
     """Per-rater first-position win rate vs the 50% null — the RLHF
     annotation-quality audit next to `bradley_terry_strengths`: human
     raters measurably over-prefer the option shown FIRST, and a rater
@@ -270,7 +287,11 @@ def position_bias_audit(events: DataFrame, **pair_kw) -> DataFrame:
     matrix, no iteration. Deterministic: counts are integers, the two
     derived columns are single IEEE double expressions rounded 6dp
     identically on both engines."""
-    c = _rater_comparisons(events, **pair_kw)
+    c = (
+        comparisons
+        if comparisons is not None
+        else _rater_comparisons(events, **pair_kw)
+    )
     return c.groupBy("rater").agg(
         F.count(F.lit(1)).alias("n_comparisons"),
         F.sum("first_won").cast("bigint").alias("n_first_wins"),
@@ -299,7 +320,11 @@ GROUP BY 1
 """
 
 
-def rater_agreement_kappa(events: DataFrame, **pair_kw) -> DataFrame:
+def rater_agreement_kappa(
+    events: DataFrame,
+    comparisons: DataFrame | None = None,
+    **pair_kw,
+) -> DataFrame:
     """Per-rater Cohen's kappa against the majority verdict — the
     inter-annotator-agreement audit of the preference battery: a
     rater whose judgments agree with the pooled majority no more than
@@ -325,7 +350,11 @@ def rater_agreement_kappa(events: DataFrame, **pair_kw) -> DataFrame:
     inputs to the kappa expression are exact integer counts; the
     expression is evaluated in the same literal shape on both
     engines and rounded 6dp."""
-    c = _rater_comparisons(events, **pair_kw).select(
+    c = (
+        comparisons
+        if comparisons is not None
+        else _rater_comparisons(events, **pair_kw)
+    ).select(
         "rater",
         F.least("winner", "loser").alias("small"),
         F.greatest("winner", "loser").alias("big"),
@@ -409,7 +438,11 @@ FROM agg
 """
 
 
-def pairwise_winrate_ci(events: DataFrame, **pair_kw) -> DataFrame:
+def pairwise_winrate_ci(
+    events: DataFrame,
+    comparisons: DataFrame | None = None,
+    **pair_kw,
+) -> DataFrame:
     """Per item pair: win rate of the smaller item with its Wilson
     95% lower bound — the ranking-confidence audit of the preference
     battery (how sure is 'A beats B' given n judgments?). The Wilson
@@ -427,7 +460,11 @@ def pairwise_winrate_ci(events: DataFrame, **pair_kw) -> DataFrame:
     |items|²-bounded pair key. Deterministic: the Wilson expression is
     a single IEEE double formula over integer counts, written in the
     same literal shape on both engines, rounded 6dp."""
-    c = _rater_comparisons(events, **pair_kw)
+    c = (
+        comparisons
+        if comparisons is not None
+        else _rater_comparisons(events, **pair_kw)
+    )
     agg = c.groupBy(
         F.least("winner", "loser").alias("item_a"),
         F.greatest("winner", "loser").alias("item_b"),
@@ -480,7 +517,11 @@ FROM agg
 """
 
 
-def preference_cycle_audit(events: DataFrame, **pair_kw) -> DataFrame:
+def preference_cycle_audit(
+    events: DataFrame,
+    comparisons: DataFrame | None = None,
+    **pair_kw,
+) -> DataFrame:
     """Global transitivity audit: the fraction of item TRIPLES whose
     pooled majority directions form a cycle (A beats B, B beats C,
     C beats A) — Condorcet-cyclic preference data has no consistent
@@ -496,7 +537,11 @@ def preference_cycle_audit(events: DataFrame, **pair_kw) -> DataFrame:
     All counts integer-exact; ties are EXCLUDED (a tied pair has no
     majority direction), so the audit is deterministic with no
     tie-break convention."""
-    c = _rater_comparisons(events, **pair_kw)
+    c = (
+        comparisons
+        if comparisons is not None
+        else _rater_comparisons(events, **pair_kw)
+    )
     m = (
         c.groupBy(
             F.least("winner", "loser").alias("a"),
@@ -803,7 +848,10 @@ WHERE c.n_candidates >= 2
 
 
 def preference_label_noise(
-    events: DataFrame, rounds: int = 3, **pair_kw
+    events: DataFrame,
+    rounds: int = 3,
+    comparisons: DataFrame | None = None,
+    **pair_kw,
 ) -> DataFrame:
     """Per item pair: how many comparisons CONTRADICT the fitted
     Bradley-Terry ranking (the winner has strictly lower final
@@ -822,8 +870,14 @@ def preference_label_noise(
     |items|²-bounded aggregate. Determinism: strengths are the
     hash-oracled 6dp BT outputs; the contradiction test is a strict
     < on those."""
-    c = _rater_comparisons(events, **pair_kw)
-    st = bradley_terry_strengths(events, rounds=rounds, **pair_kw).select(
+    c = (
+        comparisons
+        if comparisons is not None
+        else _rater_comparisons(events, **pair_kw)
+    )
+    st = bradley_terry_strengths(
+        events, rounds=rounds, comparisons=comparisons, **pair_kw
+    ).select(
         F.col("event_type").alias("item"), "strength"
     )
     sw = st.select(F.col("item").alias("winner"), F.col("strength").alias("s_w"))

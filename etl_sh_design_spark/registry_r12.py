@@ -106,6 +106,10 @@ def q_semdedup_horizon_audit(spark, sf_dir):
 
 
 # ------------------------------------ RLHF preference battery (stretch)
+# Every battery query consumes the memoized shared comparison
+# sub-plan (registry_r11.battery_comparisons): one user-keyed
+# exchange per session per sf_dir for the whole family.
+from etl_sh_design_spark.registry_r11 import battery_comparisons  # noqa: E402
 from etl_sh_design_spark.operators.preference import (  # noqa: E402
     position_bias_audit,
     position_bias_audit_oracle_sql,
@@ -120,7 +124,10 @@ def q_position_bias_audit(spark, sf_dir):
     over the SAME comparison stream bradley_terry_strengths consumes
     (operator docstring): the annotation-quality audit that catches
     raters injecting position, not preference, into reward data."""
-    return position_bias_audit(_t(spark, sf_dir, "events"))
+    return position_bias_audit(
+        _t(spark, sf_dir, "events"),
+        comparisons=battery_comparisons(spark, sf_dir),
+    )
 
 
 @query("rater_agreement_kappa", rater_agreement_kappa_oracle_sql())
@@ -128,7 +135,10 @@ def q_rater_agreement_kappa(spark, sf_dir):
     """Per-rater Cohen's kappa against the pooled majority verdict
     (binary-recoded across item pairs; operator docstring) — the
     inter-annotator agreement audit of the preference battery."""
-    return rater_agreement_kappa(_t(spark, sf_dir, "events"))
+    return rater_agreement_kappa(
+        _t(spark, sf_dir, "events"),
+        comparisons=battery_comparisons(spark, sf_dir),
+    )
 
 
 from etl_sh_design_spark.operators.preference import (  # noqa: E402
@@ -144,7 +154,10 @@ def q_pairwise_winrate_ci(spark, sf_dir):
     """Per item pair: smaller-item win rate with the Wilson 95% lower
     bound (operator docstring) — which pairwise rankings the
     comparison volume actually supports. |items|²-bounded output."""
-    return pairwise_winrate_ci(_t(spark, sf_dir, "events"))
+    return pairwise_winrate_ci(
+        _t(spark, sf_dir, "events"),
+        comparisons=battery_comparisons(spark, sf_dir),
+    )
 
 
 @query("preference_cycle_audit", preference_cycle_audit_oracle_sql())
@@ -152,7 +165,10 @@ def q_preference_cycle_audit(spark, sf_dir):
     """Condorcet-cycle rate over strict-majority item triples
     (operator docstring) — cyclic preference data has no consistent
     ranking for a reward model to learn. One scalar row."""
-    return preference_cycle_audit(_t(spark, sf_dir, "events"))
+    return preference_cycle_audit(
+        _t(spark, sf_dir, "events"),
+        comparisons=battery_comparisons(spark, sf_dir),
+    )
 
 
 # ------------------------------------ LSH band-occupancy audit
@@ -238,7 +254,11 @@ def q_preference_label_noise(spark, sf_dir):
     """Per item pair: comparisons contradicting the fitted BT ranking
     (operator docstring) — the reward-data cleaning signal that closes
     the battery's loop from raw judgments to the model they train."""
-    return preference_label_noise(_t(spark, sf_dir, "events"), rounds=3)
+    return preference_label_noise(
+        _t(spark, sf_dir, "events"),
+        rounds=3,
+        comparisons=battery_comparisons(spark, sf_dir),
+    )
 
 
 # ------------------------- generation-selection analytics (RLHF prep)

@@ -755,3 +755,37 @@ def test_bradley_terry_matches_python_mm(spark):
         r = got[i]
         assert (r["n_wins"], r["n_games"]) == (n_wins.get(i, 0), n_games[i]), i
         assert r["strength"] == pytest.approx(strength[i], abs=2e-6), i
+
+
+def test_battery_shared_subplan_parity(spark):
+    """The memoized shared comparison sub-plan (registry_r11.
+    battery_comparisons) must be result-identical to each operator's
+    standalone window on the real sf0.001 stream, for every battery
+    query — and the second registry call must hand back the SAME
+    cached frame (one exchange per session per sf_dir)."""
+    from etl_sh_design_spark.operators.preference import (
+        bradley_terry_strengths,
+        pairwise_winrate_ci,
+        position_bias_audit,
+        preference_cycle_audit,
+        preference_label_noise,
+        rater_agreement_kappa,
+    )
+    from etl_sh_design_spark.registry import _t
+    from etl_sh_design_spark.registry_r11 import battery_comparisons
+
+    ev = _t(spark, SF_SMOKE, "events")
+    comps = battery_comparisons(spark, SF_SMOKE)
+    assert battery_comparisons(spark, SF_SMOKE) is comps  # memoized
+
+    for op in (
+        bradley_terry_strengths,
+        position_bias_audit,
+        rater_agreement_kappa,
+        pairwise_winrate_ci,
+        preference_cycle_audit,
+        preference_label_noise,
+    ):
+        a = sorted(map(str, op(ev).collect()))
+        b = sorted(map(str, op(ev, comparisons=comps).collect()))
+        assert a == b, op.__name__
