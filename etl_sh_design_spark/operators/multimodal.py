@@ -199,9 +199,15 @@ def phash_pairs(
             f"pigeonhole needs max_hamming < n_bands: "
             f"max_hamming={max_hamming}, band_w={band_w} -> n_bands={n_bands}"
         )
+    # cache the signature table: both sides of the self-join read it,
+    # and without the cache the plan computes the 56-md5-per-row
+    # signature expression TWICE (once per side) — the single most
+    # expensive scan in the sweep (guide §2.4: share the subtree, not
+    # recompute it). Same discipline as simhash_pairs' sh.cache().
+    # (id, phash) is 16 bytes/row however large the payloads.
     ph = docs.select(
         F.col(id_col), F.expr(ahash56_expr(text_col)).alias("phash")
-    )
+    ).cache()
     if brute:
         a = ph.select(F.col(id_col).alias("id_a"), F.col("phash").alias("ha"))
         b = ph.select(F.col(id_col).alias("id_b"), F.col("phash").alias("hb"))
