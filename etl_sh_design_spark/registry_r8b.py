@@ -242,13 +242,18 @@ def q_top_ngram_coverage(spark, sf_dir):
     cnt = grams.groupBy("doc_id", "source", "n_chars", "n", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = W.partitionBy("doc_id", "n").orderBy(F.desc("cnt"), F.asc("gram"))
+    # argmax as min(struct(-cnt, gram)) instead of a row_number window
+    # (round 12, guide §2.4): same row — highest cnt, then lowest gram
+    # — but a partial-aggregating groupBy replaces the window's full
+    # per-partition sort, and the second exchange carries one row per
+    # (doc, n) instead of every distinct gram.
     top = (
-        cnt.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        cnt.groupBy("doc_id", "source", "n_chars", "n")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("gram"))).alias("m"))
         .withColumn(
             "coverage",
-            (F.col("cnt") * F.length("gram")).cast("double") / F.col("n_chars"),
+            (-F.col("m.nc") * F.length(F.col("m.gram"))).cast("double")
+            / F.col("n_chars"),
         )
     )
     thr = (
