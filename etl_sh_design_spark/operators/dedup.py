@@ -82,18 +82,26 @@ def word_shingles(
     The token array is projected ONCE before the gram transform:
     inlining the split expression into the lambda makes Catalyst
     re-evaluate the regex split per gram element (~3x tokens per row
-    — measured 6-8x slower at sf0.1)."""
+    — measured 6-8x slower at sf0.1).
+
+    Dedup is IN-ROW (`array_distinct` on the gram array), not a
+    `.distinct()` shuffle: shingle duplication is per-document, so
+    under the operator's contract that `id_col` is unique per input
+    row (true of every engine corpus — doc_id / doc_id + 1000000
+    unions) the row set is identical (asserted both ways by
+    tests) while the full Exchange of the (id, shingle) incidence
+    disappears — measured 1.27 -> 0.38 s on the sf0.1 mutated corpus,
+    and at 100 TB the incidence shuffle is corpus x ~|tokens| rows."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
     grams = (
         f"CASE WHEN size(toks) >= {n} THEN "
-        f"transform(sequence(0, size(toks) - {n}), "
-        f"i -> concat_ws(' ', {', '.join(f'toks[i + {j}]' for j in range(n))})) "
+        f"array_distinct(transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws(' ', {', '.join(f'toks[i + {j}]' for j in range(n))}))) "
         f"ELSE array() END"
     )
     return (
         df.select(F.col(id_col), F.expr(toks).alias("toks"))
         .select(F.col(id_col), F.explode(F.expr(grams)).alias("shingle"))
-        .distinct()
     )
 
 
