@@ -171,13 +171,18 @@ def q3(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # c_mktsegment is functionally dependent on l_orderkey (orders ->
+    # exactly one customer on the unique c_custkey), so grouping BY it
+    # instead of any_value()-ing it is row-identical — and a string in
+    # the GROUP KEY keeps the plan in hash aggregation, where a string
+    # in the AGG BUFFER forced SortAggregate (two full sorts of the
+    # joined lineitems — the plan's only non-broadcast cost).
     rev = (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
-        .groupBy(li.l_orderkey.alias("o_orderkey"))
+        .groupBy(li.l_orderkey.alias("o_orderkey"), F.col("c_mktsegment"))
         .agg(
             F.sum(li.l_extendedprice * (1 - li.l_discount)).alias("revenue"),
-            F.any_value("c_mktsegment").alias("c_mktsegment"),
         )
     )
     return (

@@ -1060,8 +1060,10 @@ def q_leakage_safe_split(spark, sf_dir):
         _split(F.col("component")).alias("split"),
         _split(F.col("doc_id")).alias("naive_split"),
     )
-    cl = assign.groupBy("component").agg(
-        F.any_value("split").alias("split"),
+    # `split` is a pure function of `component`, so grouping BY it is
+    # row-identical to any_value()-ing it — and keeps the aggregate
+    # hash-based (a string agg BUFFER forces SortAggregate).
+    cl = assign.groupBy("component", "split").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("naive_split").alias("n_naive_splits"),
     )
