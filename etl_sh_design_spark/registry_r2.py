@@ -205,6 +205,14 @@ def q_tfidf_cosine_topk(spark, sf_dir):
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # The weighted postings table fans out THREE ways (norms, probe
+    # side, inverted-index join) — without the cache each consumer
+    # re-runs the tokenize -> tf -> idf chain from the scan (measured
+    # 3 full recomputes; min wall 5.7 -> 3.5 s at sf0.1). .cache(),
+    # NOT localCheckpoint(eager=False): under AQE a "lazy" checkpoint
+    # still executes every upstream query stage at BUILD time
+    # (AdaptiveSparkPlanExec materializes on toRdd — measured 9 jobs
+    # from construction alone), which breaks the laziness gate.
     w = (
         tf.join(F.broadcast(df_), "token")
         .crossJoin(F.broadcast(n_docs))
@@ -216,6 +224,7 @@ def q_tfidf_cosine_topk(spark, sf_dir):
                 * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
             ).alias("wgt"),
         )
+        .cache()
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nrm"))
     q = w.filter(F.col("doc_id") < 10).select(
