@@ -54,6 +54,10 @@ EAGER_BUILDERS = {
     "ann_recall_at_k": "probe panel materialized to bound the brute side",
     "lsh_recall_eval": "same probe panel",
     "knn_label_accuracy": "probe panel materialized",
+    "similarity_topk": "probe panel materialized (cosine_topk GEMM "
+    "path drives the broadcast probe matrix from the panel, round 12)",
+    "ann_multiprobe_recall": "same probe panel (brute side of the "
+    "recall comparison goes through the cosine_topk GEMM path)",
     "knn_label_accuracy_stratified": "hash-order-statistic panel",
     "real_export_centers_check": "regenerates + reloads the YAML export",
     "embedding_neardup": "size-measured dispatch: counts the corpus to "
@@ -119,6 +123,18 @@ EAGER_BUILDERS = {
     "inside minhash_signatures_wide",
     "preference_label_noise": "builds the BT strengths it audits "
     "against (same checkpointed MM rounds as bradley_terry_strengths)",
+    "position_bias_audit": "may pay the preference battery's shared "
+    "memoized comparison sub-plan (registry_r11.battery_comparisons): "
+    "whichever battery member is constructed FIRST in a session "
+    "absorbs the one-time checkpoint jobs (AQE materializes query "
+    "stages on toRdd at checkpoint creation), and in registry dict "
+    "order that is this query — the minhash_lsh_neardup contract. "
+    "Pre-existing order-dependent behavior surfaced in round 12 when "
+    "the gate ran before any battery-warming test",
+    "rater_agreement_kappa": "same shared comparison sub-plan (absorbs "
+    "the one-time build if constructed first)",
+    "pairwise_winrate_ci": "same shared comparison sub-plan",
+    "preference_cycle_audit": "same shared comparison sub-plan",
 }
 
 # datasource schema-probe jobs (1 footer-read task on first scan of a
