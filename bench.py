@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_family_shared_subplan",
     "pq_family_shared",
     "ivfpq_family_shared",
+    "acceptance_family_shared",
     "pq_recall_audit",
     "phash_image_neardup",
     # owns the preference family's memoized comparison sub-plan
@@ -402,6 +403,21 @@ def main() -> None:
             timings["ivfpq_family_shared"] = -1.0
             print(f"bench: ivfpq family warm-up FAILED: {exc}", file=sys.stderr)
         spark.catalog.clearCache()
+    # Round 12: the two multi-variant acceptance queries share ONE
+    # memoized per-(variant, event) hit table (registry_r7.mv_per_hit
+    # — the 1e6-ray scan + binned containment join was ~95% of BOTH
+    # plans). The build is owned by its own timed entry so each query
+    # reports only its tail; the total still pays the build once.
+    if only_set is None or "acceptance_family_shared" in only_set:
+        t0 = time.perf_counter()
+        try:
+            from etl_sh_design_spark import registry_r7
+
+            registry_r7.mv_per_hit(spark).count()
+            timings["acceptance_family_shared"] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            timings["acceptance_family_shared"] = -1.0
+            print(f"bench: acceptance family warm-up FAILED: {exc}", file=sys.stderr)
     # Determinism (round-4 verdict task 7): headline queries run
     # N_RUNS times back-to-back and report the BEST (warm) time, with
     # the per-query spread recorded in BENCH_FULL.json — same-host

@@ -438,6 +438,7 @@ def multi_variant_acceptance(
     spark: SparkSession,
     n_rays: int,
     variants: dict[str, DataFrame],
+    per_hit: DataFrame | None = None,
 ) -> DataFrame:
     """(variant, eta_bin, n_rays, eff, mean_n, mean_t) for every
     variant from one ray scan. Per-bin ray totals are computed ONCE
@@ -449,8 +450,13 @@ def multi_variant_acceptance(
         mean_n = sum(n) / n_rays_bin          (misses contribute 0)
         mean_t = avg(45/sqrt(n)) over hit events (misses excluded,
                  matching the single-variant profile's CASE WHEN n>0)
-    """
-    per_hit = multi_variant_ray_hits(spark, n_rays, variants)
+
+    `per_hit` optionally injects an already-materialized
+    `multi_variant_ray_hits` table (the registry memoizes ONE such
+    table per session for the two multi-variant queries — the ray
+    scan + containment join is their dominant shared cost)."""
+    if per_hit is None:
+        per_hit = multi_variant_ray_hits(spark, n_rays, variants)
     rays = datagen.rays(spark, n_rays).filter(F.col("eta") < F.lit(REAL_ETA_BINS.hi))
     bin_col = REAL_ETA_BINS.bin_of("eta").alias("eta_bin")
     bin_tot = rays.groupBy(bin_col).agg(F.count(F.lit(1)).alias("n_rays"))
@@ -530,6 +536,7 @@ def multi_variant_hit_histogram(
     spark: SparkSession,
     n_rays: int,
     variants: dict[str, DataFrame],
+    per_hit: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(variant, n) hit-count histogram + per-variant mean from
     the SAME one-pass ray scan as `multi_variant_acceptance`
@@ -541,8 +548,12 @@ def multi_variant_hit_histogram(
     variant — the hit sub-plan stays |hits|-sized, not rays x variants.
     The positive-bin aggregate feeds both the histogram rows and the
     per-variant mean; its shuffle is identical in both branches, so
-    Spark's ReuseExchange evaluates the ray scan once."""
-    per_hit = multi_variant_ray_hits(spark, n_rays, variants)
+    Spark's ReuseExchange evaluates the ray scan once.
+
+    `per_hit` optionally injects an already-materialized
+    `multi_variant_ray_hits` table (see multi_variant_acceptance)."""
+    if per_hit is None:
+        per_hit = multi_variant_ray_hits(spark, n_rays, variants)
     rays = datagen.rays(spark, n_rays).filter(F.col("eta") < F.lit(REAL_ETA_BINS.hi))
     total = rays.agg(F.count(F.lit(1)).alias("n_total"))
     pos = per_hit.groupBy(

@@ -317,6 +317,53 @@ _TDR_YAML = os.path.join(_REF_DIR, "layouts", "database_TDR.yaml")
 _HAVE_YAMLS = os.path.isfile(_NEW_YAML) and os.path.isfile(_TDR_YAML)
 
 
+_MV_VARIANTS_MEMO: dict[str, dict] = {}
+
+
+def _mv_variants(spark) -> dict:
+    """The fixed 3-variant corner set both multi-variant queries use.
+    Memoized per session: each real_layout_sensors call re-parses the
+    shipped YAML database and re-ships a ~2k-row createDataFrame from
+    the driver — measured 1.5-3 s of pure CONSTRUCTION cost per query
+    build, paid twice per sweep for identical static tables."""
+    key = spark.sparkContext.applicationId
+    got = _MV_VARIANTS_MEMO.get(key)
+    if got is None:
+        got = {
+            "new": acceptance.real_layout_sensors(spark, _NEW_YAML, "new"),
+            "TDR": acceptance.real_layout_sensors(spark, _TDR_YAML, "TDR"),
+            "synthetic": datagen.sensors(spark).select(
+                "layer", "ax1", "ax2", "ay1", "ay2"
+            ),
+        }
+        _MV_VARIANTS_MEMO[key] = got
+    return got
+
+
+# One per-(variant, event) hit table per session: the ray scan +
+# binned containment join is ~95% of BOTH multi-variant queries'
+# plans and is variant-set-fixed at the registry layer, so the two
+# queries (acceptance_multi_variant / _hist) recomputed the identical
+# sub-plan per sweep (3.32 + 3.24 s at sf0.1). Same session-memo +
+# owned-bench-entry discipline as the PQ/dedup families: the
+# checkpoint is keyed on applicationId (dies with the session; every
+# bench/oracle invocation recomputes it), and bench.py times the
+# build as its own `acceptance_family_shared` entry so each query
+# reports only its tail.
+_MV_HITS_MEMO: dict[str, object] = {}
+
+
+def mv_per_hit(spark):
+    key = spark.sparkContext.applicationId
+    got = _MV_HITS_MEMO.get(key)
+    if got is None:
+        got = acceptance.multi_variant_ray_hits(
+            spark, N_RAYS, _mv_variants(spark)
+        ).localCheckpoint(eager=False)
+        _MV_HITS_MEMO[key] = got
+    return got
+
+
 def _variant_corner_sql(yaml_path: str, layout: str) -> str:
     rows = acceptance.real_layout_sensor_rows(yaml_path, layout)
     values = ",".join(f"({lyr},{x!r},{y!r})" for lyr, x, y in rows)
@@ -350,15 +397,11 @@ def q_acceptance_multi_variant(spark, sf_dir):
     neither the ray scan nor the ray row count is multiplied by the
     variant count — the reference's cell-60 four-variant loop collapses
     into a single binned equi-join. Plan-asserted single-scan in
-    tests/test_faces_tiling.py."""
-    variants = {
-        "new": acceptance.real_layout_sensors(spark, _NEW_YAML, "new"),
-        "TDR": acceptance.real_layout_sensors(spark, _TDR_YAML, "TDR"),
-        "synthetic": datagen.sensors(spark).select(
-            "layer", "ax1", "ax2", "ay1", "ay2"
-        ),
-    }
-    return acceptance.multi_variant_acceptance(spark, N_RAYS, variants)
+    tests/test_faces_tiling.py. The per-hit table is the session memo
+    shared with acceptance_multi_variant_hist (see mv_per_hit)."""
+    return acceptance.multi_variant_acceptance(
+        spark, N_RAYS, _mv_variants(spark), per_hit=mv_per_hit(spark)
+    )
 
 
 @_query_if(
@@ -381,12 +424,9 @@ def q_acceptance_multi_variant_hist(spark, sf_dir):
     (geometric_acceptance.ipynb cells 62-66: one `Hist1D(nHits[v],
     "5,-0.5,4.5")` per variant plus its printed mean) — round-8
     closure of VERDICT r7 item 6. The n=0 bin is reconstructed
-    arithmetically, so the hit sub-plan is never rays x variants."""
-    variants = {
-        "new": acceptance.real_layout_sensors(spark, _NEW_YAML, "new"),
-        "TDR": acceptance.real_layout_sensors(spark, _TDR_YAML, "TDR"),
-        "synthetic": datagen.sensors(spark).select(
-            "layer", "ax1", "ax2", "ay1", "ay2"
-        ),
-    }
-    return acceptance.multi_variant_hit_histogram(spark, N_RAYS, variants)
+    arithmetically, so the hit sub-plan is never rays x variants.
+    The per-hit table is the session memo shared with
+    acceptance_multi_variant (see mv_per_hit)."""
+    return acceptance.multi_variant_hit_histogram(
+        spark, N_RAYS, _mv_variants(spark), per_hit=mv_per_hit(spark)
+    )

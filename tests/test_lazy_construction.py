@@ -59,6 +59,10 @@ EAGER_BUILDERS = {
     "ann_multiprobe_recall": "same probe panel (brute side of the "
     "recall comparison goes through the cosine_topk GEMM path)",
     "knn_label_accuracy_stratified": "hash-order-statistic panel",
+    "hard_negative_mining": "anchor panel materialized (GEMM path "
+    "drives the broadcast anchor matrix from the panel, round 12)",
+    "semantic_decontamination": "eval panel materialized (GEMM path "
+    "drives the broadcast probe matrix from the panel, round 12)",
     "real_export_centers_check": "regenerates + reloads the YAML export",
     "embedding_neardup": "size-measured dispatch: counts the corpus to "
     "choose broadcast GEMM vs blocked GEMM (documented auto-dispatch)",
@@ -106,6 +110,14 @@ EAGER_BUILDERS = {
     "ivfpq_shortlist_audit": "IVF + PQ codebook training feeding the "
     "audited probed-cells ADC set",
     # round-12 additions
+    "acceptance_multi_variant": "may pay the shared memoized "
+    "multi-variant per-hit build (registry_r7.mv_per_hit): whichever "
+    "of the two multi-variant queries is constructed FIRST in a "
+    "session absorbs the one-time checkpoint jobs (AQE materializes "
+    "query stages on toRdd at checkpoint creation) — the "
+    "minhash_lsh_neardup contract",
+    "acceptance_multi_variant_hist": "same shared memoized per-hit "
+    "build (absorbs the one-time build if constructed first)",
     "pq_rerank_auto": "PQ codebook training feeding the tie-class-"
     "covering (auto-R) ADC shortlist — same trained-centroid "
     "broadcasts as pq_rerank_topk",
