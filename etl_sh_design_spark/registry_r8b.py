@@ -449,7 +449,20 @@ def q_semantic_decontamination(spark, sf_dir):
     — same contract as `embedding_neardup`'s documented dispatch.
     Determinism: index-order dot/norm folds rounded 6 dp before the
     division, cosine rounded 6 dp before threshold/max on BOTH
-    engines."""
+    engines.
+
+    Scoring runs as a BLAS GEMM against the broadcast eval panel
+    inside mapInPandas since round 12 (guide §4.2 — same move as
+    cosine_topk / hard_negative_mining; the HOF form stays behind
+    use_gemm=False as the parity twin). Each Arrow batch emits ONE
+    partial row per probe (count of cos >= 0.99 + batch max), so the
+    exchange is ~tasks x |panel| rows; all roundings (dot and squared
+    norms at 6 dp before the division, cosine at 6 dp before the
+    threshold/max) happen batch-side with np.round."""
+    return semantic_decontamination_result(spark, sf_dir, use_gemm=True)
+
+
+def semantic_decontamination_result(spark, sf_dir, use_gemm: bool = True):
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -466,6 +479,53 @@ def q_semantic_decontamination(spark, sf_dir):
     train = e.filter(
         (F.col("vec_id") % 50 != 0) | (F.col("vec_id") >= 500)
     ).unionByName(planted)
+    if use_gemm:
+        import numpy as np
+
+        ppdf = panel.toPandas()  # eval-panel-sized by contract
+        p_ids = ppdf["probe_id"].to_numpy(dtype="int64")
+        if len(ppdf):
+            pm = np.vstack([np.asarray(v, dtype="float64") for v in ppdf["pv"]])
+        else:
+            pm = np.zeros((0, 1))
+        # _SD_NORM: squared norms rounded to 6 dp BEFORE sqrt/division
+        pn2 = np.round((pm * pm).sum(axis=1), 6)
+        keep_p = pn2 > 0  # zero-norm guard, same exclusion as the HOF path
+        p_ids, pm, pn2 = p_ids[keep_p], pm[keep_p], pn2[keep_p]
+        bc = e.sparkSession.sparkContext.broadcast((p_ids, pm, np.sqrt(pn2)))
+
+        def fn(batches):
+            import pandas as pd
+
+            pids, qm, qn = bc.value
+            for batch in batches:
+                if len(batch) == 0 or len(pids) == 0:
+                    continue
+                cm = np.vstack(
+                    [np.asarray(v, dtype="float64") for v in batch["v"]]
+                )
+                cn2 = np.round((cm * cm).sum(axis=1), 6)
+                ok = cn2 > 0
+                if not ok.any():
+                    continue
+                cm, cn2 = cm[ok], cn2[ok]
+                dot = np.round(cm @ qm.T, 6)
+                cos = np.round(dot / np.outer(np.sqrt(cn2), qn), 6)
+                yield pd.DataFrame(
+                    {
+                        "probe_id": pids,
+                        "cnt": (cos >= 0.99).sum(axis=0).astype("int64"),
+                        "mx": cos.max(axis=0),
+                    }
+                )
+
+        partial = train.select("v").mapInPandas(
+            fn, "probe_id bigint, cnt bigint, mx double"
+        )
+        return partial.groupBy("probe_id").agg(
+            F.sum("cnt").cast("bigint").alias("n_contaminated"),
+            F.round(F.max("mx"), 6).alias("max_cos"),
+        )
     scored = (
         train.crossJoin(F.broadcast(panel))
         .withColumn("dot", F.expr(_SD_DOT))

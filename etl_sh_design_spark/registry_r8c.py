@@ -715,7 +715,23 @@ def q_hard_negative_mining(spark, sf_dir):
     the -vec_id struct field makes the winner total-ordered (the
     DuckDB twin's row_number ORDER BY cos DESC, vec_id picks the same
     row); zero-norm vectors are excluded on both engines (ANSI x/0
-    vs NULL divergence)."""
+    vs NULL divergence).
+
+    Scoring runs as a BLAS GEMM against the broadcast anchor panel
+    inside mapInPandas since round 12 (guide §4.2 — the
+    zip_with/aggregate HOF form does not codegen into a tight loop;
+    same move as cosine_topk). Each Arrow batch emits only its LOCAL
+    winner per (anchor, same-label) class, so the global max(struct)
+    aggregate sees ~tasks x 2 x |panel| rows. All roundings (dot and
+    squared norms at 6 dp BEFORE the division, cosine at 6 dp before
+    the max) happen batch-side with np.round exactly like the
+    golden-pinned near-dup GEMM. The HOF relational form stays behind
+    use_gemm=False as the parity twin (tests assert row-identical
+    output on the real corpus at two SFs)."""
+    return hnm_result(spark, sf_dir, use_gemm=True)
+
+
+def hnm_result(spark, sf_dir, use_gemm: bool = True):
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -728,6 +744,82 @@ def q_hard_negative_mining(spark, sf_dir):
         F.col("label").alias("a_label"),
         F.col("v").alias("pv"),
     )
+    if use_gemm:
+        import numpy as np
+
+        ppdf = panel.toPandas()  # panel-sized by contract (56 anchors)
+        a_ids = ppdf["a_id"].to_numpy(dtype="int64")
+        a_labels = ppdf["a_label"].to_numpy(dtype="int64")
+        if len(ppdf):
+            pm = np.vstack([np.asarray(v, dtype="float64") for v in ppdf["pv"]])
+        else:
+            pm = np.zeros((0, 1))
+        # _SD_NORM: squared norms rounded to 6 dp BEFORE sqrt/division
+        pn2 = np.round((pm * pm).sum(axis=1), 6)
+        keep_p = pn2 > 0
+        a_ids, a_labels, pm, pn2 = (
+            a_ids[keep_p], a_labels[keep_p], pm[keep_p], pn2[keep_p]
+        )
+        bc = e.sparkSession.sparkContext.broadcast(
+            (a_ids, a_labels, pm, np.sqrt(pn2))
+        )
+
+        def fn(batches):
+            import pandas as pd
+
+            aids, alabs, qm, qn = bc.value
+            for batch in batches:
+                if len(batch) == 0 or len(aids) == 0:
+                    continue
+                cids = batch["vec_id"].to_numpy(dtype="int64")
+                labs = batch["label"].to_numpy(dtype="int64")
+                cm = np.vstack(
+                    [np.asarray(v, dtype="float64") for v in batch["v"]]
+                )
+                cn2 = np.round((cm * cm).sum(axis=1), 6)
+                ok = cn2 > 0
+                dot = np.round(cm @ qm.T, 6)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.round(
+                        dot / np.outer(np.sqrt(np.where(ok, cn2, 1.0)), qn), 6
+                    )
+                cos[~ok, :] = -np.inf
+                cos[cids[:, None] == aids[None, :]] = -np.inf
+                same = labs[:, None] == alabs[None, :]
+                out: dict[str, list] = {
+                    "a_id": [], "a_label": [], "same": [],
+                    "cos": [], "vec_id": [],
+                }
+                for j in range(len(aids)):
+                    col = cos[:, j]
+                    for cls in (True, False):
+                        s_col = np.where(same[:, j] == cls, col, -np.inf)
+                        best_cos = s_col.max()
+                        if not np.isfinite(best_cos):
+                            continue
+                        # tie-break: smallest vec_id at the max cos —
+                        # the max(struct(cos, -vec_id)) order
+                        win = cids[s_col == best_cos].min()
+                        out["a_id"].append(aids[j])
+                        out["a_label"].append(alabs[j])
+                        out["same"].append(cls)
+                        out["cos"].append(best_cos)
+                        out["vec_id"].append(win)
+                if out["a_id"]:
+                    yield pd.DataFrame(out)
+
+        local_best = e.mapInPandas(
+            fn,
+            "a_id bigint, a_label int, same boolean, cos double, vec_id bigint",
+        )
+        best = local_best.groupBy("a_id", "a_label", "same").agg(
+            F.max(
+                F.struct(
+                    F.col("cos").alias("cos"), (-F.col("vec_id")).alias("nv")
+                )
+            ).alias("b")
+        )
+        return _hnm_tail(best)
     s = (
         e.crossJoin(F.broadcast(panel))
         .filter(F.col("vec_id") != F.col("a_id"))
@@ -750,6 +842,10 @@ def q_hard_negative_mining(spark, sf_dir):
             )
         ).alias("b")
     )
+    return _hnm_tail(best)
+
+
+def _hnm_tail(best):
     pos_id = F.max(F.when(F.col("same"), -F.col("b.nv")))
     pos_cos = F.max(F.when(F.col("same"), F.col("b.cos")))
     neg_id = F.max(F.when(~F.col("same"), -F.col("b.nv")))
