@@ -56,6 +56,7 @@ HEADLINE = [
     "pq_family_shared",
     "ivfpq_family_shared",
     "acceptance_family_shared",
+    "tiling_family_shared",
     "pq_recall_audit",
     "phash_image_neardup",
     # owns the preference family's memoized comparison sub-plan
@@ -403,6 +404,20 @@ def main() -> None:
             timings["ivfpq_family_shared"] = -1.0
             print(f"bench: ivfpq family warm-up FAILED: {exc}", file=sys.stderr)
         spark.catalog.clearCache()
+    # Round 12: the synthetic tiling chain (slots -> runs) is
+    # session-memoized (plans/tiling._SYNTH_MEMO) and shared by six
+    # queries; own its build as a timed entry (same attribution
+    # discipline as the other *_family_shared entries).
+    if only_set is None or "tiling_family_shared" in only_set:
+        t0 = time.perf_counter()
+        try:
+            from etl_sh_design_spark.plans import tiling as _tiling
+
+            _tiling.runs(spark).count()
+            timings["tiling_family_shared"] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            timings["tiling_family_shared"] = -1.0
+            print(f"bench: tiling family warm-up FAILED: {exc}", file=sys.stderr)
     # Round 12: the two multi-variant acceptance queries share ONE
     # memoized per-(variant, event) hit table (registry_r7.mv_per_hit
     # — the 1e6-ray scan + binned containment join was ~95% of BOTH

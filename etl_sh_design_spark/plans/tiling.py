@@ -90,8 +90,36 @@ def _with_availability(n_blocked: DataFrame) -> DataFrame:
     ).select("iy", "ix", "x1", "x2", "y1", "y2", "state", "available")
 
 
+# Session memos for the SYNTHETIC tiling chain (round 12): slots ->
+# runs -> supermodules -> flavor_counts is re-derived by SIX registry
+# queries (tile_slots / tile_runs / tile_supermodules /
+# tile_flavor_counts / a5_slot_state_counts / j6_ordinal_join), each
+# paying the full grid + blocked-overlap + windows + two-pass-runs
+# chain (16-18 Exchange mentions per plan) over a dimension-sized
+# (~3k-row) result. One localCheckpoint per table per session — same
+# discipline as slots_real's _REAL_MEMO below and the dedup/PQ family
+# memos; keyed on applicationId so every bench/oracle invocation
+# recomputes from scratch. bench.py owns the build as its own timed
+# tiling_family_shared entry.
+_SYNTH_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _synth_memo(spark: SparkSession, name: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, name)
+    got = _SYNTH_MEMO.get(key)
+    if got is None:
+        got = build().localCheckpoint(eager=False)
+        _SYNTH_MEMO[key] = got
+    return got
+
+
 def slots(spark: SparkSession) -> DataFrame:
-    """U4 + P18 + J3 + W6: the slot table with availability state."""
+    """U4 + P18 + J3 + W6: the slot table with availability state
+    (session-memoized; see _SYNTH_MEMO)."""
+    return _synth_memo(spark, "slots", lambda: _slots_build(spark))
+
+
+def _slots_build(spark: SparkSession) -> DataFrame:
     grid = _slot_grid(spark)
     blocked = F.broadcast(
         slots_blocked_table(spark)
@@ -417,8 +445,13 @@ def runs_two_pass_from(s: DataFrame, pl: DataFrame) -> DataFrame:
 
 def runs(spark: SparkSession) -> DataFrame:
     """W5 + W6: contiguous available runs per row with the two-pass
-    fallback -> (iy, start_ix, n_slots)."""
-    return runs_two_pass_from(slots(spark), partition_lookup(spark))
+    fallback -> (iy, start_ix, n_slots). Session-memoized (see
+    _SYNTH_MEMO); the build itself reads the memoized slots table."""
+    return _synth_memo(
+        spark,
+        "runs",
+        lambda: runs_two_pass_from(slots(spark), partition_lookup(spark)),
+    )
 
 
 def supermodules(spark: SparkSession) -> DataFrame:

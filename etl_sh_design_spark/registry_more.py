@@ -149,7 +149,9 @@ def q_ordinal_join(spark, sf_dir):
     # ordinal WITHOUT WindowExec: `runs` is the O(100)-row derived
     # layout table; rn = |rows sorting at-or-before me| via a broadcast
     # theta-join (bounded by construction) — no single-partition window.
-    runs = tiling.runs(spark).localCheckpoint(eager=False)
+    # (tiling.runs is itself the session-memoized checkpoint since
+    # round 12 — no second checkpoint needed.)
+    runs = tiling.runs(spark)
     r2 = runs.select(F.col("iy").alias("iy2"), F.col("start_ix").alias("sx2"))
     at_or_before = (F.col("iy2") < F.col("iy")) | (
         (F.col("iy2") == F.col("iy")) & (F.col("sx2") <= F.col("start_ix"))
@@ -196,7 +198,17 @@ def q_run_comparison(spark, sf_dir):
     (run, eta_bin) — at scale you would never rebuild the detector side
     per run. Measured 3.2-3.9 s -> ~2.3 s warm at these ray counts vs
     the two-pipeline formulation (the rest is ray generation, which is
-    irreducible per-run work)."""
+    irreducible per-run work).
+
+    Round 12: (a) eff is computed arithmetically from counting
+    aggregates — n_hit_events / n_rays_bin per (run, bin) — instead of
+    a per-ray LEFT JOIN + avg over the indicator (identical doubles:
+    avg's sum of 0.0/1.0 indicators IS n_hit exactly, over the same
+    denominator); (b) the final a/b comparison is a conditional
+    aggregation over the (run, eta_bin) profile instead of a self-join
+    whose two branches each re-planned the WHOLE pipeline (20 -> 8
+    Exchange mentions; bins missing either run are dropped exactly
+    like the old inner join via the not-null filter)."""
     from etl_sh_design_spark import datagen
     from etl_sh_design_spark.operators.containment import binned_containment_join
 
@@ -211,24 +223,36 @@ def q_run_comparison(spark, sf_dir):
         runs.crossJoin(F.broadcast(layers))
         .withColumn("px", F.col("z_mm") * F.col("tanth") * F.col("cphi"))
         .withColumn("py", F.col("z_mm") * F.col("tanth") * F.col("sphi"))
-        .select("run", "event_id", "layer", "px", "py")
+        .select("run", "event_id", "eta", "layer", "px", "py")
     )
     hits = binned_containment_join(proj, sensors, cell=50.0, extra_keys=["layer"])
-    n_per_event = hits.groupBy("run", "event_id").agg(
-        F.countDistinct("layer").alias("n")
+    hit_events = hits.groupBy("run", "event_id").agg(F.first("eta").alias("eta"))
+    bin_of = acceptance.ETA_BINS.bin_of("eta").alias("eta_bin")
+    bin_tot = runs.groupBy("run", bin_of).agg(F.count(F.lit(1)).alias("n_rays"))
+    hit_agg = hit_events.groupBy("run", bin_of).agg(
+        F.count(F.lit(1)).alias("n_hit")
     )
-    per_ray = (
-        runs.select("run", "event_id", "eta")
-        .join(n_per_event, ["run", "event_id"], "left")
-        .fillna({"n": 0})
+    prof = bin_tot.join(hit_agg, ["run", "eta_bin"], "left").select(
+        "run",
+        "eta_bin",
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_rays").cast("double"),
+            6,
+        ).alias("eff"),
     )
-    prof = per_ray.groupBy(
-        "run", acceptance.ETA_BINS.bin_of("eta").alias("eta_bin")
-    ).agg(F.round(F.avg((F.col("n") > 0).cast("double")), 6).alias("eff"))
-    a = prof.filter(F.col("run") == "a").select("eta_bin", F.col("eff").alias("eff_a"))
-    b = prof.filter(F.col("run") == "b").select("eta_bin", F.col("eff").alias("eff_b"))
-    return a.join(b, "eta_bin").select(
-        "eta_bin", "eff_a", "eff_b", F.round(F.col("eff_a") - F.col("eff_b"), 6).alias("eff_diff")
+    eff_a = F.max(F.when(F.col("run") == "a", F.col("eff")))
+    eff_b = F.max(F.when(F.col("run") == "b", F.col("eff")))
+    return (
+        prof.groupBy("eta_bin")
+        .agg(eff_a.alias("eff_a"), eff_b.alias("eff_b"))
+        .filter(F.col("eff_a").isNotNull() & F.col("eff_b").isNotNull())
+        .select(
+            "eta_bin",
+            "eff_a",
+            "eff_b",
+            F.round(F.col("eff_a") - F.col("eff_b"), 6).alias("eff_diff"),
+        )
     )
 
 
