@@ -1004,16 +1004,30 @@ def _dedup_cache_get(cache, key):
 
 
 def dedup_signatures(spark, sf_dir):
-    """Wide MinHash signatures (doc_id, sig[16]) over the mutated
-    corpus — memoized, so the whole dedup + sketch-eval family pays
-    ONE signature pass per session."""
-    from etl_sh_design_spark.operators.dedup import minhash_signatures_wide
+    """MinHash signatures (doc_id, sig[16]) over the mutated corpus —
+    memoized, so the whole dedup + sketch-eval family pays ONE
+    signature pass per session.
+
+    Round 12: built with the MAP-SIDE form (zero-shuffle projection;
+    bit-identical to the wide form — min over per-occurrence hashes ==
+    min over the distinct vocabulary, asserted by
+    tests/test_streaming_dedup.test_mapside_signatures_equal_wide).
+    The wide form's distinct-vocabulary Exchange + size-dispatched
+    hash-join-back + driver-side vocab count all disappear; the only
+    exchange left in the family build is the banded pair join.
+    Interleaved A/B minima (full components build): sf0.1 4.24 ->
+    3.49 s, 10x corpus 13.9 -> 12.8 s; at 100 TB the signature pass
+    becomes scan-bound instead of carrying a corpus-sized
+    vocabulary shuffle (the wide form's vocab broadcast was the piece
+    that aborted at the --ngram-100x probe and needed the
+    shuffle-hash dispatch)."""
+    from etl_sh_design_spark.operators.dedup import minhash_signatures_mapside
 
     key = _dedup_cache_key(spark, sf_dir)
     got = _dedup_cache_get(_DEDUP_SIGS_CACHE, key)
     if got is not None:
         return got
-    sigs = minhash_signatures_wide(
+    sigs = minhash_signatures_mapside(
         _corpus_mutated(spark, sf_dir), k=16, n=3
     ).localCheckpoint(eager=False)
     _DEDUP_SIGS_CACHE[key] = sigs

@@ -1264,9 +1264,10 @@ def q_incremental_neardup(spark, sf_dir):
     per batch you only sign the incoming docs and hash-join the
     buckets — no all-pairs, no re-scan of existing text. The agree
     threshold compares exact integers (>= 8 of 16), nothing to
-    knife-edge. Spark side computes both signature sets in one
-    distinct-shingle pass (the union trick in operators/dedup.py)."""
-    from etl_sh_design_spark.operators.dedup import minhash_signatures_wide
+    knife-edge. Spark side signs both sets in one MAP-SIDE zero-shuffle
+    pass (bit-identical to the wide form; see
+    registry_ext.dedup_signatures)."""
+    from etl_sh_design_spark.operators.dedup import minhash_signatures_mapside
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # batch fixture: every 3rd doc re-arrives with its last token
@@ -1284,8 +1285,13 @@ def q_incremental_neardup(spark, sf_dir):
             F.expr(f"array_join(reverse({_TOKS}), ' ')").alias("text"),
         )
     )
-    corpus = d.unionByName(incoming)
-    sig = minhash_signatures_wide(corpus, k=16, n=3).localCheckpoint(eager=False)
+    # spread the CPU-bound map-side signature across all cores (the
+    # small-file scan arrives as 2 splits; no-op cost at real scale —
+    # same discipline as registry_ext._repartitioned)
+    corpus = d.unionByName(incoming).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sig = minhash_signatures_mapside(corpus, k=16, n=3).localCheckpoint(eager=False)
     band_structs = [
         F.struct(
             F.lit(j).alias("band"),

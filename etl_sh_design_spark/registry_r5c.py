@@ -666,7 +666,7 @@ def q_lsh_recall_eval(spark, sf_dir):
 # --------------------------------------------------------------------
 # incremental refresh pipeline (churn -> gate -> index probe, e2e)
 # --------------------------------------------------------------------
-from etl_sh_design_spark.operators.dedup import minhash_signatures_wide  # noqa: E402
+from etl_sh_design_spark.operators.dedup import minhash_signatures_mapside  # noqa: E402
 
 
 @query(
@@ -786,10 +786,13 @@ def q_incremental_refresh_pipeline(spark, sf_dir):
     corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
     # checkpoint the signatures: four consumers (both band sides, both
     # agree-join legs) would otherwise each recompute the shingle +
-    # min-hash pass — same discipline as q_incremental_neardup
-    sig = minhash_signatures_wide(corpus, id_col="sig_id", k=16, n=3).localCheckpoint(
-        eager=False
-    )
+    # min-hash pass — same discipline as q_incremental_neardup.
+    # Round 12: MAP-SIDE signature form (zero-shuffle; bit-identical —
+    # see registry_ext.dedup_signatures) instead of the wide form's
+    # vocab-distinct + hash-join-back chain.
+    sig = minhash_signatures_mapside(
+        corpus, id_col="sig_id", k=16, n=3
+    ).localCheckpoint(eager=False)
     band_structs = [
         F.struct(
             F.lit(j).alias("band"),

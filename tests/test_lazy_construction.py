@@ -139,8 +139,8 @@ EAGER_BUILDERS = {
     "doc-size counts double as the localCheckpoint materializations "
     "the joins then read — the c4_line_dedup contract",
     "lsh_band_occupancy_audit": "shared memoized signature table "
-    "(one-time build) + the round-12 vocabulary-count dispatch "
-    "inside minhash_signatures_wide",
+    "(one-time build; map-side form since round 12 — no vocab "
+    "dispatch left, the allowance covers the checkpoint jobs)",
     "preference_label_noise": "builds the BT strengths it audits "
     "against (same checkpointed MM rounds as bradley_terry_strengths)",
     "position_bias_audit": "may pay the preference battery's shared "
