@@ -311,6 +311,7 @@ def main() -> None:
 
     queries = registry.queries()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
 
     # dev-only per-entry trace (SPARK_GRAFT_BENCH_TRACE=1): sweep
     # position, samples, cumulative JVM GC time and heap occupancy to
@@ -347,14 +348,49 @@ def main() -> None:
     only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     only_set = set(only_env.split(",")) if only_env else None
 
-    if only_set is None or "dedup_family_shared_subplan" in only_set:
-        t0 = time.perf_counter()
-        try:
-            registry_ext.dedup_components(spark, SF_DIR).count()
-            timings["dedup_family_shared_subplan"] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:
-            timings["dedup_family_shared_subplan"] = -1.0
-            print(f"bench: dedup shared sub-plan FAILED: {exc}", file=sys.stderr)
+    # Round 12 (measurement fix, second pass — documented in
+    # OPTIMIZATION_r12.md §9): the five *_family_shared build entries
+    # were timed ONCE inline, so a host-interference burst landed
+    # straight in `value` with no spread (observed live: a 72.8 s
+    # reading for a 4.6 s build). They now get the same best-of-N +
+    # recorded-spread treatment as every other entry; between runs the
+    # family memo is CLEARED so each run honestly re-pays the full
+    # build from the parquet scan (the repeat-honesty discipline the
+    # sf1 section has used since §9 landed), and the last run leaves
+    # the memo warm for the member entries exactly as before.
+    _n_family_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_MIN", "2")))
+
+    def _family_entry(name, build, invalidate=None) -> None:
+        if only_set is not None and name not in only_set:
+            return
+        vals: list[float] = []
+        for r in range(_n_family_runs):
+            if r > 0 and invalidate is not None:
+                invalidate()
+            t0 = time.perf_counter()
+            try:
+                build()
+            except Exception as exc:
+                timings[name] = -1.0
+                print(f"bench: {name} build FAILED: {exc}", file=sys.stderr)
+                return
+            vals.append(round(time.perf_counter() - t0, 3))
+        vals.sort()
+        timings[name] = vals[0]
+        if len(vals) > 1:
+            spreads[name] = round(vals[1] - vals[0], 3)
+
+    def _clear_dedup_family() -> None:
+        registry_ext._DEDUP_PAIRS_CACHE.clear()
+        registry_ext._DEDUP_COMPONENTS_CACHE.clear()
+        registry_ext._DEDUP_SIGS_CACHE.clear()
+        spark.catalog.clearCache()
+
+    _family_entry(
+        "dedup_family_shared_subplan",
+        lambda: registry_ext.dedup_components(spark, SF_DIR).count(),
+        invalidate=_clear_dedup_family,
+    )
 
     # The PQ family (pq_ann_topk, ivfpq_*, pq_rerank_topk,
     # pq_shortlist_audit, pq_recall_audit) shares one codegen surface:
@@ -367,20 +403,22 @@ def main() -> None:
     # VERDICT r10 item 7). Pay the JIT once as its own timed entry so
     # each member reports its own tail (same attribution fix as
     # dedup_family_shared_subplan).
-    if only_set is None or "pq_family_shared" in only_set:
-        t0 = time.perf_counter()
-        try:
-            from etl_sh_design_spark.operators.pq import pq_topk
+    from etl_sh_design_spark.operators import pq as _pq
 
-            pq_topk(
-                spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")),
-                k=5,
-                n_queries=10,
-            ).write.format("noop").mode("overwrite").save()
-            timings["pq_family_shared"] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:
-            timings["pq_family_shared"] = -1.0
-            print(f"bench: pq family warm-up FAILED: {exc}", file=sys.stderr)
+    def _clear_pq_family() -> None:
+        _pq._PQ_MEMO.clear()
+        spark.catalog.clearCache()
+
+    _family_entry(
+        "pq_family_shared",
+        lambda: _pq.pq_topk(
+            spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")),
+            k=5,
+            n_queries=10,
+        ).write.format("noop").mode("overwrite").save(),
+        invalidate=_clear_pq_family,
+    )
+    if only_set is None or "pq_family_shared" in only_set:
         spark.catalog.clearCache()
     # Round 12: the PQ/IVF-PQ train+encode+ADC prefixes are memoized
     # per session (operators/pq.py _PQ_MEMO — the eleven family
@@ -389,50 +427,55 @@ def main() -> None:
     # timed entry so each member measures only its tail; the total
     # still pays the build exactly once. (pq_family_shared above
     # already owns the flat-PQ build through its pq_topk call.)
-    if only_set is None or "ivfpq_family_shared" in only_set:
-        t0 = time.perf_counter()
-        try:
-            from etl_sh_design_spark.operators.pq import ivfpq_topk
+    def _clear_ivfpq_only() -> None:
+        # drop ONLY the IVF-PQ prefixes ("ivfpq_adc"/"ivfpq_index"
+        # tagged keys) so the repeat re-pays this entry's own build
+        # while the flat-PQ prefixes pq_family_shared just built (and
+        # owns) stay warm for the member tails.
+        for k in [
+            k
+            for k in _pq._PQ_MEMO
+            if any(isinstance(p, str) and p.startswith("ivfpq") for p in k)
+        ]:
+            del _pq._PQ_MEMO[k]
+        spark.catalog.clearCache()
 
-            ivfpq_topk(
-                spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")),
-                k=5,
-                n_queries=10,
-            ).write.format("noop").mode("overwrite").save()
-            timings["ivfpq_family_shared"] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:
-            timings["ivfpq_family_shared"] = -1.0
-            print(f"bench: ivfpq family warm-up FAILED: {exc}", file=sys.stderr)
+    _family_entry(
+        "ivfpq_family_shared",
+        lambda: _pq.ivfpq_topk(
+            spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")),
+            k=5,
+            n_queries=10,
+        ).write.format("noop").mode("overwrite").save(),
+        invalidate=_clear_ivfpq_only,
+    )
+    if only_set is None or "ivfpq_family_shared" in only_set:
         spark.catalog.clearCache()
     # Round 12: the synthetic tiling chain (slots -> runs) is
     # session-memoized (plans/tiling._SYNTH_MEMO) and shared by six
     # queries; own its build as a timed entry (same attribution
     # discipline as the other *_family_shared entries).
-    if only_set is None or "tiling_family_shared" in only_set:
-        t0 = time.perf_counter()
-        try:
-            from etl_sh_design_spark.plans import tiling as _tiling
+    from etl_sh_design_spark.plans import tiling as _tiling
 
-            _tiling.runs(spark).count()
-            timings["tiling_family_shared"] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:
-            timings["tiling_family_shared"] = -1.0
-            print(f"bench: tiling family warm-up FAILED: {exc}", file=sys.stderr)
+    _family_entry(
+        "tiling_family_shared",
+        lambda: _tiling.runs(spark).count(),
+        invalidate=_tiling._SYNTH_MEMO.clear,
+    )
     # Round 12: the two multi-variant acceptance queries share ONE
     # memoized per-(variant, event) hit table (registry_r7.mv_per_hit
     # — the 1e6-ray scan + binned containment join was ~95% of BOTH
     # plans). The build is owned by its own timed entry so each query
     # reports only its tail; the total still pays the build once.
-    if only_set is None or "acceptance_family_shared" in only_set:
-        t0 = time.perf_counter()
-        try:
-            from etl_sh_design_spark import registry_r7
+    from etl_sh_design_spark import registry_r7 as _r7
 
-            registry_r7.mv_per_hit(spark).count()
-            timings["acceptance_family_shared"] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:
-            timings["acceptance_family_shared"] = -1.0
-            print(f"bench: acceptance family warm-up FAILED: {exc}", file=sys.stderr)
+    _family_entry(
+        "acceptance_family_shared",
+        lambda: _r7.mv_per_hit(spark).count(),
+        # clear only the per-hit table; the static variant corner set
+        # (_MV_VARIANTS_MEMO) is dimension metadata, not timed work
+        invalidate=_r7._MV_HITS_MEMO.clear,
+    )
     # Determinism (round-4 verdict task 7): headline queries run
     # N_RUNS times back-to-back and report the BEST (warm) time, with
     # the per-query spread recorded in BENCH_FULL.json — same-host
@@ -449,7 +492,6 @@ def main() -> None:
     # the reported number is the same quantity (best warm time), just
     # measured for every entry. Old behavior: SPARK_GRAFT_BENCH_RUNS_MIN=1.
     n_runs_min = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_MIN", "2")))
-    spreads: dict[str, float] = {}
     headline_set = set(HEADLINE)
     # dev-only sweep subset for local iteration (comma-separated query
     # names); the driver never sets it, so driver runs always sweep the
