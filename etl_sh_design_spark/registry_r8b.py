@@ -482,17 +482,27 @@ def semantic_decontamination_result(spark, sf_dir, use_gemm: bool = True):
     if use_gemm:
         import numpy as np
 
-        ppdf = panel.toPandas()  # eval-panel-sized by contract
-        p_ids = ppdf["probe_id"].to_numpy(dtype="int64")
-        if len(ppdf):
-            pm = np.vstack([np.asarray(v, dtype="float64") for v in ppdf["pv"]])
-        else:
-            pm = np.zeros((0, 1))
-        # _SD_NORM: squared norms rounded to 6 dp BEFORE sqrt/division
-        pn2 = np.round((pm * pm).sum(axis=1), 6)
-        keep_p = pn2 > 0  # zero-norm guard, same exclusion as the HOF path
-        p_ids, pm, pn2 = p_ids[keep_p], pm[keep_p], pn2[keep_p]
-        bc = e.sparkSession.sparkContext.broadcast((p_ids, pm, np.sqrt(pn2)))
+        from etl_sh_design_spark.operators.similarity import (
+            session_broadcast_panel,
+        )
+
+        def _build(ppdf):  # eval-panel-sized by contract
+            p_ids = ppdf["probe_id"].to_numpy(dtype="int64")
+            if len(ppdf):
+                pm = np.vstack(
+                    [np.asarray(v, dtype="float64") for v in ppdf["pv"]]
+                )
+            else:
+                pm = np.zeros((0, 1))
+            # _SD_NORM: squared norms rounded 6 dp BEFORE sqrt/division
+            pn2 = np.round((pm * pm).sum(axis=1), 6)
+            keep_p = pn2 > 0  # zero-norm guard, same as the HOF path
+            p_ids, pm, pn2 = p_ids[keep_p], pm[keep_p], pn2[keep_p]
+            return p_ids, pm, np.sqrt(pn2)
+
+        # session-memoized broadcast (similarity module note): repeat
+        # constructions reuse one panel instead of leaking a broadcast
+        bc, _ = session_broadcast_panel(panel, "semantic_decon", _build)
 
         def fn(batches):
             import pandas as pd

@@ -747,22 +747,30 @@ def hnm_result(spark, sf_dir, use_gemm: bool = True):
     if use_gemm:
         import numpy as np
 
-        ppdf = panel.toPandas()  # panel-sized by contract (56 anchors)
-        a_ids = ppdf["a_id"].to_numpy(dtype="int64")
-        a_labels = ppdf["a_label"].to_numpy(dtype="int64")
-        if len(ppdf):
-            pm = np.vstack([np.asarray(v, dtype="float64") for v in ppdf["pv"]])
-        else:
-            pm = np.zeros((0, 1))
-        # _SD_NORM: squared norms rounded to 6 dp BEFORE sqrt/division
-        pn2 = np.round((pm * pm).sum(axis=1), 6)
-        keep_p = pn2 > 0
-        a_ids, a_labels, pm, pn2 = (
-            a_ids[keep_p], a_labels[keep_p], pm[keep_p], pn2[keep_p]
+        from etl_sh_design_spark.operators.similarity import (
+            session_broadcast_panel,
         )
-        bc = e.sparkSession.sparkContext.broadcast(
-            (a_ids, a_labels, pm, np.sqrt(pn2))
-        )
+
+        def _build(ppdf):  # panel-sized by contract (56 anchors)
+            a_ids = ppdf["a_id"].to_numpy(dtype="int64")
+            a_labels = ppdf["a_label"].to_numpy(dtype="int64")
+            if len(ppdf):
+                pm = np.vstack(
+                    [np.asarray(v, dtype="float64") for v in ppdf["pv"]]
+                )
+            else:
+                pm = np.zeros((0, 1))
+            # _SD_NORM: squared norms rounded 6 dp BEFORE sqrt/division
+            pn2 = np.round((pm * pm).sum(axis=1), 6)
+            keep_p = pn2 > 0
+            a_ids, a_labels, pm, pn2 = (
+                a_ids[keep_p], a_labels[keep_p], pm[keep_p], pn2[keep_p]
+            )
+            return a_ids, a_labels, pm, np.sqrt(pn2)
+
+        # session-memoized broadcast (similarity module note): repeat
+        # constructions reuse one panel instead of leaking a broadcast
+        bc, _ = session_broadcast_panel(panel, "hnm_anchors", _build)
 
         def fn(batches):
             import pandas as pd
