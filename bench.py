@@ -410,6 +410,7 @@ def main() -> None:
         registry_ext._DEDUP_PAIRS_CACHE.clear()
         registry_ext._DEDUP_COMPONENTS_CACHE.clear()
         registry_ext._DEDUP_SIGS_CACHE.clear()
+        registry_ext._DOCS_SIGS_CACHE.clear()
         spark.catalog.clearCache()
 
     _family_entry(
@@ -780,6 +781,7 @@ def main() -> None:
             _rext._DEDUP_PAIRS_CACHE.clear()
             _rext._DEDUP_COMPONENTS_CACHE.clear()
             _rext._DEDUP_SIGS_CACHE.clear()
+            _rext._DOCS_SIGS_CACHE.clear()
 
         _sf1_entry(
             "dedup_family_shared_subplan",

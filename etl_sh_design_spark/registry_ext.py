@@ -984,6 +984,7 @@ def q_mod_partition_totals(spark, sf_dir):
 _DEDUP_PAIRS_CACHE: dict = {}
 _DEDUP_COMPONENTS_CACHE: dict = {}
 _DEDUP_SIGS_CACHE: dict = {}
+_DOCS_SIGS_CACHE: dict = {}
 
 
 def _dedup_cache_key(spark, sf_dir):
@@ -1027,10 +1028,56 @@ def dedup_signatures(spark, sf_dir):
     got = _dedup_cache_get(_DEDUP_SIGS_CACHE, key)
     if got is not None:
         return got
-    sigs = minhash_signatures_mapside(
-        _corpus_mutated(spark, sf_dir), k=16, n=3
+    # Round 13 (guide §2.4 across queries): the signature map is
+    # PER-ROW, so sig(docs UNION mutated) == sig(docs) UNION
+    # sig(mutated) exactly — split it so the plain-documents half is
+    # the shared, separately-memoized `docs_signatures` table the two
+    # incremental pipelines also probe against, instead of every
+    # consumer re-signing the documents corpus inside its own fused
+    # union. Row set is bit-identical (per-row md5 mins; the <n-token
+    # drop is per-row too); only WHO pays the docs pass changes — in
+    # the bench that is the timed dedup_family_shared_subplan entry,
+    # exactly as before.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            f"array_join(slice({_TOKS}, 1, greatest(size({_TOKS}) - 1, 0)), ' ')"
+        ).alias("text"),
+    )
+    mut_sigs = minhash_signatures_mapside(
+        _repartitioned(spark, mut), k=16, n=3
     ).localCheckpoint(eager=False)
+    sigs = docs_signatures(spark, sf_dir).unionByName(mut_sigs)
     _DEDUP_SIGS_CACHE[key] = sigs
+    return sigs
+
+
+def docs_signatures(spark, sf_dir):
+    """Map-side MinHash signatures (doc_id, sig[16]) over the PLAIN
+    documents corpus — memoized per (session, sf_dir).
+
+    Round 13: this is the "stored LSH index" both incremental
+    pipelines' docstrings already promise ("at 100 TB the existing
+    side's banded signature index is a stored table ... per batch you
+    only sign the incoming docs"). Signing is a per-row map, so the
+    documents half of every sig(documents UNION delta) plan factors
+    out exactly; the dedup family build (mutated corpus) and the two
+    incremental pipelines now share ONE documents pass per session.
+    Build cost is owned by whichever entry runs first — in the bench,
+    the timed dedup_family_shared_subplan entry, whose repeat
+    invalidation clears this cache too (repeat honesty)."""
+    from etl_sh_design_spark.operators.dedup import minhash_signatures_mapside
+
+    key = _dedup_cache_key(spark, sf_dir)
+    got = _dedup_cache_get(_DOCS_SIGS_CACHE, key)
+    if got is not None:
+        return got
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signatures_mapside(
+        _repartitioned(spark, d), k=16, n=3
+    ).localCheckpoint(eager=False)
+    _DOCS_SIGS_CACHE[key] = sigs
     return sigs
 
 

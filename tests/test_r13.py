@@ -51,3 +51,39 @@ def test_panel_memo_empty_panel_stable(spark):
     out = sim.cosine_topk(emb.filter(F.col("vec_id") < 0), emb, k=3)
     assert out.count() == 0
     sim._PANEL_MEMO.clear()
+
+
+def test_signature_union_split_equals_fused(spark):
+    """The round-13 incremental restructure rests on one identity:
+    the map-side MinHash is a per-row map, so sig(A UNION B) ==
+    sig(A) UNION sig(B) row-for-row. Pin it on the real corpus with
+    the incremental_neardup delta shape (dropped-last-token docs)."""
+    from etl_sh_design_spark.operators.dedup import minhash_signatures_mapside
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    toks = "filter(split(lower(text), '\\\\s+'), t -> t != '')"
+    inc = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            f"array_join(slice({toks}, 1, greatest(size({toks}) - 1, 0)), ' ')"
+        ).alias("text"),
+    )
+    fused = minhash_signatures_mapside(d.unionByName(inc), k=16, n=3)
+    split = minhash_signatures_mapside(d, k=16, n=3).unionByName(
+        minhash_signatures_mapside(inc, k=16, n=3)
+    )
+    rows_f = sorted((r["doc_id"], tuple(r["sig"])) for r in fused.collect())
+    rows_s = sorted((r["doc_id"], tuple(r["sig"])) for r in split.collect())
+    assert rows_f == rows_s
+
+
+def test_docs_signatures_memoized(spark):
+    from etl_sh_design_spark import registry_ext
+
+    registry_ext._DOCS_SIGS_CACHE.clear()
+    a = registry_ext.docs_signatures(spark, SF_SMOKE)
+    b = registry_ext.docs_signatures(spark, SF_SMOKE)
+    assert a is b  # one documents-side signature build per session
+    registry_ext._DOCS_SIGS_CACHE.clear()
