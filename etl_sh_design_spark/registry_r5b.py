@@ -675,10 +675,16 @@ def q_quality_calibration_sources(spark, sf_dir):
     from etl_sh_design_spark.operators.percentile import grouped_percentiles
 
     d = _t(spark, sf_dir, "documents")
+    # Round 13 (guide §5 reuse): `scored` feeds BOTH the percentile
+    # pass and the calibration join — without the cache the expensive
+    # text scoring ran twice over the corpus. The cached projection is
+    # two narrow columns (source, score); at 100 TB this is the
+    # standard reuse-vs-recompute trade for a scan whose per-row work
+    # (the composite quality score) dominates.
     scored = d.select(
         "source",
         text.quality_score("text").alias("score"),
-    )
+    ).cache()
     pct = grouped_percentiles(scored, ["source"], "score", {"p05": 0.05, "p95": 0.95})
     j = scored.join(F.broadcast(pct), "source")
     calibrated = F.when(

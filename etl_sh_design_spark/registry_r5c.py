@@ -346,6 +346,12 @@ def q_quality_psi_drift(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
+    # (round-13 A/B note: .cache()-ing b1/b2 to cut the four scored
+    # scans to two was tried and measured SLOWER interleaved at sf0.1
+    # — the four scans run concurrently inside the broadcast stages,
+    # while the cache serializes two materialization jobs. At real
+    # scale the cache wins; revisit when the corpus no longer fits
+    # the cluster's concurrent-scan headroom.)
     b1, b2 = binned(d), binned(_v2_corpus(d))
     bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
     t1 = b1.agg(F.sum("n").alias("tot1"))

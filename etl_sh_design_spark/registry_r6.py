@@ -393,6 +393,13 @@ def _real_modules(spark):
         .distinct()
         .withColumn("rk", F.row_number().over(W.orderBy(F.col("y").desc())) - 1)
     )
+    # (round-13 A/B note: F.broadcast(ranked) here — and on the other
+    # dimension-sized SMJs in this module — was tried and measured
+    # SLOWER interleaved at sf0.1: both sides are <= 7k rows, so the
+    # SMJ shuffles are trivial while each explicit BroadcastExchange
+    # adds a blocking build job. The stats-free-SMJ gotcha matters
+    # when the PROBE side is big; these joins are dimension x
+    # dimension by the layout contract.)
     sens = c.join(ranked, "y").select(
         (F.floor(F.col("rk") / 2) + 1).cast("int").alias("row_ord"),
         "x",
@@ -803,17 +810,31 @@ def q_real_export_centers_check(spark, sf_dir):
     shipped = read_yaml_layout(spark, _NEW_YAML).select(
         "disk", "face", F.col("x").alias("cx"), F.col("y").alias("cy")
     )
-    dc = derived.groupBy(
-        "disk", "face", F.round("cx", 6).alias("cx"), F.round("cy", 6).alias("cy")
-    ).agg(F.count(F.lit(1)).alias("dn"))
-    sc = shipped.groupBy(
-        "disk", "face", F.round("cx", 6).alias("cx"), F.round("cy", 6).alias("cy")
-    ).agg(F.count(F.lit(1)).alias("sn"))
-    j = dc.join(sc, ["disk", "face", "cx", "cy"], "full_outer").select(
+    # Round 13 (guide §2.4): the per-center count comparison ran as a
+    # FULL OUTER sort-merge join of the two grouped sides (two
+    # exchanges + two sorts). A full-outer join on the GROUP KEY is
+    # exactly a union-then-aggregate: tag each side's rows, union, and
+    # conditionally count per (disk, face, cx, cy) — the key set is
+    # "keys present in either side" and absent-side counts coalesce to
+    # 0, identically to the join. One exchange, no sorts.
+    tagged = derived.select(
         "disk",
         "face",
-        F.coalesce("dn", F.lit(0)).alias("dn"),
-        F.coalesce("sn", F.lit(0)).alias("sn"),
+        F.round("cx", 6).alias("cx"),
+        F.round("cy", 6).alias("cy"),
+        F.lit(1).alias("is_d"),
+    ).unionByName(
+        shipped.select(
+            "disk",
+            "face",
+            F.round("cx", 6).alias("cx"),
+            F.round("cy", 6).alias("cy"),
+            F.lit(0).alias("is_d"),
+        )
+    )
+    j = tagged.groupBy("disk", "face", "cx", "cy").agg(
+        F.sum("is_d").alias("dn"),
+        F.sum(1 - F.col("is_d")).alias("sn"),
     )
     return j.groupBy("disk", "face").agg(
         F.sum("dn").cast("bigint").alias("n_derived"),
