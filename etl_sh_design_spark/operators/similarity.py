@@ -80,7 +80,13 @@ def _norm(a: str | Column) -> Column:
 
 
 def with_unit_vec(df: DataFrame, vec_col: str = "embedding", out: str = "uvec") -> DataFrame:
-    """Normalize once upstream so scoring is a pure dot product."""
+    """Normalize once upstream so scoring is a pure dot product.
+
+    (round-13 note: hoisting the norm into its own projection was
+    tried — CollapseProject re-inlines it into the transform lambda,
+    so the physical plan is IDENTICAL to this form; the per-row
+    aggregate is shared by codegen subexpression elimination, not by
+    source-level hoisting. Left as is.)"""
     d = df.withColumn("_dv", _dvec(vec_col))
     return d.withColumn(
         out, F.transform(F.col("_dv"), lambda x: x / _norm(F.col("_dv")))
