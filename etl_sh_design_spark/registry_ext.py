@@ -1030,26 +1030,24 @@ def dedup_signatures(spark, sf_dir):
         return got
     # Round 13 (guide §2.4 across queries): the signature map is
     # PER-ROW, so sig(docs UNION mutated) == sig(docs) UNION
-    # sig(mutated) exactly — split it so the plain-documents half is
-    # the shared, separately-memoized `docs_signatures` table the two
-    # incremental pipelines also probe against, instead of every
-    # consumer re-signing the documents corpus inside its own fused
-    # union. Row set is bit-identical (per-row md5 mins; the <n-token
-    # drop is per-row too); only WHO pays the docs pass changes — in
-    # the bench that is the timed dedup_family_shared_subplan entry,
-    # exactly as before.
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mut = d.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr(
-            f"array_join(slice({_TOKS}, 1, greatest(size({_TOKS}) - 1, 0)), ' ')"
-        ).alias("text"),
-    )
-    mut_sigs = minhash_signatures_mapside(
-        _repartitioned(spark, mut), k=16, n=3
+    # sig(mutated) exactly, and the plain-documents rows are exactly
+    # the fused table's doc_id < 1000000 half. The family build signs
+    # the fused corpus ONCE (one codegen pass for the 16-seed
+    # projection — an A/B of signing the two halves separately
+    # measured the build ~1.1 s SLOWER from the doubled
+    # construction/codegen) and registers the documents half as a
+    # filter over the SAME checkpoint, which the two incremental
+    # pipelines then probe as their "stored LSH index". Row sets are
+    # bit-identical; only WHO pays what changes — the timed
+    # dedup_family_shared_subplan entry owns the fused build, exactly
+    # as before, and the incrementals' docs side becomes a checkpoint
+    # read.
+    sigs = minhash_signatures_mapside(
+        _corpus_mutated(spark, sf_dir), k=16, n=3
     ).localCheckpoint(eager=False)
-    sigs = docs_signatures(spark, sf_dir).unionByName(mut_sigs)
     _DEDUP_SIGS_CACHE[key] = sigs
+    if _dedup_cache_get(_DOCS_SIGS_CACHE, key) is None:
+        _DOCS_SIGS_CACHE[key] = sigs.filter(F.col("doc_id") < 1000000)
     return sigs
 
 
@@ -1062,11 +1060,12 @@ def docs_signatures(spark, sf_dir):
     side's banded signature index is a stored table ... per batch you
     only sign the incoming docs"). Signing is a per-row map, so the
     documents half of every sig(documents UNION delta) plan factors
-    out exactly; the dedup family build (mutated corpus) and the two
-    incremental pipelines now share ONE documents pass per session.
-    Build cost is owned by whichever entry runs first — in the bench,
-    the timed dedup_family_shared_subplan entry, whose repeat
-    invalidation clears this cache too (repeat honesty)."""
+    out exactly. When the dedup family build has already signed the
+    fused mutated corpus this session, the docs half IS that
+    checkpoint filtered to doc_id < 1000000 (registered by
+    dedup_signatures above — the bench's family entry runs first and
+    owns the build); standalone consumers (the oracle runs each query
+    alone) build the docs-only table here instead."""
     from etl_sh_design_spark.operators.dedup import minhash_signatures_mapside
 
     key = _dedup_cache_key(spark, sf_dir)

@@ -87,3 +87,27 @@ def test_docs_signatures_memoized(spark):
     b = registry_ext.docs_signatures(spark, SF_SMOKE)
     assert a is b  # one documents-side signature build per session
     registry_ext._DOCS_SIGS_CACHE.clear()
+
+
+def test_docs_signatures_family_registered_half_identical(spark):
+    """When the dedup family build runs first, docs_signatures is the
+    fused checkpoint filtered to doc_id < 1000000 — its rows must be
+    identical to the standalone docs-only build (the oracle path)."""
+    from etl_sh_design_spark import registry_ext
+
+    registry_ext._DEDUP_SIGS_CACHE.clear()
+    registry_ext._DOCS_SIGS_CACHE.clear()
+    registry_ext.dedup_signatures(spark, SF_SMOKE)  # registers the half
+    via_family = sorted(
+        (r["doc_id"], tuple(r["sig"]))
+        for r in registry_ext.docs_signatures(spark, SF_SMOKE).collect()
+    )
+    registry_ext._DEDUP_SIGS_CACHE.clear()
+    registry_ext._DOCS_SIGS_CACHE.clear()
+    standalone = sorted(
+        (r["doc_id"], tuple(r["sig"]))
+        for r in registry_ext.docs_signatures(spark, SF_SMOKE).collect()
+    )
+    assert via_family == standalone
+    registry_ext._DEDUP_SIGS_CACHE.clear()
+    registry_ext._DOCS_SIGS_CACHE.clear()
